@@ -1,0 +1,241 @@
+"""From-scratch batch CRS math (NumPy): 4326 <-> 3857 / UTM / Albers.
+
+Replaces the reference's osr.CoordinateTransformation calls
+(gdal_boots/geometry.py:129-145, axis order forced to lon/lat at
+geometry.py:125,131,134).  All functions are array-in/array-out; the
+geodetic CRS EPSG:4326 is the hub — any->any goes through lon/lat.
+
+Formulas are the published closed forms: spherical Web Mercator
+(EPSG:3857), transverse Mercator via the 6th-order Krüger/Karney
+series (UTM zones EPSG:326xx/327xx, ~nm accuracy), and Snyder's
+ellipsoidal Albers equal-area for ``+proj=aea`` proj4 strings (the
+reference exercises ESRI:102033 on the aust_SA ellipsoid,
+tests/test_raster.py:489-495).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# --- ellipsoids -------------------------------------------------------
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "aust_SA": (6378160.0, 298.25),
+    "GRS80": (6378137.0, 298.257222101),
+}
+
+_R_WEB = 6378137.0  # Web-Mercator sphere radius
+
+
+# --- Web Mercator (EPSG:3857) ----------------------------------------
+def lonlat_to_webmercator(lon, lat):
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = _R_WEB * np.radians(lon)
+    y = _R_WEB * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+    return x, y
+
+
+def webmercator_to_lonlat(x, y):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / _R_WEB)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / _R_WEB)) - np.pi / 2.0)
+    return lon, lat
+
+
+# --- Transverse Mercator (Krüger series, order n^6) -------------------
+def _tm_consts(a, rf, k0=0.9996):
+    f = 1.0 / rf
+    n = f / (2.0 - f)
+    n2, n3, n4, n5, n6 = n**2, n**3, n**4, n**5, n**6
+    A = a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    alpha = [
+        n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288 + 7891 * n6 / 37800,
+        13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630 - 1983433 * n6 / 1935360,
+        61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880 + 167603 * n6 / 181440,
+        49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+        34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+        212378941 * n6 / 319334400,
+    ]
+    beta = [
+        n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512 + 96199 * n6 / 604800,
+        n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105 - 1118711 * n6 / 3870720,
+        17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
+        4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+        4583 * n5 / 161280 - 108847 * n6 / 3991680,
+        20648693 * n6 / 638668800,
+    ]
+    delta = [
+        2 * n - 2 * n2 / 3 - 2 * n3 + 116 * n4 / 45 + 26 * n5 / 45 - 2854 * n6 / 675,
+        7 * n2 / 3 - 8 * n3 / 5 - 227 * n4 / 45 + 2704 * n5 / 315 + 2323 * n6 / 945,
+        56 * n3 / 15 - 136 * n4 / 35 - 1262 * n5 / 105 + 73814 * n6 / 2835,
+        4279 * n4 / 630 - 332 * n5 / 35 - 399572 * n6 / 14175,
+        4174 * n5 / 315 - 144838 * n6 / 6237,
+        601676 * n6 / 22275,
+    ]
+    return n, A, alpha, beta, delta, k0
+
+
+_TM_WGS84 = _tm_consts(*ELLIPSOIDS["WGS84"])
+
+
+def lonlat_to_tm(lon, lat, lon0_deg, false_e=500000.0, false_n=0.0, consts=_TM_WGS84):
+    n, A, alpha, _, _, k0 = consts
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0_deg)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    s2n = 2.0 * math.sqrt(n) / (1.0 + n)
+    t = np.sinh(np.arctanh(np.sin(phi)) - s2n * np.arctanh(s2n * np.sin(phi)))
+    xi = np.arctan2(t, np.cos(lam))
+    eta = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    xs, es = xi.copy(), eta.copy()
+    for j, aj in enumerate(alpha, start=1):
+        xs += aj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        es += aj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    return false_e + k0 * A * es, false_n + k0 * A * xs
+
+
+def tm_to_lonlat(x, y, lon0_deg, false_e=500000.0, false_n=0.0, consts=_TM_WGS84):
+    n, A, _, beta, delta, k0 = consts
+    xi = (np.asarray(y, dtype=np.float64) - false_n) / (k0 * A)
+    eta = (np.asarray(x, dtype=np.float64) - false_e) / (k0 * A)
+    xs, es = xi.copy(), eta.copy()
+    for j, bj in enumerate(beta, start=1):
+        xs -= bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        es -= bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xs) / np.cosh(es))
+    phi = chi.copy()
+    for j, dj in enumerate(delta, start=1):
+        phi += dj * np.sin(2 * j * chi)
+    lam = np.arctan2(np.sinh(es), np.cos(xs))
+    return np.degrees(lam) + lon0_deg, np.degrees(phi)
+
+
+def _utm_params(epsg: int):
+    if 32601 <= epsg <= 32660:
+        zone = epsg - 32600
+        return 6.0 * zone - 183.0, 500000.0, 0.0
+    if 32701 <= epsg <= 32760:
+        zone = epsg - 32700
+        return 6.0 * zone - 183.0, 500000.0, 10000000.0
+    raise ValueError(f"not a UTM epsg: {epsg}")
+
+
+# --- Albers equal-area (Snyder 14-1..14-12, ellipsoidal) ---------------
+class AlbersProj:
+    def __init__(self, lat_0, lon_0, lat_1, lat_2, x_0=0.0, y_0=0.0, ellps="WGS84"):
+        a, rf = ELLIPSOIDS[ellps]
+        self.a, self.x_0, self.y_0 = a, x_0, y_0
+        self.lon_0 = lon_0
+        f = 1.0 / rf
+        self.e2 = f * (2 - f)
+        self.e = math.sqrt(self.e2)
+        p0, p1, p2 = (math.radians(v) for v in (lat_0, lat_1, lat_2))
+        m1, m2 = self._m(p1), self._m(p2)
+        q0, q1, q2 = self._q(p0), self._q(p1), self._q(p2)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1) if q1 != q2 else math.sin(p1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = a * math.sqrt(self.C - self.n * q0) / self.n
+
+    def _m(self, phi):
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1 - self.e2 * s * s)
+
+    def _q(self, phi):
+        s = np.sin(phi)
+        e = self.e
+        return (1 - self.e2) * (s / (1 - self.e2 * s * s) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon_0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        q = self._q(phi)
+        rho = self.a * np.sqrt(self.C - self.n * q) / self.n
+        theta = self.n * lam
+        return self.x_0 + rho * np.sin(theta), self.y_0 + self.rho0 - rho * np.cos(theta)
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.x_0
+        y = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y_0)
+        rho = np.hypot(x, y) * np.sign(self.n)
+        theta = np.arctan2(x * np.sign(self.n), y * np.sign(self.n))
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        phi = np.arcsin(np.clip(q / 2.0, -1, 1))
+        for _ in range(8):  # Snyder 3-16 iteration
+            s = np.sin(phi)
+            lhs = (1 - self.e2 * s * s) ** 2 / (2 * np.cos(phi)) * (
+                q / (1 - self.e2)
+                - s / (1 - self.e2 * s * s)
+                + (1 / (2 * self.e)) * np.log((1 - self.e * s) / (1 + self.e * s))
+            )
+            phi = phi + lhs
+        lam = theta / self.n
+        return np.degrees(lam) + self.lon_0, np.degrees(phi)
+
+
+def parse_proj4(proj4: str) -> dict:
+    out = {}
+    for tok in proj4.split():
+        if not tok.startswith("+"):
+            continue
+        kv = tok[1:].split("=", 1)
+        out[kv[0]] = kv[1] if len(kv) == 2 else True
+    return out
+
+
+def _projector(crs):
+    """Return (forward(lon,lat)->x,y , inverse(x,y)->lon,lat) for an
+    epsg int or proj4 string."""
+    if isinstance(crs, str) and crs.lstrip().startswith("+"):
+        p = parse_proj4(crs)
+        if p.get("proj") == "aea":
+            alb = AlbersProj(
+                lat_0=float(p.get("lat_0", 0)),
+                lon_0=float(p.get("lon_0", 0)),
+                lat_1=float(p.get("lat_1", 0)),
+                lat_2=float(p.get("lat_2", 0)),
+                x_0=float(p.get("x_0", 0)),
+                y_0=float(p.get("y_0", 0)),
+                ellps=p.get("ellps", "WGS84"),
+            )
+            return alb.forward, alb.inverse
+        if p.get("proj") == "utm":
+            lon0 = 6.0 * int(p["zone"]) - 183.0
+            fn = 10000000.0 if "south" in p else 0.0
+            return (
+                lambda lon, lat: lonlat_to_tm(lon, lat, lon0, 500000.0, fn),
+                lambda x, y: tm_to_lonlat(x, y, lon0, 500000.0, fn),
+            )
+        if p.get("proj") in ("longlat", "latlong"):
+            ident = lambda u, v: (np.asarray(u, np.float64), np.asarray(v, np.float64))
+            return ident, ident
+        raise ValueError(f"unsupported proj4: {crs}")
+    epsg = int(crs)
+    if epsg == 4326:
+        ident = lambda u, v: (np.asarray(u, np.float64), np.asarray(v, np.float64))
+        return ident, ident
+    if epsg == 3857:
+        return lonlat_to_webmercator, webmercator_to_lonlat
+    lon0, fe, fn = _utm_params(epsg)
+    return (
+        lambda lon, lat: lonlat_to_tm(lon, lat, lon0, fe, fn),
+        lambda x, y: tm_to_lonlat(x, y, lon0, fe, fn),
+    )
+
+
+def transform_coords(x, y, src, dst):
+    """Batch transform arrays of coordinates from `src` CRS to `dst`.
+
+    `src`/`dst`: EPSG int (4326, 3857, 326xx/327xx) or a proj4 string
+    (+proj=aea / +proj=utm / +proj=longlat).  Mirrors the reference's
+    ``transform`` (geometry.py:142-145) but vectorized over the batch
+    instead of one osr call per geometry.
+    """
+    if str(src) == str(dst):
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    _, inv = _projector(src)
+    fwd, _ = _projector(dst)
+    lon, lat = inv(x, y)
+    return fwd(lon, lat)

@@ -1,0 +1,188 @@
+"""Packed (columnar) geometry codec: GeoJSON <-> flat coordinate arrays.
+
+Layout (the GeoArrow-style layout SURVEY.md §1.2 mandates — no per-row
+Python geometry objects ever cross the JVM/Python boundary):
+
+    gtype:        int8   — geometry type id (see GTYPE_IDS)
+    coords:       float64[2*n] — interleaved x0,y0,x1,y1,...
+    ring_offsets: int32[n_rings+1] — cumulative *coordinate-pair* counts
+    part_offsets: int32[n_parts+1] — cumulative *ring* counts
+
+Examples
+    Point(1,2)            -> coords=[1,2], ring_offsets=[0,1], part_offsets=[0,1]
+    LineString 3 pts      -> ring_offsets=[0,3], part_offsets=[0,1]
+    Polygon shell+hole    -> ring_offsets=[0,a,a+b], part_offsets=[0,2]
+    MultiPolygon 2 shells -> part_offsets=[0,1,2]
+
+Reference semantics: gdal_boots/geometry.py:7-119 (GeometryBuilder /
+GeometryGeoJson) — dict or JSON string in, nested float lists out,
+per-coordinate ``round(c, precision)`` on encode (geometry.py:74,112),
+optional 2-D flatten (geometry.py:59-64,115-119).  GeometryCollection
+(geometry.py:47-51) is carried as-is through the codec by flattening
+into a MultiX when homogeneous; heterogeneous collections are not
+representable packed and raise (documented non-feature; the reference
+test suite never round-trips a heterogeneous collection through an
+operator).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import numpy as np
+
+GTYPE_IDS = {
+    "Point": 1,
+    "LineString": 2,
+    "Polygon": 3,
+    "MultiPoint": 4,
+    "MultiLineString": 5,
+    "MultiPolygon": 6,
+}
+GTYPE_NAMES = {v: k for k, v in GTYPE_IDS.items()}
+
+
+@dataclass
+class PackedGeometry:
+    gtype: int
+    coords: np.ndarray  # float64, interleaved x,y
+    ring_offsets: np.ndarray  # int32
+    part_offsets: np.ndarray  # int32
+
+    @property
+    def n_points(self) -> int:
+        return len(self.coords) // 2
+
+    def xy(self) -> tuple[np.ndarray, np.ndarray]:
+        c = self.coords.reshape(-1, 2)
+        return c[:, 0], c[:, 1]
+
+
+def _flatten2d(pos):
+    # Drop Z (and beyond): reference FlattenTo2D (geometry.py:59-64).
+    return float(pos[0]), float(pos[1])
+
+
+def from_geojson(obj) -> PackedGeometry:
+    """GeoJSON dict or JSON string -> PackedGeometry (always 2-D)."""
+    if isinstance(obj, (str, bytes)):
+        obj = json.loads(obj)
+    gt = obj["type"]
+    coords = obj.get("coordinates", [])
+
+    pts: list[float] = []
+    ring_offsets: list[int] = [0]
+    part_offsets: list[int] = [0]
+
+    def add_ring(ring_pos):
+        for p in ring_pos:
+            x, y = _flatten2d(p)
+            pts.append(x)
+            pts.append(y)
+        ring_offsets.append(ring_offsets[-1] + len(ring_pos))
+
+    if gt == "GeometryCollection":
+        geoms = obj.get("geometries", [])
+        kinds = {g["type"] for g in geoms}
+        if kinds <= {"Polygon", "MultiPolygon"}:
+            flat = []
+            for g in geoms:
+                cc = g["coordinates"]
+                flat.extend(cc if g["type"] == "MultiPolygon" else [cc])
+            return from_geojson({"type": "MultiPolygon", "coordinates": flat})
+        if kinds <= {"Point", "MultiPoint"}:
+            flat = []
+            for g in geoms:
+                cc = g["coordinates"]
+                flat.extend(cc if g["type"] == "MultiPoint" else [cc])
+            return from_geojson({"type": "MultiPoint", "coordinates": flat})
+        raise ValueError("heterogeneous GeometryCollection not packable")
+
+    if gt == "Point":
+        if coords:
+            add_ring([coords])
+        part_offsets.append(len(ring_offsets) - 1)
+    elif gt in ("LineString", "LinearRing"):
+        add_ring(coords)
+        part_offsets.append(len(ring_offsets) - 1)
+        gt = "LineString"
+    elif gt == "Polygon":
+        for ring_pos in coords:
+            add_ring(ring_pos)
+        part_offsets.append(len(ring_offsets) - 1)
+    elif gt == "MultiPoint":
+        for p in coords:
+            add_ring([p])
+            part_offsets.append(len(ring_offsets) - 1)
+    elif gt == "MultiLineString":
+        for line in coords:
+            add_ring(line)
+            part_offsets.append(len(ring_offsets) - 1)
+    elif gt == "MultiPolygon":
+        for poly in coords:
+            for ring_pos in poly:
+                add_ring(ring_pos)
+            part_offsets.append(len(ring_offsets) - 1)
+    else:
+        raise ValueError(f"unsupported geometry type: {gt}")
+
+    return PackedGeometry(
+        gtype=GTYPE_IDS[gt],
+        coords=np.asarray(pts, dtype=np.float64),
+        ring_offsets=np.asarray(ring_offsets, dtype=np.int32),
+        part_offsets=np.asarray(part_offsets, dtype=np.int32),
+    )
+
+
+def _round_pos(x: float, y: float, precision: int):
+    # Reference rounds each coordinate: geometry.py:74 round(c, precision).
+    return [round(x, precision), round(y, precision)]
+
+
+def to_geojson(pg: PackedGeometry, precision: int = 15) -> dict:
+    """PackedGeometry -> GeoJSON dict, coordinates rounded to `precision`
+    (default 15, matching gdal_boots/geometry.py:72-77)."""
+    name = GTYPE_NAMES[pg.gtype]
+    c = pg.coords.reshape(-1, 2)
+    ro = pg.ring_offsets
+    po = pg.part_offsets
+
+    def ring_list(r):
+        lo, hi = int(ro[r]), int(ro[r + 1])
+        return [_round_pos(c[i, 0], c[i, 1], precision) for i in range(lo, hi)]
+
+    if name == "Point":
+        if pg.n_points == 0:
+            return {"type": "Point", "coordinates": []}
+        return {"type": "Point", "coordinates": ring_list(0)[0]}
+    if name == "LineString":
+        return {"type": "LineString", "coordinates": ring_list(0) if len(ro) > 1 else []}
+    if name == "Polygon":
+        nr = int(po[1]) if len(po) > 1 else 0
+        return {"type": "Polygon", "coordinates": [ring_list(r) for r in range(nr)]}
+    if name == "MultiPoint":
+        return {
+            "type": "MultiPoint",
+            "coordinates": [ring_list(r)[0] for r in range(len(ro) - 1)],
+        }
+    if name == "MultiLineString":
+        return {
+            "type": "MultiLineString",
+            "coordinates": [ring_list(r) for r in range(len(ro) - 1)],
+        }
+    if name == "MultiPolygon":
+        parts = []
+        for p in range(len(po) - 1):
+            parts.append([ring_list(r) for r in range(int(po[p]), int(po[p + 1]))])
+        return {"type": "MultiPolygon", "coordinates": parts}
+    raise ValueError(f"bad gtype {pg.gtype}")
+
+
+def bounds(pg: PackedGeometry) -> tuple[float, float, float, float]:
+    """(minx, miny, maxx, maxy) envelope — reference Feature.bounds
+    (gdal.py:961-962) / Layer extent (gdal.py:1109-1139)."""
+    if pg.n_points == 0:
+        return (np.nan, np.nan, np.nan, np.nan)
+    x, y = pg.xy()
+    return (float(x.min()), float(y.min()), float(x.max()), float(y.max()))

@@ -1,0 +1,83 @@
+"""Vectorized even-odd ray-casting point-in-polygon (pure NumPy).
+
+This is the refinement kernel of the engine's cell-bucketed spatial
+join (SURVEY.md §2.3) — the explicit re-expression of what the
+reference does inside GDAL's rasterize/warp C code.  Semantics: a point
+is inside iff a ray to +x crosses the boundary an odd number of times;
+holes fall out of the even-odd rule automatically.  Boundary behavior
+follows the standard asymmetric rule ((y1 > py) != (y2 > py)), i.e.
+points exactly on a horizontal edge resolve deterministically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .packed import PackedGeometry
+
+
+def _ring_edges(coords: np.ndarray, ring_offsets: np.ndarray):
+    """Build edge endpoint arrays (x1,y1,x2,y2) for every ring edge.
+
+    Rings are assumed closed (GeoJSON-style repeated last point); if a
+    ring is not closed we wrap around to close it.
+    """
+    c = coords.reshape(-1, 2)
+    x1s, y1s, x2s, y2s = [], [], [], []
+    for r in range(len(ring_offsets) - 1):
+        lo, hi = int(ring_offsets[r]), int(ring_offsets[r + 1])
+        if hi - lo < 2:
+            continue
+        ring = c[lo:hi]
+        if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
+            ring = np.vstack([ring, ring[:1]])
+        x1s.append(ring[:-1, 0])
+        y1s.append(ring[:-1, 1])
+        x2s.append(ring[1:, 0])
+        y2s.append(ring[1:, 1])
+    if not x1s:
+        z = np.empty(0, dtype=np.float64)
+        return z, z, z, z
+    return (
+        np.concatenate(x1s),
+        np.concatenate(y1s),
+        np.concatenate(x2s),
+        np.concatenate(y2s),
+    )
+
+
+def points_in_polygon(px, py, coords, ring_offsets, chunk: int = 65536):
+    """Even-odd PIP of points (px, py) against packed rings.
+
+    Returns a bool array.  Memory-bounded: processes points in chunks
+    so the (points x edges) crossing matrix stays small.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x1, y1, x2, y2 = _ring_edges(np.asarray(coords, dtype=np.float64), np.asarray(ring_offsets))
+    out = np.zeros(px.shape[0], dtype=bool)
+    if x1.size == 0 or px.size == 0:
+        return out
+    # Precompute edge slope terms; guard div-by-zero on horizontal edges
+    # (they never satisfy the straddle test, so the value is unused).
+    dy = y2 - y1
+    dy_safe = np.where(dy == 0.0, 1.0, dy)
+    slope = (x2 - x1) / dy_safe
+    max_e = max(1, int(np.ceil(4e6 / max(1, x1.size))))
+    step = min(chunk, max_e)
+    for lo in range(0, px.size, step):
+        hi = min(lo + step, px.size)
+        pyc = py[lo:hi, None]
+        pxc = px[lo:hi, None]
+        straddle = (y1[None, :] > pyc) != (y2[None, :] > pyc)
+        xint = x1[None, :] + slope[None, :] * (pyc - y1[None, :])
+        cross = straddle & (pxc < xint)
+        out[lo:hi] = (cross.sum(axis=1) & 1).astype(bool)
+    return out
+
+
+def points_in_packed(px, py, pg: PackedGeometry):
+    """PIP against a PackedGeometry (Polygon or MultiPolygon)."""
+    if pg.gtype not in (3, 6):
+        raise ValueError("PIP requires Polygon/MultiPolygon")
+    return points_in_polygon(px, py, pg.coords, pg.ring_offsets)

@@ -1,0 +1,292 @@
+"""M0 geometry-core tests — ports of the reference goldens.
+
+Goldens traced from /root/reference/tests/test_geometry.py and
+tests/test_raster.py (cited per test).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from gdal_boots_spark.geom import (
+    apply_transform,
+    bounds_from_transform,
+    cell_bounds,
+    cell_decode,
+    cell_id,
+    cover_bbox,
+    from_geojson,
+    geom_bounds,
+    pixel_of,
+    points_in_packed,
+    ring,
+    snap_bbox_to_grid,
+    to_geojson,
+    transform_coords,
+    transform_from_bounds,
+)
+
+PARIS_4326 = {
+    "type": "Polygon",
+    "coordinates": [
+        [
+            [2.295279, 48.860081],
+            [2.291867, 48.857713],
+            [2.293404, 48.856723],
+            [2.296872, 48.859022],
+            [2.295279, 48.860081],
+        ]
+    ],
+}
+
+# reference golden: tests/test_geometry.py:93-112 (precision=6)
+PARIS_3857 = [
+    [255509.289508, 6251153.329039],
+    [255129.467406, 6250752.662865],
+    [255300.565463, 6250585.160244],
+    [255686.621457, 6250974.143639],
+    [255509.289508, 6251153.329039],
+]
+
+
+def test_codec_roundtrip_polygon():
+    # reference: test_geometry.py:75-77 (create -> export == input)
+    pg = from_geojson(PARIS_4326)
+    assert pg.gtype == 3
+    assert pg.n_points == 5
+    assert to_geojson(pg, precision=6) == PARIS_4326
+    # JSON-string input path (VectorDataset.open inline GeoJSON, gdal.py:860)
+    pg2 = from_geojson(json.dumps(PARIS_4326))
+    assert np.array_equal(pg2.coords, pg.coords)
+
+
+@pytest.mark.parametrize(
+    "gj",
+    [
+        {"type": "Point", "coordinates": [26.5, 53.9]},
+        {"type": "MultiPoint", "coordinates": [[1, 2], [3, 4]]},
+        {"type": "LineString", "coordinates": [[0, 0], [1, 1], [2, 0]]},
+        {"type": "MultiLineString", "coordinates": [[[0, 0], [1, 1]], [[2, 2], [3, 3]]]},
+        {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]],
+                [[[10, 10], [11, 10], [11, 11], [10, 10]]],
+            ],
+        },
+    ],
+)
+def test_codec_roundtrip_types(gj):
+    # reference round-trip style: test_geometry.py:115-179
+    assert to_geojson(from_geojson(gj), precision=6) == gj
+
+
+def test_codec_empty_geometries():
+    # reference: test_geometry.py:121-131 (empty round-trips)
+    for t in ["Point", "LineString", "Polygon", "MultiPolygon"]:
+        gj = {"type": t, "coordinates": []}
+        assert to_geojson(from_geojson(gj))["coordinates"] == []
+
+
+def test_codec_flattens_3d():
+    # reference FlattenTo2D: geometry.py:59-64
+    gj = {"type": "Point", "coordinates": [1.5, 2.5, 99.0]}
+    assert to_geojson(from_geojson(gj)) == {"type": "Point", "coordinates": [1.5, 2.5]}
+
+
+def test_transform_4326_to_3857_golden():
+    # reference golden at 1e-6: test_geometry.py:93-112
+    pg = from_geojson(PARIS_4326)
+    x, y = pg.xy()
+    tx, ty = transform_coords(x, y, 4326, 3857)
+    exp = np.asarray(PARIS_3857)
+    assert np.allclose(tx, exp[:, 0], atol=1e-6)
+    assert np.allclose(ty, exp[:, 1], atol=1e-6)
+
+
+def test_transform_3857_roundtrip():
+    lon = np.array([2.295279, -60.0, 27.56])
+    lat = np.array([48.860081, -32.0, 53.9])
+    x, y = transform_coords(lon, lat, 4326, 3857)
+    lon2, lat2 = transform_coords(x, y, 3857, 4326)
+    assert np.allclose(lon, lon2, atol=1e-12)
+    assert np.allclose(lat, lat2, atol=1e-12)
+
+
+def test_transform_utm_known_point():
+    # UTM zone 31N, Eiffel Tower vicinity.  Value cross-verified against
+    # an independent Snyder (USGS) series implementation (sub-mm agreement).
+    x, y = transform_coords(np.array([2.2945]), np.array([48.8584]), 4326, 32631)
+    assert abs(x[0] - 448252.001) < 0.01
+    assert abs(y[0] - 5411954.910) < 0.01
+    lon, lat = transform_coords(x, y, 32631, 4326)
+    assert np.allclose([lon[0], lat[0]], [2.2945, 48.8584], atol=1e-9)
+
+
+def test_transform_utm_south():
+    x, y = transform_coords(np.array([-60.0]), np.array([-32.0]), 4326, 32721)
+    lon, lat = transform_coords(x, y, 32721, 4326)
+    assert np.allclose([lon[0], lat[0]], [-60.0, -32.0], atol=1e-9)
+    assert y[0] > 0  # false northing applied
+
+
+def test_transform_aea_proj4_roundtrip():
+    # the reference's custom-CRS crop: tests/test_raster.py:489-495
+    aea = "+proj=aea +lat_0=-32 +lon_0=-60 +lat_1=-5 +lat_2=-42 +x_0=0 +y_0=0 +ellps=aust_SA +units=m +no_defs +type=crs"
+    lon = np.array([-58.3, -60.0, -65.5])
+    lat = np.array([-34.6, -32.0, -20.0])
+    x, y = transform_coords(lon, lat, 4326, aea)
+    lon2, lat2 = transform_coords(x, y, aea, 4326)
+    assert np.allclose(lon, lon2, atol=1e-9)
+    assert np.allclose(lat, lat2, atol=1e-9)
+    # at the projection origin x should be ~0
+    assert abs(x[1]) < 1e-6
+
+
+def test_bounds():
+    # reference Feature.bounds (gdal.py:961-962)
+    assert geom_bounds(from_geojson(PARIS_4326)) == (2.291867, 48.856723, 2.296872, 48.860081)
+
+
+# --- affine / pixel math ------------------------------------------------
+
+
+def test_values_by_points_pixel_math():
+    # reference goldens: tests/test_raster.py:648-668.  Raster 3x5
+    # (h=3,w=5), values 1..15 row-major, bounds [(0,0),(5,3)] epsg 4326.
+    t = transform_from_bounds(0, 0, 5, 3, 5, 3)
+    assert t == (1.0, 0.0, 0.0, 0.0, -1.0, 3.0)
+    img = np.arange(1, 16).reshape(3, 5)
+    cases = [
+        ((0, 0), None),  # on min-y edge -> row 3 (outside)
+        ((-1, -1), None),
+        ((0, 0.1), 11),
+        ((0.2, 2.5), 1),
+        ((2.9, 4.9), None),
+        ((3, 4.9), None),
+        ((2.9, 5), None),
+        ((3, 5), None),
+        ((10, 10), None),
+    ]
+    xs = np.array([c[0][0] for c in cases], dtype=float)
+    ys = np.array([c[0][1] for c in cases], dtype=float)
+    col, row = pixel_of(t, xs, ys)
+    inb = (col >= 0) & (col < 5) & (row >= 0) & (row < 3)
+    for i, (_, exp) in enumerate(cases):
+        if exp is None:
+            assert not inb[i], i
+        else:
+            assert inb[i] and img[row[i], col[i]] == exp, i
+
+
+def test_snap_bbox_to_grid():
+    # reference fast_warp_as_array semantics (gdal.py:769-777): floor
+    # min corner, ceil max corner on the pixel grid, y flipped.
+    t = (10.0, 0.0, 100.0, 0.0, -10.0, 500.0)
+    col0, row0, col1, row1, sminx, sminy, smaxx, smaxy = snap_bbox_to_grid(t, 115.0, 443.0, 167.0, 488.0)
+    assert (col0, row0, col1, row1) == (1, 1, 7, 6)
+    assert (sminx, sminy, smaxx, smaxy) == (110.0, 440.0, 170.0, 490.0)
+
+
+def test_bounds_from_transform():
+    t = (10.0, 0.0, 100.0, 0.0, -10.0, 500.0)
+    assert bounds_from_transform(t, 20, 30) == (100.0, 200.0, 300.0, 500.0)
+    x, y = apply_transform(t, 0, 0)
+    assert (x, y) == (100.0, 500.0)
+
+
+# --- PIP ---------------------------------------------------------------
+
+
+def test_pip_square_with_hole():
+    gj = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+            [[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]],
+        ],
+    }
+    pg = from_geojson(gj)
+    px = np.array([0.5, 2.0, 3.5, 5.0, 2.0])
+    py = np.array([0.5, 2.0, 3.5, 2.0, 0.5])
+    got = points_in_packed(px, py, pg)
+    assert got.tolist() == [True, False, True, False, True]
+
+
+def test_pip_multipolygon():
+    gj = {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]],
+            [[[10, 10], [12, 10], [12, 12], [10, 12], [10, 10]]],
+        ],
+    }
+    pg = from_geojson(gj)
+    got = points_in_packed(np.array([1.0, 11.0, 5.0]), np.array([1.0, 11.0, 5.0]), pg)
+    assert got.tolist() == [True, True, False]
+
+
+def test_pip_matches_bruteforce_random():
+    # property test (SURVEY.md §5d): vectorized PIP == scalar brute force
+    rng = np.random.default_rng(42)
+    ring_pts = rng.uniform(0, 10, size=(7, 2))
+    # make a star-shaped (non-convex, simple) polygon by angle sort
+    ctr = ring_pts.mean(axis=0)
+    ang = np.arctan2(ring_pts[:, 1] - ctr[1], ring_pts[:, 0] - ctr[0])
+    ring_sorted = ring_pts[np.argsort(ang)]
+    coords = np.vstack([ring_sorted, ring_sorted[:1]])
+    gj = {"type": "Polygon", "coordinates": [coords.tolist()]}
+    pg = from_geojson(gj)
+    px = rng.uniform(-1, 11, 500)
+    py = rng.uniform(-1, 11, 500)
+    got = points_in_packed(px, py, pg)
+
+    def brute(x, y):
+        inside = False
+        for i in range(len(coords) - 1):
+            x1, y1 = coords[i]
+            x2, y2 = coords[i + 1]
+            if (y1 > y) != (y2 > y) and x < x1 + (x2 - x1) * (y - y1) / (y2 - y1):
+                inside = not inside
+        return inside
+
+    exp = np.array([brute(x, y) for x, y in zip(px, py)])
+    assert np.array_equal(got, exp)
+
+
+# --- cells ---------------------------------------------------------------
+
+
+def test_cell_id_arithmetic_matches_sql_form():
+    lon = np.array([27.5, -180.0, 179.999])
+    lat = np.array([53.9, -90.0, 89.999])
+    res = 12
+    cid = cell_id(lon, lat, res)
+    n = 1 << res
+    ix = np.clip(np.floor((lon + 180) / 360 * n), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor((lat + 90) / 180 * n), 0, n - 1).astype(np.int64)
+    assert np.array_equal(cid, res * 2**58 + ix * 2**29 + iy)
+    r2, ix2, iy2 = cell_decode(cid)
+    assert np.array_equal(ix2, ix) and np.array_equal(iy2, iy) and (r2 == res).all()
+
+
+def test_cell_bounds_contains_point():
+    cid = cell_id(np.array([27.56]), np.array([53.9]), 10)
+    minlon, minlat, maxlon, maxlat = cell_bounds(cid)
+    assert minlon[0] <= 27.56 < maxlon[0]
+    assert minlat[0] <= 53.9 < maxlat[0]
+
+
+def test_cover_bbox_and_ring():
+    ids = cover_bbox(26.0, 53.0, 29.0, 55.0, 8)
+    assert len(ids) == len(set(ids.tolist()))
+    # every cell of the cover intersects the bbox
+    minlon, minlat, maxlon, maxlat = cell_bounds(ids)
+    assert (maxlon >= 26.0).all() and (minlon <= 29.0).all()
+    assert (maxlat >= 53.0).all() and (minlat <= 55.0).all()
+    ctr = cell_id(np.array([27.5]), np.array([54.0]), 8)[0]
+    r1 = ring(int(ctr), 1)
+    assert len(r1) == 9 and int(ctr) in r1.tolist()
+    r0 = ring(int(ctr), 0)
+    assert r0.tolist() == [int(ctr)]
