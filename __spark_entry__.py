@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Every spatial query here runs through the real engine machinery
+(gdal_boots_spark): interleaved-span extraction, packed-geometry
+decode, native cell-id math, cell-bucketed broadcast join, Arrow-batched
+ray-cast refinement.  The oracle SQL reproduces the same semantics
+analytically (the doc_id -> lon/lat derivation is pure integer
+arithmetic shared via gdal_boots_spark.sources.synth).
 """
 
 from __future__ import annotations
@@ -12,27 +18,139 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_boots_spark.operators.spans import explode_spans
+from gdal_boots_spark.operators.spatial_join import pip_join_docs
+from gdal_boots_spark.sources.synth import (
+    SQL_HAS_GEO,
+    SQL_LAT,
+    SQL_LON,
+    interleaved_docs,
+    rect_polygons_df,
+    rects_sql_values,
+)
+
+SF0001 = "/root/testdata/sf0.001"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: interleaved docs x polygon dim, cell-bucketed PIP join."""
+    docs = interleaved_docs(spark, sf_dir)
+    polys = rect_polygons_df(spark)
+    out = pip_join_docs(docs, polys)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), F.col("poly_id").alias("poly_id"))
+
+
+def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile/cell assignment of every geo span at resolution 8."""
+    from gdal_boots_spark.functions.geometry_fns import cell_id_col
+    from gdal_boots_spark.operators.spatial_join import extract_geo_spans
+
+    docs = interleaved_docs(spark, sf_dir)
+    geo = extract_geo_spans(docs)
+    pt = F.from_json(F.col("text"), "type string, coordinates array<double>")
+    pts = geo.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"),
+    ).withColumn("g", pt)
+    return pts.select(
+        "doc_id",
+        cell_id_col(F.col("g.coordinates")[0], F.col("g.coordinates")[1], 8).alias("cell_id"),
+    )
+
+
+def q_geo_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-span extraction: doc_id + decoded lon/lat (rounded to 6)."""
+    from gdal_boots_spark.operators.spatial_join import extract_geo_spans
+
+    docs = interleaved_docs(spark, sf_dir)
+    geo = extract_geo_spans(docs)
+    pt = F.from_json(F.col("text"), "type string, coordinates array<double>")
+    return geo.withColumn("g", pt).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("g.coordinates")[0], 6).alias("x"),
+        F.round(F.col("g.coordinates")[1], 6).alias("y"),
+    )
+
+
+def q_span_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-structure audit of the interleaved table: per-doc span count
+    and kind histogram fields (exercises posexplode + groupBy)."""
+    docs = interleaved_docs(spark, sf_dir)
+    ex = explode_spans(docs)
+    return ex.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("kind") == "geo", 1).otherwise(0)).alias("n_geo"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).alias("n_media"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pip_join": q_pip_join,
+        "cell_assign": q_cell_assign,
+        "geo_extract": q_geo_extract,
+        "span_counts": q_span_counts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB, over pre-registered testdata views)
+# --------------------------------------------------------------------------
+
+_GEO_CTE = f"""
+geo AS (
+  SELECT doc_id,
+         {SQL_LON} AS x,
+         {SQL_LAT} AS y
+  FROM documents
+  WHERE {SQL_HAS_GEO}
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pip_join": f"""
+            WITH {_GEO_CTE}
+            SELECT g.doc_id AS doc_id, p.poly_id AS poly_id
+            FROM geo g
+            JOIN {rects_sql_values('p')}
+              ON g.x >= p.minx AND g.x < p.maxx
+             AND g.y >= p.miny AND g.y < p.maxy
+        """,
+        "cell_assign": f"""
+            WITH {_GEO_CTE}
+            SELECT doc_id,
+                   CAST(8 AS BIGINT) * 288230376151711744
+                 + CAST(LEAST(GREATEST(FLOOR((x + 180.0) / 360.0 * 256), 0), 255) AS BIGINT) * 536870912
+                 + CAST(LEAST(GREATEST(FLOOR((y + 90.0) / 180.0 * 256), 0), 255) AS BIGINT) AS cell_id
+            FROM geo
+        """,
+        "geo_extract": f"""
+            WITH {_GEO_CTE}
+            SELECT doc_id, ROUND(x, 6) AS x, ROUND(y, 6) AS y FROM geo
+        """,
+        "span_counts": f"""
+            SELECT doc_id,
+                   2 + CASE WHEN doc_id % 10 IN (0,1,2) THEN 1 ELSE 0 END
+                     + CASE WHEN doc_id % 10 IN (8,9) THEN 1 ELSE 0 END AS n_spans,
+                   CAST(CASE WHEN doc_id % 10 IN (0,1,2) THEN 1 ELSE 0 END AS BIGINT) AS n_geo,
+                   CAST(CASE WHEN doc_id % 10 IN (8,9) THEN 1 ELSE 0 END AS BIGINT) AS n_media
+            FROM documents
+        """,
+    }
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    return q_pip_join(spark, SF0001)

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+The north-star metric is spatial-join + tile-assignment throughput
+(docs/sec) — reported as `docs_per_sec` (docs scanned / flagship sec).
+Scaling evidence across two parallelism levels is produced by
+`python bench.py --scaling`, which re-runs this script at local[8] and
+local[32] in fresh processes and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# queries included in the headline number (flagship first)
+HEADLINE = ["pip_join", "cell_assign", "geo_extract", "span_counts"]
+
+
+def run_bench() -> dict:
+    from gdal_boots_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    from gdal_boots_spark.operators.spatial_join import pip_join_docs
+    from gdal_boots_spark.sources.synth import interleaved_docs, rect_polygons_df
+
+    spark = get_spark("gbs-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("WARN")
+    qs = entrymod.queries()
+
+    # warm-up: JVM + Python workers + parquet footer cache
+    qs["pip_join"](spark, SF_DIR).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).count()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    # flagship at parallelism-relevant volume: deterministic k-fold
+    # replication of the interleaved table (docs/sec basis)
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "400"))
+    docs = interleaved_docs(spark, SF_DIR, replicate=replicate)
+    n_docs = docs.count()  # materializes the scan path once (warm)
+    t0 = time.perf_counter()
+    pip_join_docs(docs, rect_polygons_df(spark)).count()
+    times["pip_join_xl"] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    flagship = times.get("pip_join_xl", total) or 1e-9
+    out = {
+        "metric": "spatial-join+tile-assignment",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "docs": n_docs,
+        "replicate": replicate,
+        "docs_per_sec": round(n_docs / flagship, 1),
+        "cpus": int(CPUS),
+    }
+    spark.stop()
+    return out
+
+
+def run_scaling() -> None:
+    """Two-parallelism-level scaling evidence (BASELINE.md criterion):
+    same job, same input, local[8] vs local[32]; efficiency = (T32/T8)/4."""
+    results = {}
+    for cpus in ("8", "32"):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SF_DIR=SF_DIR)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
+    tp8 = results["8"]["docs_per_sec"]
+    tp32 = results["32"]["docs_per_sec"]
+    eff = round((tp32 / tp8) / 4.0, 3)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — throughput at two parallelism levels\n\n"
+            f"Input: `{SF_DIR}` ({results['32']['docs']} docs), flagship = "
+            "cell-bucketed PIP spatial join over interleaved docs.\n\n"
+            "| parallelism | flagship sec | docs/sec | total sec (all queries) |\n"
+            "|---|---|---|---|\n"
+            f"| local[8] | {results['8']['queries']['pip_join_xl']} | {tp8} | {results['8']['value']} |\n"
+            f"| local[32] | {results['32']['queries']['pip_join_xl']} | {tp32} | {results['32']['value']} |\n\n"
+            f"**Scaling efficiency (T32/T8)/4 = {eff}** (criterion: >= 0.8).\n\n"
+            f"Per-query seconds at local[32]: `{json.dumps(results['32']['queries'])}`\n"
+        )
+    print(json.dumps({"scaling_efficiency": eff, "local8": results["8"], "local32": results["32"]}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

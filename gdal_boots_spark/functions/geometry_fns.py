@@ -1,0 +1,213 @@
+"""Spark-facing geometry functions.
+
+Two tiers, per the engine's "UDFs are the slow path" rule:
+
+* **Native Column expressions** where the math is pure arithmetic —
+  cell ids (``cell_id_col``) stay entirely in whole-stage codegen; no
+  Python is involved at runtime.
+* **Arrow-batched pandas UDFs** for the NumPy kernels (GeoJSON codec,
+  CRS transform, bbox, covering) — Series/DataFrame in, never per-row
+  Python on the Spark side (reference contrast: gdal_boots transforms
+  one feature per C call in a Python loop, gdal.py:1316-1325).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    ByteType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..geom import cells as _cells
+from ..geom import crs as _crs
+from ..geom.packed import PackedGeometry, from_geojson, to_geojson
+
+GEOMETRY_TYPE = StructType(
+    [
+        StructField("gtype", ByteType()),
+        StructField("coords", ArrayType(DoubleType())),
+        StructField("ring_offsets", ArrayType(IntegerType())),
+        StructField("part_offsets", ArrayType(IntegerType())),
+    ]
+)
+
+BOUNDS_TYPE = StructType(
+    [
+        StructField("minx", DoubleType()),
+        StructField("miny", DoubleType()),
+        StructField("maxx", DoubleType()),
+        StructField("maxy", DoubleType()),
+    ]
+)
+
+
+# --- native (JVM-side, codegen) ----------------------------------------
+
+def cell_id_col(lon, lat, res: int):
+    """Cell id as a pure Column expression (no UDF) — same arithmetic
+    as geom.cells.cell_id and as the DuckDB oracle SQL form."""
+    n = 1 << res
+    ix = F.least(F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n), F.lit(0)), F.lit(n - 1))
+    iy = F.least(F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n), F.lit(0)), F.lit(n - 1))
+    return (F.lit(res).cast(LongType()) * F.lit(2**58) + ix.cast(LongType()) * F.lit(2**29) + iy.cast(LongType())).alias(
+        "cell_id"
+    )
+
+
+# --- pandas UDFs ---------------------------------------------------------
+
+def _rows_to_struct_pdf(pgs: list[PackedGeometry | None]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "gtype": pd.array([None if g is None else g.gtype for g in pgs], dtype="Int8"),
+            "coords": [None if g is None else g.coords for g in pgs],
+            "ring_offsets": [None if g is None else g.ring_offsets for g in pgs],
+            "part_offsets": [None if g is None else g.part_offsets for g in pgs],
+        }
+    )
+
+
+def _struct_pdf_to_pg(row) -> PackedGeometry | None:
+    if row["gtype"] is None or (isinstance(row["gtype"], float) and np.isnan(row["gtype"])):
+        return None
+    return PackedGeometry(
+        gtype=int(row["gtype"]),
+        coords=np.asarray(row["coords"], dtype=np.float64),
+        ring_offsets=np.asarray(row["ring_offsets"], dtype=np.int32),
+        part_offsets=np.asarray(row["part_offsets"], dtype=np.int32),
+    )
+
+
+@pandas_udf(GEOMETRY_TYPE)
+def geojson_decode_udf(s: pd.Series) -> pd.DataFrame:
+    """GeoJSON string -> packed geometry struct (invalid/null -> null)."""
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            out.append(from_geojson(v))
+        except (ValueError, KeyError, json.JSONDecodeError):
+            out.append(None)
+    return _rows_to_struct_pdf(out)
+
+
+def geojson_encode_udf(precision: int = 15):
+    """Factory: packed geometry struct -> GeoJSON string at `precision`
+    (reference default 15, geometry.py:72-77)."""
+
+    @pandas_udf(StringType())
+    def _encode(g: pd.DataFrame) -> pd.Series:
+        out = []
+        for _, row in g.iterrows():
+            pg = _struct_pdf_to_pg(row)
+            out.append(None if pg is None else json.dumps(to_geojson(pg, precision), separators=(",", ":")))
+        return pd.Series(out)
+
+    return _encode
+
+
+@pandas_udf(BOUNDS_TYPE)
+def geom_bounds_udf(g: pd.DataFrame) -> pd.DataFrame:
+    """Envelope of a packed geometry (Feature.bounds, gdal.py:961-962).
+    Vectorized: one pass over the concatenated coord buffer per batch."""
+    n = len(g)
+    minx = np.full(n, np.nan)
+    miny = np.full(n, np.nan)
+    maxx = np.full(n, np.nan)
+    maxy = np.full(n, np.nan)
+    for i, (_, row) in enumerate(g.iterrows()):
+        c = row["coords"]
+        if c is None or len(c) == 0:
+            continue
+        a = np.asarray(c, dtype=np.float64).reshape(-1, 2)
+        minx[i], miny[i] = a.min(axis=0)
+        maxx[i], maxy[i] = a.max(axis=0)
+    return pd.DataFrame({"minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy})
+
+
+def cells_cover_udf(res: int):
+    """Factory: packed geometry struct -> array<long> covering cell ids
+    at resolution `res` (bbox cover; safe superset — SURVEY §2.9)."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _cover(g: pd.DataFrame) -> pd.Series:
+        out = []
+        for _, row in g.iterrows():
+            c = row["coords"]
+            if c is None or len(c) == 0:
+                out.append(None)
+                continue
+            a = np.asarray(c, dtype=np.float64).reshape(-1, 2)
+            mn, mx = a.min(axis=0), a.max(axis=0)
+            out.append(_cells.cover_bbox(mn[0], mn[1], mx[0], mx[1], res))
+        return pd.Series(out)
+
+    return _cover
+
+
+def transform_geom_udf(src, dst):
+    """Factory: packed geometry -> packed geometry with coords
+    transformed src->dst CRS (vectorized over the whole Arrow batch —
+    the reference does one osr call per feature, gdal.py:1316-1318)."""
+
+    @pandas_udf(GEOMETRY_TYPE)
+    def _transform(g: pd.DataFrame) -> pd.DataFrame:
+        # concatenate all batch coords into one array, transform once
+        bufs, lens = [], []
+        for _, row in g.iterrows():
+            c = row["coords"]
+            bufs.append(np.asarray(c if c is not None else [], dtype=np.float64))
+            lens.append(len(bufs[-1]))
+        if bufs:
+            flat = np.concatenate(bufs) if sum(lens) else np.empty(0)
+            if flat.size:
+                xy = flat.reshape(-1, 2)
+                tx, ty = _crs.transform_coords(xy[:, 0], xy[:, 1], src, dst)
+                flat = np.column_stack([tx, ty]).ravel()
+        offs = np.cumsum([0] + lens)
+        coords_out, gt, ro, po = [], [], [], []
+        for i, (_, row) in enumerate(g.iterrows()):
+            if row["coords"] is None:
+                coords_out.append(None)
+            else:
+                coords_out.append(flat[offs[i] : offs[i + 1]])
+            gt.append(row["gtype"])
+            ro.append(row["ring_offsets"])
+            po.append(row["part_offsets"])
+        return pd.DataFrame(
+            {"gtype": pd.array(gt, dtype="Int8"), "coords": coords_out, "ring_offsets": ro, "part_offsets": po}
+        )
+
+    return _transform
+
+
+@pandas_udf(StructType([StructField("x", DoubleType()), StructField("y", DoubleType())]))
+def point_xy_udf(s: pd.Series) -> pd.DataFrame:
+    """GeoJSON Point string -> (x, y); non-Point/invalid -> null."""
+    xs, ys = [], []
+    for v in s:
+        try:
+            o = json.loads(v)
+            if o.get("type") == "Point" and o.get("coordinates"):
+                xs.append(float(o["coordinates"][0]))
+                ys.append(float(o["coordinates"][1]))
+                continue
+        except (TypeError, ValueError):
+            pass
+        xs.append(None)
+        ys.append(None)
+    return pd.DataFrame({"x": xs, "y": ys})

@@ -1,0 +1,138 @@
+"""Cell-bucketed point-in-polygon spatial join — the engine flagship.
+
+This re-expresses, as one distributed plan, what the reference does
+in-process in ``crop_by_geometry``/``values_by_points`` (gdal.py:819-931):
+geometry -> covering cells -> candidate pairs -> exact refinement.
+
+Physical shape (small/medium polygon side — the common case):
+
+    points ──(native cell_id math, codegen)──┐
+                                             ├─ BROADCAST hash join on cell_id
+    polys ──(driver: bbox cover explode)─────┘
+                      │
+                      └─ mapInPandas ray-cast refinement (Arrow batches,
+                         polygon coords via a Spark broadcast variable —
+                         candidate rows never carry coordinate payloads)
+
+Zero shuffles end-to-end: the fact (document/point) side flows
+filter -> project -> broadcast-join -> mapInPandas entirely within one
+stage, so the plan scales linearly with executors at 100 TB (the
+two-parallelism scaling evidence in BENCH runs this operator).
+
+For point-vs-polygon the (point, poly) pair appears at most once —
+a point maps to exactly one cell and a polygon's cover lists each cell
+once — so no dedup shuffle is needed (SURVEY §4.3 applies only to
+geometry x geometry joins).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geometry_fns import cell_id_col
+from ..geom.cells import MAX_RES, cover_bbox, pick_res
+from ..geom.packed import from_geojson
+from ..geom.pip import points_in_polygon
+from .spans import extract_geo_spans
+
+
+def _collect_polys(polys: DataFrame):
+    """Driver-side: polygon table -> {poly_id: (coords, ring_offsets)} +
+    per-poly bbox list.  The polygon side is the *dimension*; the point
+    side is the 10^12-row fact and never leaves the executors."""
+    rows = polys.select("poly_id", "geojson").collect()
+    packed, bboxes = {}, {}
+    for r in rows:
+        pg = from_geojson(r["geojson"])
+        packed[int(r["poly_id"])] = (pg.coords, pg.ring_offsets)
+        c = pg.coords.reshape(-1, 2)
+        bboxes[int(r["poly_id"])] = (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
+    return packed, bboxes
+
+
+def _auto_res(bboxes: dict) -> int:
+    """Pick one global resolution: cell size ~ median polygon extent,
+    capped so no polygon covers more than ~64 cells (SURVEY §4.1)."""
+    if not bboxes:
+        return 8
+    spans = sorted(max(b[2] - b[0], b[3] - b[1]) for b in bboxes.values())
+    med = spans[len(spans) // 2] or 1e-9
+    res = int(np.clip(np.floor(np.log2(360.0 / med)), 0, MAX_RES))
+    worst = max(bboxes.values(), key=lambda b: (b[2] - b[0]) * (b[3] - b[1]))
+    res = min(res, pick_res(*worst, max_cells=64))
+    return res
+
+
+def pip_join_points(
+    points: DataFrame,
+    polys: DataFrame,
+    res: int | None = None,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """points(<ids..>, x, y) x polys(poly_id, geojson) -> points cols + poly_id.
+
+    Exact even-odd ray-cast semantics; the cell join is only a
+    no-false-negative pre-filter.
+    """
+    spark: SparkSession = points.sparkSession
+    packed, bboxes = _collect_polys(polys)
+    if res is None:
+        res = _auto_res(bboxes)
+
+    cover_rows = []
+    for pid, (minx, miny, maxx, maxy) in bboxes.items():
+        for cid in cover_bbox(minx, miny, maxx, maxy, res).tolist():
+            cover_rows.append((cid, pid))
+    cover_df = spark.createDataFrame(cover_rows, "cell_id long, poly_id long")
+
+    pts = points.withColumn("cell_id", cell_id_col(F.col(x_col), F.col(y_col), res))
+    cand = pts.join(F.broadcast(cover_df), "cell_id").drop("cell_id")
+
+    bpolys = spark.sparkContext.broadcast(packed)
+    out_schema = cand.schema
+    xi = cand.columns.index(x_col)
+    yi = cand.columns.index(y_col)
+
+    def refine(batches):
+        polys_local = bpolys.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf.iloc[:, xi].to_numpy(dtype=np.float64)
+            py = pdf.iloc[:, yi].to_numpy(dtype=np.float64)
+            for pid, idx in pdf.groupby("poly_id").indices.items():
+                coords, ro = polys_local[int(pid)]
+                keep[idx] = points_in_polygon(px[idx], py[idx], coords, ro)
+            yield pdf.loc[keep]
+
+    return cand.mapInPandas(refine, schema=out_schema)
+
+
+def pip_join_docs(docs: DataFrame, polys: DataFrame, res: int | None = None) -> DataFrame:
+    """Interleaved documents x polygons -> (doc_id, span_pos, poly_id).
+
+    Geometry extraction is all codegen: posexplode + filter (spans.py),
+    then Point coordinates via native ``from_json`` — the engine keeps
+    the 10^12-doc hot path JVM-side and enters Python only inside the
+    Arrow-batched ray-cast refinement (pandas UDF surface, SURVEY §2.8).
+    Non-point geo spans fall out of the Point fast path (null coords)
+    and are handled by the general geojson_decode_udf route in the
+    polygon-geometry operators.
+    """
+    geo = extract_geo_spans(docs)
+    pt = F.from_json(F.col("text"), "type string, coordinates array<double>")
+    pts = (
+        geo.withColumn("g", pt)
+        .where(F.col("g.type") == "Point")
+        .select(
+            "doc_id",
+            "span_pos",
+            F.col("g.coordinates")[0].alias("x"),
+            F.col("g.coordinates")[1].alias("y"),
+        )
+    )
+    return pip_join_points(pts, polys, res=res).select("doc_id", "span_pos", "poly_id", "x", "y")

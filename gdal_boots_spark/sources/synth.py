@@ -1,0 +1,124 @@
+"""Deterministic synthetic sources shared by engine and oracle.
+
+The driver's testdata ships a *flat* documents table (doc_id, text,
+lang, source, n_chars).  The north rule's input is an *interleaved*
+spans table (FIXTURES.md §1).  We derive the interleaved table from the
+flat one with **pure integer arithmetic on doc_id** — no RNG — so the
+DuckDB oracle can reproduce every derived value in ANSI SQL and the
+whole pipeline stays deterministic at any scale factor.
+
+Derivations (doc_id = d):
+    has_geo    : d % 10 IN (0,1,2)          (~30% of docs)
+    has_media  : d % 10 IN (8,9)            (~20%)
+    lon        : 26.0 + ((d * 7919)   % 3000) / 1000.0   in [26, 29)
+    lat        : 53.0 + ((d * 104729) % 2000) / 1000.0   in [53, 55)
+    media_ref  : 'r0/0/<(d/8)%8>/<d%8>'      (a tiles.tile_key)
+
+The lon/lat constants are the reference's Minsk region
+(conftest.py:36-60).  Points have exactly 3 decimals; every polygon
+corner below has 4 decimals ending in 5, so no point ever sits exactly
+on a polygon edge and engine/oracle boundary semantics can never
+disagree by a ULP.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GEO_MOD = (0, 1, 2)
+MEDIA_MOD = (8, 9)
+
+# poly_id, minx, miny, maxx, maxy — a 4x3 grid of rectangles over the
+# point region plus two larger overlapping rectangles (multi-match +
+# a deliberately hot polygon for skew handling tests).
+RECTS: list[tuple[int, float, float, float, float]] = [
+    # 4 x 3 grid, 0.75 x 0.65 pitch, corners at 4 decimals ending in 5
+    *[
+        (
+            i * 3 + j,
+            round(26.0 + i * 0.75 + 0.0505, 4),
+            round(53.0 + j * 0.65 + 0.0505, 4),
+            round(26.0 + i * 0.75 + 0.6495, 4),
+            round(53.0 + j * 0.65 + 0.5995, 4),
+        )
+        for i in range(4)
+        for j in range(3)
+    ],
+    (100, 26.5005, 53.2505, 28.4995, 54.7495),  # big overlap rect
+    (101, 27.0005, 53.0005, 27.9995, 54.9995),  # tall hot rect
+]
+
+
+def rect_ring_geojson(minx: float, miny: float, maxx: float, maxy: float) -> str:
+    ring = [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]]
+    return json.dumps({"type": "Polygon", "coordinates": [ring]}, separators=(",", ":"))
+
+
+def rect_polygons_df(spark: SparkSession) -> DataFrame:
+    """The polygon dimension table: (poly_id, minx..maxy, geojson)."""
+    rows = [(pid, minx, miny, maxx, maxy, rect_ring_geojson(minx, miny, maxx, maxy)) for pid, minx, miny, maxx, maxy in RECTS]
+    return spark.createDataFrame(rows, "poly_id long, minx double, miny double, maxx double, maxy double, geojson string")
+
+
+def rects_sql_values(table_alias: str = "p") -> str:
+    """The same polygon set as a SQL VALUES clause for the DuckDB oracle."""
+    vals = ", ".join(f"({pid}, {minx}, {miny}, {maxx}, {maxy})" for pid, minx, miny, maxx, maxy in RECTS)
+    return f"(VALUES {vals}) AS {table_alias}(poly_id, minx, miny, maxx, maxy)"
+
+
+# SQL fragments the oracle reuses — single source of truth for the
+# doc_id -> lon/lat derivation (must match _lon_col/_lat_col below).
+SQL_LON = "26.0 + ((doc_id * 7919) % 3000) / 1000.0"
+SQL_LAT = "53.0 + ((doc_id * 104729) % 2000) / 1000.0"
+SQL_HAS_GEO = "doc_id % 10 IN (0, 1, 2)"
+
+
+def _lon_col(d):
+    return F.lit(26.0) + ((d * F.lit(7919)) % F.lit(3000)).cast("double") / F.lit(1000.0)
+
+
+def _lat_col(d):
+    return F.lit(53.0) + ((d * F.lit(104729)) % F.lit(2000)).cast("double") / F.lit(1000.0)
+
+
+def interleaved_docs(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+    """Flat documents parquet -> interleaved spans table
+    (doc_id:string, spans:array<struct<kind,text,media_ref,offset>>)
+    — the exact input_hint schema.  Built entirely with native Column
+    expressions (codegen; zero Python at runtime).
+
+    ``replicate=k`` deterministically amplifies the table k-fold
+    (doc_id' = doc_id*k + i, so every replica gets distinct
+    geometry/media derivations) — used by bench/scaling runs to reach
+    parallelism-relevant volume; correctness runs use replicate=1.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
+        docs = docs.crossJoin(reps).select(
+            (F.col("doc_id") * replicate + F.col("_rep")).alias("doc_id"), "text"
+        ).repartition(max(spark.sparkContext.defaultParallelism * 2, 8))
+    d = F.col("doc_id")
+    lon, lat = _lon_col(d), _lat_col(d)
+    geo_text = F.format_string('{"type":"Point","coordinates":[%.6f,%.6f]}', lon, lat)
+    media_ref = F.format_string("r0/0/%d/%d", (d / 8).cast("long") % 8, d % 8)
+    has_geo = (d % 10).isin(*GEO_MOD)
+    has_media = (d % 10).isin(*MEDIA_MOD)
+
+    def span(kind, text, mref, off):
+        return F.struct(
+            kind.alias("kind"), text.alias("text"), mref.alias("media_ref"), off.cast("int").alias("offset")
+        )
+
+    nul = F.lit(None).cast("string")
+    spans = F.array(
+        span(F.lit("text"), F.substring("text", 1, 40), nul, F.lit(0)),
+        span(F.when(has_geo, F.lit("geo")), F.when(has_geo, geo_text), nul, F.lit(1)),
+        span(F.when(has_media, F.lit("media")), nul, F.when(has_media, media_ref), F.lit(2)),
+        span(F.lit("text"), F.substring("text", 41, 40), nul, F.lit(3)),
+    )
+    spans = F.filter(spans, lambda s: s["kind"].isNotNull())
+    return docs.select(d.cast("string").alias("doc_id"), spans.alias("spans"))

@@ -1,0 +1,75 @@
+"""M1 integration: interleaved docs -> cell-bucketed PIP join, vs oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_ORACLE, SF_SMOKE, compare_to_oracle
+
+from gdal_boots_spark.operators.spans import span_signature
+from gdal_boots_spark.operators.spatial_join import pip_join_points
+from gdal_boots_spark.sources.synth import interleaved_docs, rect_polygons_df
+
+
+def test_interleaved_docs_schema(spark):
+    docs = interleaved_docs(spark, SF_SMOKE)
+    assert [f.name for f in docs.schema.fields] == ["doc_id", "spans"]
+    el = docs.schema["spans"].dataType.elementType
+    assert [f.name for f in el.fields] == ["kind", "text", "media_ref", "offset"]
+    row = docs.where(F.col("doc_id") == "0").collect()[0]
+    kinds = [s["kind"] for s in row["spans"]]
+    assert kinds == ["text", "geo", "text"]  # doc 0: geo (0%10=0), no media
+    offs = [s["offset"] for s in row["spans"]]
+    assert offs == sorted(offs)
+
+
+def test_span_signature_stable_under_roundtrip(spark):
+    """Span-sequence invariant (input_hint): rebuilding the table gives
+    identical per-doc signatures; signatures are order-sensitive."""
+    d1 = span_signature(interleaved_docs(spark, SF_SMOKE)).select("doc_id", "span_sig")
+    d2 = span_signature(interleaved_docs(spark, SF_SMOKE)).select(
+        "doc_id", F.col("span_sig").alias("sig2")
+    )
+    bad = d1.join(d2, "doc_id").where(F.col("span_sig") != F.col("sig2")).count()
+    assert bad == 0
+    rev = interleaved_docs(spark, SF_SMOKE).select("doc_id", F.reverse("spans").alias("spans"))
+    sig_rev = span_signature(rev).select("doc_id", F.col("span_sig").alias("sigr"))
+    changed = d1.join(sig_rev, "doc_id").where(F.col("span_sig") != F.col("sigr")).count()
+    assert changed > 0
+
+
+def test_pip_join_points_bruteforce(spark):
+    """Engine PIP join == brute-force NumPy on random points."""
+    rng = np.random.default_rng(7)
+    xs = rng.uniform(25.5, 29.5, 2000)
+    ys = rng.uniform(52.5, 55.5, 2000)
+    pts = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+        "point_id long, x double, y double",
+    )
+    polys = rect_polygons_df(spark)
+    got = {
+        (r["point_id"], r["poly_id"])
+        for r in pip_join_points(pts, polys).select("point_id", "poly_id").collect()
+    }
+    from gdal_boots_spark.sources.synth import RECTS
+
+    exp = {
+        (i, pid)
+        for i, (x, y) in enumerate(zip(xs, ys))
+        for pid, minx, miny, maxx, maxy in RECTS
+        if minx <= x < maxx and miny <= y < maxy
+    }
+    assert got == exp
+
+
+@pytest.mark.parametrize("name", ["pip_join", "cell_assign", "geo_extract", "span_counts"])
+def test_queries_vs_oracle_sf001(spark, name):
+    df = entrymod.queries()[name](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE, float_cols=("x", "y"))
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
