@@ -90,12 +90,41 @@ def q_span_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """values_by_points (gdal.py:897-931) through the real tile-table
+    machinery: a 2-band 50x30 ramp raster (res 0.25, binary tile blobs,
+    16px tiles) sampled at points derived from customer keys; NULL for
+    out-of-bounds (left-outer semantics, golden test_raster.py:648-668).
+
+    The 0.25 resolution and quarter-valued coordinates are exact in
+    binary floating point, so the oracle's analytic pixel math agrees
+    with the engine's inverse-affine to the last bit.
+    """
+    from gdal_boots_spark.operators.sampling import values_by_points
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid(
+        raster_id="rq", epsg=4326, transform=(0.25, 0.0, 0.0, 0.0, -0.25, 7.5),
+        width=50, height=30, tile_w=16, tile_h=16, bands=2, dtype="int32",
+    )
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    pts = cust.select(
+        k.alias("point_id"),
+        (F.lit(-2.0) + ((k * 13) % 70).cast("double") / 4.0).alias("x"),
+        (F.lit(-2.0) + ((k * 29) % 60).cast("double") / 4.0).alias("y"),
+    )
+    return values_by_points(pts, tiles, grid)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join": q_pip_join,
         "cell_assign": q_cell_assign,
         "geo_extract": q_geo_extract,
         "span_counts": q_span_counts,
+        "point_sampling": q_point_sampling,
     }
 
 
@@ -135,6 +164,24 @@ def oracle_sql() -> dict[str, str]:
         "geo_extract": f"""
             WITH {_GEO_CTE}
             SELECT doc_id, ROUND(x, 6) AS x, ROUND(y, 6) AS y FROM geo
+        """,
+        "point_sampling": """
+            WITH pts AS (
+              SELECT c_custkey AS point_id,
+                     -2.0 + CAST((c_custkey * 13) % 70 AS DOUBLE) / 4.0 AS x,
+                     -2.0 + CAST((c_custkey * 29) % 60 AS DOUBLE) / 4.0 AS y
+              FROM customer
+            ), px AS (
+              SELECT point_id,
+                     CAST(FLOOR(4.0 * x) AS BIGINT) AS col,
+                     CAST(FLOOR(30.0 - 4.0 * y) AS BIGINT) AS row
+              FROM pts
+            )
+            SELECT p.point_id AS point_id, b.band AS band,
+                   CASE WHEN p.col >= 0 AND p.col < 50 AND p.row >= 0 AND p.row < 30
+                        THEN CAST(p.row * 50 + p.col + 1 + b.band * 1500 AS DOUBLE)
+                        ELSE NULL END AS value
+            FROM px p CROSS JOIN (VALUES (0), (1)) AS b(band)
         """,
         "span_counts": f"""
             SELECT doc_id,

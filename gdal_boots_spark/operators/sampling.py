@@ -1,0 +1,94 @@
+"""Point-in-raster sampling — reference ``values_by_points``
+(gdal.py:897-931) as a distributed point x tile join.
+
+Reference semantics (golden: test_raster.py:648-677): world -> pixel by
+inverse affine + floor (gdal.py:919-921); bounds check 0<=px<w,
+0<=py<h (gdal.py:924); out-of-bounds points yield NULL (left outer
+join); multiband rasters yield one value per band.
+
+Physical shape:
+
+    points ── native inverse-affine pixel math (codegen) ──┐
+       │  in-bounds filter + tile_key = f(band, px/tw, py/th)
+       │                                                   │
+       └── groupBy(tile_key) COGROUP applyInPandas ────────┤
+    tiles ── groupBy(tile_key) ────────────────────────────┘
+                      │ one Arrow transfer of each tile blob per task,
+                      │ vectorized fancy-index gather per tile group
+              gathered(point_id, band, value)
+                      │
+    points x bands ── left outer join ── NULL for out-of-bounds
+
+The reference loops per point in Python (gdal.py:911); here the pixel
+math is whole-stage codegen and the gather touches each tile's bytes
+once per group.  Tile blobs never ride on candidate rows, so the
+shuffle volume is O(points) keys + O(tiles) blobs — the pattern that
+survives 10^12 points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geom.affine import invert_transform
+from ..sources.tiles import RasterGrid
+
+
+def values_by_points(
+    points: DataFrame,
+    tiles: DataFrame,
+    grid: RasterGrid,
+    id_col: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """-> (point_id, band, value:double); value NULL when outside."""
+    spark = points.sparkSession
+    ia, ib, ic, id_, ie, if_ = invert_transform(grid.transform)
+    x, y = F.col(x_col), F.col(y_col)
+    px = F.floor(F.lit(ia) * x + F.lit(ib) * y + F.lit(ic)).cast("int")
+    py = F.floor(F.lit(id_) * x + F.lit(ie) * y + F.lit(if_)).cast("int")
+
+    pts = points.select(F.col(id_col).alias("point_id"), px.alias("px"), py.alias("py")).where(
+        (F.col("px") >= 0) & (F.col("px") < grid.width) & (F.col("py") >= 0) & (F.col("py") < grid.height)
+    )
+    bands = spark.range(grid.bands).select(F.col("id").cast("int").alias("band"))
+    cand = pts.crossJoin(F.broadcast(bands)).select(
+        "point_id",
+        "band",
+        F.format_string(
+            f"{grid.raster_id}/%d/%d/%d",
+            F.col("band"),
+            (F.col("py") / grid.tile_h).cast("int"),
+            (F.col("px") / grid.tile_w).cast("int"),
+        ).alias("tile_key"),
+        (F.col("px") % grid.tile_w).alias("ix"),
+        (F.col("py") % grid.tile_h).alias("iy"),
+    )
+
+    tile_side = tiles.select("tile_key", "width", "dtype", "data")
+
+    def gather(key, pts_pdf, tiles_pdf):
+        import pandas as pd
+
+        if len(pts_pdf) == 0 or len(tiles_pdf) == 0:
+            return pd.DataFrame({"point_id": [], "band": [], "value": []}).astype(
+                {"point_id": "int64", "band": "int32", "value": "float64"}
+            )
+        t = tiles_pdf.iloc[0]
+        arr = np.frombuffer(t["data"], dtype=np.dtype(t["dtype"])).reshape(-1, t["width"])
+        vals = arr[pts_pdf["iy"].to_numpy(), pts_pdf["ix"].to_numpy()].astype(np.float64)
+        return pd.DataFrame(
+            {"point_id": pts_pdf["point_id"].to_numpy(), "band": pts_pdf["band"].to_numpy(), "value": vals}
+        )
+
+    gathered = (
+        cand.groupBy("tile_key")
+        .cogroup(tile_side.groupBy("tile_key"))
+        .applyInPandas(gather, schema="point_id long, band int, value double")
+    )
+
+    base = points.select(F.col(id_col).alias("point_id")).crossJoin(F.broadcast(bands))
+    return base.join(gathered, ["point_id", "band"], "left").select("point_id", "band", "value")

@@ -73,3 +73,8 @@ def test_queries_vs_oracle_sf001(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_point_sampling_vs_oracle(spark):
+    df = entrymod.queries()["point_sampling"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["point_sampling"], SF_ORACLE)
