@@ -118,6 +118,24 @@ def q_point_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return values_by_points(pts, tiles, grid)
 
 
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector->raster burn (Layer.rasterize, gdal.py:1092-1107): the
+    polygon dim burned onto a 300x200 grid (res 0.01 over the Minsk
+    region), verified by exact value histogram — the reference's own
+    oracle style (test_vector.py:76-78).  The DuckDB oracle evaluates
+    center coverage for all 60k pixel centers analytically."""
+    from gdal_boots_spark.operators.rasterize import rasterize
+    from gdal_boots_spark.operators.stats import tile_histogram
+    from gdal_boots_spark.sources.tiles import RasterGrid
+
+    grid = RasterGrid(
+        raster_id="burn", epsg=4326, transform=(0.01, 0.0, 26.0, 0.0, -0.01, 55.0),
+        width=300, height=200, tile_w=64, tile_h=64, bands=1, dtype="uint8",
+    )
+    tiles = rasterize(spark, rect_polygons_df(spark), grid, all_touched=False, dense=True)
+    return tile_histogram(tiles).select("value", "cnt")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join": q_pip_join,
@@ -125,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_extract": q_geo_extract,
         "span_counts": q_span_counts,
         "point_sampling": q_point_sampling,
+        "rasterize_hist": q_rasterize,
     }
 
 
@@ -182,6 +201,21 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(p.row * 50 + p.col + 1 + b.band * 1500 AS DOUBLE)
                         ELSE NULL END AS value
             FROM px p CROSS JOIN (VALUES (0), (1)) AS b(band)
+        """,
+        "rasterize_hist": f"""
+            WITH px AS (
+              SELECT 26.005 + cx.range * 0.01 AS x,
+                     54.995 - cy.range * 0.01 AS y
+              FROM range(300) cx, range(200) cy
+            ), cov AS (
+              SELECT CASE WHEN EXISTS (
+                       SELECT 1 FROM {rects_sql_values('p')}
+                       WHERE px.x > p.minx AND px.x < p.maxx
+                         AND px.y > p.miny AND px.y < p.maxy
+                     ) THEN 1.0 ELSE 0.0 END AS value
+              FROM px
+            )
+            SELECT value, COUNT(*) AS cnt FROM cov GROUP BY value
         """,
         "span_counts": f"""
             SELECT doc_id,

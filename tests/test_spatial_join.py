@@ -78,3 +78,8 @@ def test_entry_smoke(spark):
 def test_point_sampling_vs_oracle(spark):
     df = entrymod.queries()["point_sampling"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["point_sampling"], SF_ORACLE)
+
+
+def test_rasterize_hist_vs_oracle(spark):
+    df = entrymod.queries()["rasterize_hist"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["rasterize_hist"], SF_ORACLE)
