@@ -136,6 +136,24 @@ def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_histogram(tiles).select("value", "cnt")
 
 
+def q_resample_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-downsample (Resampling.average, gdal.py:196) of an
+    analytic ramp raster, emitted as a pixel table.  Block means of the
+    ramp value row*W+col+1 are closed-form, so the oracle reproduces
+    every output pixel exactly."""
+    from gdal_boots_spark.operators.stats import tiles_to_pixels
+    from gdal_boots_spark.operators.warp import resample
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid(
+        raster_id="rs", epsg=4326, transform=(0.25, 0.0, 0.0, 0.0, -0.25, 12.0),
+        width=64, height=48, tile_w=16, tile_h=16, bands=1, dtype="int32",
+    )
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    out_tiles, og = resample(tiles, grid, "average", resolution=(1.0, 1.0))
+    return tiles_to_pixels(out_tiles, og.tile_w, og.tile_h).select("row", "col", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join": q_pip_join,
@@ -144,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_counts": q_span_counts,
         "point_sampling": q_point_sampling,
         "rasterize_hist": q_rasterize,
+        "resample_avg": q_resample_avg,
     }
 
 
@@ -201,6 +220,11 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(p.row * 50 + p.col + 1 + b.band * 1500 AS DOUBLE)
                         ELSE NULL END AS value
             FROM px p CROSS JOIN (VALUES (0), (1)) AS b(band)
+        """,
+        "resample_avg": """
+            SELECT i.range AS row, j.range AS col,
+                   CAST((i.range * 4 + 1.5) * 64.0 + (j.range * 4 + 1.5) + 1.0 AS DOUBLE) AS value
+            FROM range(12) i, range(16) j
         """,
         "rasterize_hist": f"""
             WITH px AS (

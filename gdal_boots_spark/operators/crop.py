@@ -54,7 +54,7 @@ def crop_by_geometry(
     (gdal.py:1096-1099: burn=1, ALL_TOUCHED=TRUE).
     """
     pg = from_geojson(geometry)
-    pg = transform_packed(pg, epsg, grid.epsg)
+    pg = transform_packed(pg, epsg, grid.crs)
     c = pg.coords.reshape(-1, 2)
     if len(c) == 0:
         raise ValueError("empty geometry")

@@ -53,3 +53,37 @@ def tile_checksum(tiles: DataFrame) -> DataFrame:
             )
 
     return tiles.select("tile_key", "data").mapInPandas(crc, schema="tile_key string, crc32 long, n_bytes long")
+
+
+def tiles_to_pixels(tiles: DataFrame, tile_w: int, tile_h: int) -> DataFrame:
+    """Raster -> relational pixel table (band, row, col, value:double).
+
+    The engine's raster-as-rows escape hatch: feeds histograms, oracle
+    comparisons, and zonal joins.  Global row/col from the tile grid
+    position; one vectorized meshgrid per blob.
+    """
+
+    def explode_px(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for _, r in pdf.iterrows():
+                arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
+                jj, ii = np.meshgrid(np.arange(r["width"]), np.arange(r["height"]))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "band": np.full(arr.size, r["band"], dtype=np.int32),
+                            "row": (ii + r["tile_y"] * tile_h).ravel().astype(np.int64),
+                            "col": (jj + r["tile_x"] * tile_w).ravel().astype(np.int64),
+                            "value": arr.ravel().astype(np.float64),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return tiles.select("band", "tile_x", "tile_y", "width", "height", "dtype", "data").mapInPandas(
+        explode_px, schema="band int, row long, col long, value double"
+    )

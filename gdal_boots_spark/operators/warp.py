@@ -146,3 +146,157 @@ def fast_warp(tiles: DataFrame, grid: RasterGrid, bbox, clip: bool = False) -> t
     """bbox slice in native CRS — the reference fast_warp
     (gdal.py:808-817) routed through the engine's regrid."""
     return slice_window(tiles, grid, window_of_bbox(grid, bbox, clip=clip))
+
+
+def resampled_grid(grid: RasterGrid, resolution=None, size=None, raster_id=None) -> RasterGrid:
+    """Target grid for a resolution/size change over the same extent —
+    reference warp(resolution=...) (gdal.py:716-723; shape-ratio golden
+    test_raster.py:299-302)."""
+    a, b, c, d, e, f = grid.transform
+    if size is not None:
+        W2, H2 = int(size[0]), int(size[1])
+        rx, ry = a * grid.width / W2, -e * grid.height / H2
+    else:
+        rx, ry = (resolution, resolution) if np.isscalar(resolution) else resolution
+        W2 = max(1, int(round(grid.width * a / rx)))
+        H2 = max(1, int(round(grid.height * (-e) / ry)))
+    return RasterGrid(
+        raster_id=raster_id or (grid.raster_id + "_rs"),
+        epsg=grid.epsg,
+        transform=(rx, 0.0, c, 0.0, -ry, f),
+        width=W2,
+        height=H2,
+        tile_w=grid.tile_w,
+        tile_h=grid.tile_h,
+        bands=grid.bands,
+        dtype=grid.dtype,
+        nodata=grid.nodata,
+    )
+
+
+def resample(
+    tiles: DataFrame,
+    grid: RasterGrid,
+    kernel: str = "nearest",
+    resolution=None,
+    size=None,
+) -> tuple[DataFrame, RasterGrid]:
+    """Resolution change over the same extent with one of the reference's
+    kernels (Resampling enum, gdal.py:179-204): nearest / bilinear /
+    the 9 aggregate kernels (integer downscale factors).
+
+    Physical shape: native contribution explode (each source tile ->
+    the output tiles whose preimage it can influence, +-1 halo) ->
+    groupBy(out tile) applyInPandas: paste the source window into a
+    local buffer, then one vectorized kernel call
+    (geom.resample_kernels).  Shuffle volume O(source bytes).
+    """
+    from ..geom.resample_kernels import AGG_KERNELS, bilinear, block_agg, nearest
+
+    og = resampled_grid(grid, resolution=resolution, size=size)
+    scale_x = grid.width / og.width
+    scale_y = grid.height / og.height
+    if kernel in AGG_KERNELS:
+        kx, ky = int(round(scale_x)), int(round(scale_y))
+        if abs(scale_x - kx) > 1e-9 or abs(scale_y - ky) > 1e-9 or kx < 1 or ky < 1:
+            raise NotImplementedError("aggregate kernels require integer downscale factors")
+        # aggregates produce exact float64 (documented deviation from
+        # GDAL, which clips back to the band dtype)
+        from dataclasses import replace as _dc_replace
+
+        og = _dc_replace(og, dtype="float64")
+    elif kernel not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown kernel {kernel}")
+
+    g = grid
+    # out col range a source tile [x0,x1) can influence (+-1 halo)
+    jx0 = F.greatest(F.floor((F.col("tile_x") * g.tile_w) / scale_x).cast("int") - 1, F.lit(0))
+    jx1 = F.least(
+        F.ceil((F.col("tile_x") * g.tile_w + F.col("width")) / scale_x).cast("int") + 1, F.lit(og.width - 1)
+    )
+    jy0 = F.greatest(F.floor((F.col("tile_y") * g.tile_h) / scale_y).cast("int") - 1, F.lit(0))
+    jy1 = F.least(
+        F.ceil((F.col("tile_y") * g.tile_h + F.col("height")) / scale_y).cast("int") + 1, F.lit(og.height - 1)
+    )
+    cand = (
+        tiles.select(
+            "band", "tile_x", "tile_y", "width", "height", "dtype", "data",
+            jx0.alias("jx0"), jx1.alias("jx1"), jy0.alias("jy0"), jy1.alias("jy1"),
+        )
+        .where((F.col("jx0") <= F.col("jx1")) & (F.col("jy0") <= F.col("jy1")))
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    (F.col("jx0") / og.tile_w).cast("int"), (F.col("jx1") / og.tile_w).cast("int")
+                )
+            ).alias("otx"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    (F.col("jy0") / og.tile_h).cast("int"), (F.col("jy1") / og.tile_h).cast("int")
+                )
+            ).alias("oty"),
+        )
+        .drop("jx0", "jx1", "jy0", "jy1")
+    )
+
+    fill = 0.0 if g.nodata is None else g.nodata
+    kname = kernel
+
+    def assemble(key, pdf):
+        import pandas as pd
+
+        band, otx, oty = int(key[0]), int(key[1]), int(key[2])
+        oh, ow = og.tile_shape(otx, oty)
+        ox0, oy0 = otx * og.tile_w, oty * og.tile_h
+        # source buffer covering the preimage (+2 halo), clipped
+        sx0 = max(0, int(np.floor(ox0 * scale_x)) - 2)
+        sx1 = min(g.width, int(np.ceil((ox0 + ow) * scale_x)) + 2)
+        sy0 = max(0, int(np.floor(oy0 * scale_y)) - 2)
+        sy1 = min(g.height, int(np.ceil((oy0 + oh) * scale_y)) + 2)
+        buf = np.full((sy1 - sy0, sx1 - sx0), fill, dtype=np.dtype(g.dtype))
+        for _, r in pdf.iterrows():
+            src = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
+            tx0 = int(r["tile_x"]) * g.tile_w
+            ty0 = int(r["tile_y"]) * g.tile_h
+            x0, x1 = max(tx0, sx0), min(tx0 + int(r["width"]), sx1)
+            y0, y1 = max(ty0, sy0), min(ty0 + int(r["height"]), sy1)
+            if x0 >= x1 or y0 >= y1:
+                continue
+            buf[y0 - sy0 : y1 - sy0, x0 - sx0 : x1 - sx0] = src[y0 - ty0 : y1 - ty0, x0 - tx0 : x1 - tx0]
+
+        if kname == "nearest":
+            blk = nearest(buf, sx0, sy0, scale_x, scale_y, oh, ow, ox0, oy0)
+        elif kname == "bilinear":
+            blk = bilinear(buf, sx0, sy0, scale_x, scale_y, oh, ow, ox0, oy0)
+        else:
+            kx, ky = int(round(scale_x)), int(round(scale_y))
+            wx0, wy0 = ox0 * kx, oy0 * ky
+            sub = buf[wy0 - sy0 : wy0 - sy0 + oh * ky, wx0 - sx0 : wx0 - sx0 + ow * kx]
+            blk = block_agg(sub, kx, ky, kname)
+        blk = np.ascontiguousarray(blk.astype(np.dtype(og.dtype)))
+        odtype = og.dtype
+        return pd.DataFrame(
+            [
+                {
+                    "tile_key": og.tile_key(band, oty, otx),
+                    "raster_id": og.raster_id,
+                    "band": band,
+                    "tile_x": otx,
+                    "tile_y": oty,
+                    "epsg": og.epsg,
+                    "transform": list(og.tile_transform(otx, oty)),
+                    "width": ow,
+                    "height": oh,
+                    "dtype": odtype,
+                    "nodata": og.nodata,
+                    "data": blk.tobytes(),
+                }
+            ]
+        )
+
+    out_tiles = cand.groupBy("band", "otx", "oty").applyInPandas(assemble, schema=TILE_SCHEMA)
+    return out_tiles, og

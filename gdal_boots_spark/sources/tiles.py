@@ -43,6 +43,12 @@ class RasterGrid:
     bands: int = 1
     dtype: str = "int32"
     nodata: float | None = None
+    proj4: str | None = None  # custom CRS (gdal.py:124); epsg=0 when set
+
+    @property
+    def crs(self):
+        """EPSG int or proj4 string — whatever geom.crs accepts."""
+        return self.proj4 if self.proj4 else self.epsg
 
     @property
     def n_tiles_x(self) -> int:

@@ -1,0 +1,159 @@
+"""M4: mosaic (union goldens) + resample kernels.
+
+Goldens: test_raster.py:628-645 (exact union arrays),
+test_raster.py:178-227 (extent merge, multiband, nodata kept),
+test_raster.py:299-302 (resolution shape ratio).
+"""
+
+import numpy as np
+import pytest
+
+from gdal_boots_spark.operators.mosaic import mosaic
+from gdal_boots_spark.operators.warp import resample
+from gdal_boots_spark.sources.tiles import RasterGrid, array_to_tiles, tiles_to_array
+
+
+def _mk(spark, arr, transform, epsg=32628, tile=2, nodata=None, rid="m"):
+    arr = np.asarray(arr)
+    grid = RasterGrid(rid, epsg, transform, arr.shape[-1], arr.shape[-2],
+                      tile_w=tile, tile_h=tile, bands=1 if arr.ndim == 2 else arr.shape[0],
+                      dtype=str(arr.dtype), nodata=nodata)
+    return array_to_tiles(spark, arr, grid), grid
+
+
+def test_union_golden_two(spark):
+    # test_raster.py:628-639
+    a1 = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]]).T.astype(np.int64)
+    a2 = np.array([[4, 5, 6], [7, 8, 9], [1, 2, 3]]).T.astype(np.int64)
+    t1, g1 = _mk(spark, a1, (10.0, 0.0, 0.0, 0.0, -10.0, 0.0), rid="u1")
+    t2, g2 = _mk(spark, a2, (10.0, 0.0, 10.0, 0.0, -10.0, 0.0), rid="u2")
+    out_tiles, og = mosaic(spark, [(t1, g1), (t2, g2)])
+    got = tiles_to_array(out_tiles, og)
+    exp = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9], [1, 2, 3]]).T
+    assert np.array_equal(got, exp)
+
+
+def test_union_golden_three(spark):
+    # test_raster.py:640-645: ds3 shifted up by 10 -> 4x4, empty corner 0
+    a1 = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]]).T.astype(np.int64)
+    a2 = np.array([[4, 5, 6], [7, 8, 9], [1, 2, 3]]).T.astype(np.int64)
+    a3 = np.array([[3, 1, 2], [6, 4, 5], [9, 7, 8]]).T.astype(np.int64)
+    t1, g1 = _mk(spark, a1, (10.0, 0.0, 0.0, 0.0, -10.0, 0.0), rid="v1")
+    t2, g2 = _mk(spark, a2, (10.0, 0.0, 10.0, 0.0, -10.0, 0.0), rid="v2")
+    t3, g3 = _mk(spark, a3, (10.0, 0.0, 0.0, 0.0, -10.0, 10.0), rid="v3")
+    out_tiles, og = mosaic(spark, [(t1, g1), (t2, g2), (t3, g3)])
+    got = tiles_to_array(out_tiles, og)
+    exp = np.array([[3, 1, 2, 3], [6, 4, 5, 6], [9, 7, 8, 9], [0, 1, 2, 3]]).T
+    assert np.array_equal(got, exp)
+
+
+def test_mosaic_extent_and_nodata(spark):
+    # test_raster.py:178-188 shape golden + :210-227 nodata-kept golden
+    a1 = np.full((100, 100), 1, np.uint8)
+    a2 = np.full((100, 100), 2, np.uint8)
+    t1, g1 = _mk(spark, a1, (100.0, 0.0, 0.0, 0.0, -100.0, 10000.0), epsg=3857, tile=64, rid="w1")
+    t2, g2 = _mk(spark, a2, (100.0, 0.0, 10000.0, 0.0, -100.0, 10000.0), epsg=3857, tile=64, rid="w2")
+    out_tiles, og = mosaic(spark, [(t1, g1), (t2, g2)])
+    assert (og.height, og.width) == (100, 200)
+    got = tiles_to_array(out_tiles, og)
+    assert np.array_equal(np.unique(got), [1, 2])
+
+    # overlapping with nodata: later source's nodata must NOT overwrite
+    b1 = np.full((4, 4), 9, np.uint8)
+    b2 = np.full((4, 4), 255, np.uint8)
+    b2[0, 0] = 7
+    t1, g1 = _mk(spark, b1, (1.0, 0.0, 0.0, 0.0, -1.0, 4.0), tile=2, rid="n1", nodata=255.0)
+    t2, g2 = _mk(spark, b2, (1.0, 0.0, 0.0, 0.0, -1.0, 4.0), tile=2, rid="n2", nodata=255.0)
+    out_tiles, og = mosaic(spark, [(t1, g1), (t2, g2)])
+    got = tiles_to_array(out_tiles, og)
+    exp = np.full((4, 4), 9, np.uint8)
+    exp[0, 0] = 7
+    assert np.array_equal(got, exp)
+
+
+def test_mosaic_misaligned_raises(spark):
+    a = np.zeros((4, 4), np.uint8)
+    t1, g1 = _mk(spark, a, (1.0, 0.0, 0.0, 0.0, -1.0, 4.0), rid="x1")
+    t2, g2 = _mk(spark, a, (1.0, 0.0, 0.5, 0.0, -1.0, 4.0), rid="x2")
+    with pytest.raises(ValueError):
+        mosaic(spark, [(t1, g1), (t2, g2)])
+    t3, g3 = _mk(spark, a, (2.0, 0.0, 0.0, 0.0, -2.0, 8.0), rid="x3")
+    with pytest.raises(ValueError):
+        mosaic(spark, [(t1, g1), (t3, g3)])
+
+
+def test_resample_nearest_upsample(spark):
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 100, (12, 16)).astype(np.int32)
+    tiles, grid = _mk(spark, src, (10.0, 0.0, 0.0, 0.0, -10.0, 120.0), tile=5, rid="rn")
+    out_tiles, og = resample(tiles, grid, "nearest", resolution=(5.0, 5.0))
+    assert (og.width, og.height) == (32, 24)  # shape ratio golden style
+    got = tiles_to_array(out_tiles, og)
+    exp = src[np.floor((np.arange(24) + 0.5) * 0.5).astype(int)[:, None],
+              np.floor((np.arange(32) + 0.5) * 0.5).astype(int)[None, :]]
+    assert np.array_equal(got, exp)
+
+
+def test_resample_nearest_downsample(spark):
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, 100, (12, 16)).astype(np.int32)
+    tiles, grid = _mk(spark, src, (10.0, 0.0, 0.0, 0.0, -10.0, 120.0), tile=5, rid="rd")
+    out_tiles, og = resample(tiles, grid, "nearest", resolution=(40.0, 40.0))
+    got = tiles_to_array(out_tiles, og)
+    exp = src[np.floor((np.arange(3) + 0.5) * 4).astype(int)[:, None],
+              np.floor((np.arange(4) + 0.5) * 4).astype(int)[None, :]]
+    assert np.array_equal(got, exp)
+
+
+def test_resample_bilinear_matches_dense(spark):
+    from gdal_boots_spark.geom.resample_kernels import bilinear
+
+    rng = np.random.default_rng(5)
+    src = rng.uniform(0, 100, (12, 16)).astype(np.float64)
+    tiles, grid = _mk(spark, src, (10.0, 0.0, 0.0, 0.0, -10.0, 120.0), tile=5, rid="rb")
+    out_tiles, og = resample(tiles, grid, "bilinear", size=(24, 18))
+    got = tiles_to_array(out_tiles, og)
+    exp = bilinear(src, 0, 0, 16 / 24, 12 / 18, 18, 24, 0, 0)
+    assert np.allclose(got, exp)
+
+
+def test_resample_average_and_sum_mass(spark):
+    """Property (SURVEY §5d): sum kernel preserves total mass; average
+    equals block mean."""
+    rng = np.random.default_rng(6)
+    src = rng.integers(0, 50, (12, 16)).astype(np.int32)
+    tiles, grid = _mk(spark, src, (10.0, 0.0, 0.0, 0.0, -10.0, 120.0), tile=5, rid="ra")
+    out_sum, og = resample(tiles, grid, "sum", resolution=(40.0, 40.0))
+    got = tiles_to_array(out_sum, og)
+    assert got.sum() == src.sum()
+    exp = src.reshape(3, 4, 4, 4).sum(axis=(1, 3))
+    assert np.allclose(got, exp)
+    out_avg, og2 = resample(tiles, grid, "average", resolution=(20.0, 20.0))
+    got2 = tiles_to_array(out_avg, og2)
+    assert np.allclose(got2, src.reshape(6, 2, 8, 2).mean(axis=(1, 3)))
+
+
+def test_resample_median_q_mode(spark):
+    src = np.arange(64, dtype=np.int32).reshape(8, 8)
+    tiles, grid = _mk(spark, src, (1.0, 0.0, 0.0, 0.0, -1.0, 8.0), tile=4, rid="rq")
+    for kernel, ref in [
+        ("median", np.median),
+        ("min", np.min),
+        ("max", np.max),
+    ]:
+        out, og = resample(tiles, grid, kernel, resolution=(2.0, 2.0))
+        got = tiles_to_array(out, og)
+        exp = np.array([[ref(src[2 * i : 2 * i + 2, 2 * j : 2 * j + 2]) for j in range(4)] for i in range(4)])
+        assert np.allclose(got, exp), kernel
+    out, og = resample(tiles, grid, "mode", resolution=(2.0, 2.0))
+    got = tiles_to_array(out, og)
+    # all block values distinct -> mode = smallest (deterministic tie rule)
+    exp = np.array([[src[2 * i : 2 * i + 2, 2 * j : 2 * j + 2].min() for j in range(4)] for i in range(4)])
+    assert np.array_equal(got, exp)
+
+
+def test_resample_agg_non_integer_raises(spark):
+    src = np.zeros((12, 16), np.int32)
+    tiles, grid = _mk(spark, src, (10.0, 0.0, 0.0, 0.0, -10.0, 120.0), tile=5, rid="rx")
+    with pytest.raises(NotImplementedError):
+        resample(tiles, grid, "average", resolution=(15.0, 15.0))

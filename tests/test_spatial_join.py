@@ -83,3 +83,8 @@ def test_point_sampling_vs_oracle(spark):
 def test_rasterize_hist_vs_oracle(spark):
     df = entrymod.queries()["rasterize_hist"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["rasterize_hist"], SF_ORACLE)
+
+
+def test_resample_avg_vs_oracle(spark):
+    df = entrymod.queries()["resample_avg"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["resample_avg"], SF_ORACLE, float_cols=("value",))
