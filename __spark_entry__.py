@@ -154,6 +154,29 @@ def q_resample_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles_to_pixels(out_tiles, og.tile_w, og.tile_h).select("row", "col", "value")
 
 
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-pruned exact kNN (ring expansion over the cell index):
+    supplier-derived query points x customer-derived base points, k=3.
+    The oracle is the definitional cross-join + window top-k."""
+    from gdal_boots_spark.operators.knn import knn_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    ck, sk = F.col("c_custkey"), F.col("s_suppkey")
+    base = cust.select(
+        ck.alias("bid"),
+        (F.lit(26.0) + ((ck * 7919) % 3000).cast("double") / 1000.0).alias("x"),
+        (F.lit(53.0) + ((ck * 104729) % 2000).cast("double") / 1000.0).alias("y"),
+    )
+    query = supp.select(
+        sk.alias("qid"),
+        (F.lit(26.0) + ((sk * 4409) % 3000).cast("double") / 1000.0).alias("x"),
+        (F.lit(53.0) + ((sk * 9973) % 2000).cast("double") / 1000.0).alias("y"),
+    )
+    out = knn_join(query, base, k=3)
+    return out.select("qid", "bid", F.col("rank").alias("rnk"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join": q_pip_join,
@@ -163,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_sampling": q_point_sampling,
         "rasterize_hist": q_rasterize,
         "resample_avg": q_resample_avg,
+        "knn": q_knn,
     }
 
 
@@ -220,6 +244,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(p.row * 50 + p.col + 1 + b.band * 1500 AS DOUBLE)
                         ELSE NULL END AS value
             FROM px p CROSS JOIN (VALUES (0), (1)) AS b(band)
+        """,
+        "knn": """
+            WITH q AS (
+              SELECT s_suppkey AS qid,
+                     26.0 + CAST((s_suppkey * 4409) % 3000 AS DOUBLE) / 1000.0 AS x,
+                     53.0 + CAST((s_suppkey * 9973) % 2000 AS DOUBLE) / 1000.0 AS y
+              FROM supplier
+            ), b AS (
+              SELECT c_custkey AS bid,
+                     26.0 + CAST((c_custkey * 7919) % 3000 AS DOUBLE) / 1000.0 AS x,
+                     53.0 + CAST((c_custkey * 104729) % 2000 AS DOUBLE) / 1000.0 AS y
+              FROM customer
+            ), d AS (
+              SELECT q.qid, b.bid,
+                     SQRT((q.x - b.x) * (q.x - b.x) + (q.y - b.y) * (q.y - b.y)) AS dist
+              FROM q CROSS JOIN b
+            ), r AS (
+              SELECT qid, bid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, bid) AS rnk
+              FROM d
+            )
+            SELECT qid, bid, rnk FROM r WHERE rnk <= 3
         """,
         "resample_avg": """
             SELECT i.range AS row, j.range AS col,

@@ -1,0 +1,151 @@
+"""Grid-pruned k-nearest-neighbours join — engine-only operator
+(north_rule; no reference counterpart, SURVEY §2.3 "kNN").
+
+Algorithm (ring expansion over the cell index, SURVEY §2.9):
+
+    r = 0, remaining = all queries
+    repeat:
+        ring(r) shell cells of each remaining query  (exact Chebyshev
+            shell — inner cells were joined in earlier rounds, so no
+            candidate is ever produced twice)
+        ⋈ base points on cell_id        (hash join; broadcast shells)
+        accumulate candidates
+        a query FINISHES when it holds >= k candidates whose k-th
+        smallest distance <= r * min(cell_w, cell_h) — nothing outside
+        the explored (2r+1)x(2r+1) block can be closer
+    top-k per query: row_number over (dist, base_id)  — deterministic
+        tie-break, reproducible under any parallelism
+
+Distance is planar Euclidean in coordinate units (degree space for
+EPSG:4326 inputs — documented engine semantics).
+
+Scale shape: each round is one equi-join keyed by cell id + one
+partial agg; only *unfinished* queries re-enter, so round volume decays
+geometrically.  The candidate accumulator is persisted per round
+(checkpointable by the resumable runner).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geometry_fns import cell_id_col
+from ..geom.cells import MAX_RES
+
+
+def _auto_res(n_base: int, bbox, k: int) -> int:
+    """Cell size so an average cell holds ~max(k, 8) base points, but
+    never so fine that the data bbox spans more than ~32 cells per axis
+    (bounds the ring-expansion round count for sparse/degenerate data)."""
+    minx, miny, maxx, maxy = bbox
+    w, h = maxx - minx, maxy - miny
+    area = max(w * h, 1e-12)
+    target_cell_area = area * max(k, 8) / max(n_base, 1)
+    cell_deg = max(float(np.sqrt(target_cell_area)), w / 32.0, h / 32.0, 1e-9)
+    res = int(np.clip(np.floor(np.log2(360.0 / cell_deg)), 0, MAX_RES))
+    return res
+
+
+def _ring_cells_expr(res: int, r: int):
+    """Array of cell ids at exact Chebyshev distance r from the point's
+    cell — built natively: two sequence/transform combinations, no UDF."""
+    n = 1 << res
+    ix = F.least(F.greatest(F.floor((F.col("x") + 180.0) / 360.0 * n), F.lit(0)), F.lit(n - 1)).cast("long")
+    iy = F.least(F.greatest(F.floor((F.col("y") + 90.0) / 180.0 * n), F.lit(0)), F.lit(n - 1)).cast("long")
+    base = F.lit(res).cast("long") * F.lit(2**58)
+
+    def cid(jx, jy):
+        return base + ((jx % n + n) % n) * F.lit(2**29) + jy
+
+    if r == 0:
+        return F.array(cid(ix, iy))
+    js = F.sequence(F.lit(-r), F.lit(r))
+    top = F.transform(js, lambda dx: cid(ix + dx, iy + r))
+    bot = F.transform(js, lambda dx: cid(ix + dx, iy - r))
+    side_js = F.sequence(F.lit(-(r - 1)), F.lit(r - 1))  # r>=1 here; r=1 -> [0]
+    left = F.transform(side_js, lambda dy: cid(ix - r, iy + dy))
+    right = F.transform(side_js, lambda dy: cid(ix + r, iy + dy))
+    cells = F.concat(top, bot, left, right)
+    # drop out-of-domain iy rows (ix wraps, iy clamps away)
+    return F.filter(cells, lambda c: ((c - base) % F.lit(2**29) >= 0) & ((c - base) % F.lit(2**29) < n))
+
+
+def knn_join(
+    query: DataFrame,
+    base: DataFrame,
+    k: int,
+    res: int | None = None,
+    max_rounds: int = 0,
+    q_id: str = "qid",
+    b_id: str = "bid",
+) -> DataFrame:
+    """query(qid,x,y) x base(bid,x,y) -> (qid, bid, dist, rank<=k).
+
+    Exact planar kNN (matches a full cross-join + window oracle).
+    """
+    stats = base.agg(
+        F.count("*").alias("n"), F.min("x").alias("minx"), F.max("x").alias("maxx"),
+        F.min("y").alias("miny"), F.max("y").alias("maxy"),
+    ).collect()[0]
+    qstats = query.agg(
+        F.min("x").alias("minx"), F.max("x").alias("maxx"),
+        F.min("y").alias("miny"), F.max("y").alias("maxy"),
+    ).collect()[0]
+    # extent that the expansion may need to traverse: union of both
+    uminx = min(stats["minx"], qstats["minx"])
+    umaxx = max(stats["maxx"], qstats["maxx"])
+    uminy = min(stats["miny"], qstats["miny"])
+    umaxy = max(stats["maxy"], qstats["maxy"])
+    if res is None:
+        res = _auto_res(stats["n"], (uminx, uminy, umaxx, umaxy), k)
+    n = 1 << res
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+    guarantee = min(cell_w, cell_h)
+
+    basec = base.select(
+        F.col(b_id).alias("bid"), F.col("x").alias("bx"), F.col("y").alias("by"),
+        cell_id_col(F.col("x"), F.col("y"), res).alias("cell_id"),
+    ).persist()
+    basec.count()
+
+    # a query can never hold more than |base| neighbours; and once the
+    # ring covers the whole base bbox there is nothing left to explore
+    k_eff = min(k, int(stats["n"]))
+    r_domain = int(np.ceil(max((umaxx - uminx) / cell_w, (umaxy - uminy) / cell_h))) + 2
+    # max_rounds<=0 (default) = run until coverage guarantees exactness
+    hard_stop = min(max(r_domain, 1), 1 << res)
+    if max_rounds > 0:
+        hard_stop = min(hard_stop, max_rounds)
+
+    remaining = query.select(F.col(q_id).alias("qid"), "x", "y")
+    acc: DataFrame | None = None
+    r = 0
+    while r <= hard_stop:
+        shells = remaining.select(
+            "qid", "x", "y", F.explode(_ring_cells_expr(res, r)).alias("cell_id")
+        )
+        cand = shells.join(basec, "cell_id").select(
+            "qid",
+            "bid",
+            F.sqrt((F.col("x") - F.col("bx")) ** 2 + (F.col("y") - F.col("by")) ** 2).alias("dist"),
+        )
+        acc = cand if acc is None else acc.unionByName(cand)
+        # eager localCheckpoint: keeps the iterative plan shallow (the
+        # union lineage would otherwise grow linearly with rounds)
+        acc = acc.localCheckpoint(eager=True)
+
+        w = Window.partitionBy("qid").orderBy("dist", "bid")
+        ranked = acc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k_eff)
+        kth = ranked.groupBy("qid").agg(F.max("dist").alias("kth"), F.count("*").alias("cnt"))
+        done_ids = kth.where((F.col("cnt") >= k_eff) & (F.col("kth") <= r * guarantee)).select("qid")
+        remaining = remaining.join(done_ids, "qid", "left_anti").localCheckpoint(eager=True)
+        if remaining.count() == 0:
+            break
+        r += 1
+
+    w = Window.partitionBy("qid").orderBy("dist", "bid")
+    out = acc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    basec.unpersist()
+    return out.select("qid", "bid", "dist", "rank")

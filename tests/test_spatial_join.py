@@ -88,3 +88,8 @@ def test_rasterize_hist_vs_oracle(spark):
 def test_resample_avg_vs_oracle(spark):
     df = entrymod.queries()["resample_avg"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["resample_avg"], SF_ORACLE, float_cols=("value",))
+
+
+def test_knn_vs_oracle(spark):
+    df = entrymod.queries()["knn"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["knn"], SF_ORACLE)
