@@ -177,6 +177,74 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "bid", F.col("rank").alias("rnk"))
 
 
+# --- training-data pipeline queries (dedup / similarity / text) ----------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_boots_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_boots_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lsh_candidate_pairs(docs, n_hashes=16, bands=8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_boots_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs, bits=32)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_boots_spark.operators.dedup import ngram_jaccard_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_topk(docs, k=20)
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_boots_spark.operators.ann import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk(queries_df, emb, k=5).select("qid", "bid", F.col("rank").alias("rnk"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_boots_spark.functions.text_fns import quality_features, quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        F.round(f["punct_ratio"], 9).alias("punct_ratio"),
+        F.round(f["stopword_ratio"], 9).alias("stopword_ratio"),
+        F.round(quality_score(F.col("text")), 9).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_boots_spark.functions.text_fns import lang_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", lang_scores(F.col("text")).alias("lang_guess"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_boots_spark.functions.text_fns import fingerprint, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp"), token_count(F.col("text")).alias("n_tokens")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join": q_pip_join,
@@ -187,6 +255,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_hist": q_rasterize,
         "resample_avg": q_resample_avg,
         "knn": q_knn,
+        "exact_dedup": q_exact_dedup,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine": q_ann_cosine,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -205,8 +281,137 @@ geo AS (
 """
 
 
+# shared oracle fragments (mirror gdal_boots_spark.functions.text_fns)
+_SQL_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_SQL_MD5 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    md5 = _SQL_MD5
+    text_ctes = f"""
+        d AS (
+          SELECT doc_id, {_SQL_NORM} AS norm, string_split({_SQL_NORM}, ' ') AS w, text
+          FROM documents
+        )
+    """
+    shingle_cte = """
+        s AS (
+          SELECT doc_id, [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w) - 2)] AS sh
+          FROM d WHERE len(w) >= 3
+        )
+    """
+    dedup_text_oracles = {
+        "exact_dedup": f"""
+            WITH h AS (SELECT doc_id, {md5.format(x=_SQL_NORM)} AS th FROM documents)
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY th) AS canonical_id,
+                   COUNT(*) OVER (PARTITION BY th) AS group_size
+            FROM h
+        """,
+        "minhash_pairs": f"""
+            WITH {text_ctes}, {shingle_cte},
+            m AS (
+              SELECT doc_id,
+                     [list_min(list_transform(sh, s2 -> {md5.format(x="CAST(j AS VARCHAR) || ':' || s2")}))
+                      for j in generate_series(0, 15)] AS sig
+              FROM s
+            ),
+            banded AS (
+              SELECT doc_id, b.band,
+                     CAST(sig[2 * b.band + 1] AS VARCHAR) || ',' || CAST(sig[2 * b.band + 2] AS VARCHAR) AS band_sig
+              FROM m, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) b(band)
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM banded x JOIN banded y ON x.band = y.band AND x.band_sig = y.band_sig
+            WHERE x.doc_id < y.doc_id
+        """,
+        "simhash": f"""
+            WITH {text_ctes},
+            h AS (SELECT doc_id, list_transform(w, t -> {md5.format(x='t')}) AS hs FROM d),
+            v AS (
+              SELECT doc_id,
+                     [list_sum(list_transform(hs, x -> ((x >> j) & 1) * 2 - 1)) for j in generate_series(0, 31)] AS votes
+              FROM h
+            )
+            SELECT doc_id,
+                   list_sum([CASE WHEN votes[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+                             for j in generate_series(0, 31)]) AS simhash
+            FROM v
+        """,
+        "ngram_jaccard": f"""
+            WITH {text_ctes}, {shingle_cte},
+            e AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared
+              FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            jac AS (
+              SELECT i.a, i.b, CAST(i.shared AS DOUBLE) / (na.n + nb.n - i.shared) AS jaccard
+              FROM inter i JOIN sizes na ON na.doc_id = i.a JOIN sizes nb ON nb.doc_id = i.b
+            )
+            SELECT a, b, jaccard FROM jac ORDER BY jaccard DESC, a, b LIMIT 20
+        """,
+        "ann_cosine": """
+            WITH q AS (
+              SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+              FROM embeddings WHERE vec_id % 50 = 0
+            ), b AS (
+              SELECT vec_id AS bid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS be
+              FROM embeddings
+            ), sc AS (
+              SELECT q.qid, b.bid,
+                     list_dot_product(qe, be) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(be, be))) AS cos
+              FROM q CROSS JOIN b
+            ), r AS (
+              SELECT qid, bid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, bid) AS rnk FROM sc
+            )
+            SELECT qid, bid, rnk FROM r WHERE rnk <= 5
+        """,
+        "text_quality": f"""
+            WITH {text_ctes},
+            f AS (
+              SELECT doc_id,
+                     len(w) AS n_tokens,
+                     CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       / GREATEST(length(text), 1) AS punct_ratio,
+                     CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                       / GREATEST(len(w), 1) AS stopword_ratio
+              FROM d
+            )
+            SELECT doc_id, n_tokens,
+                   ROUND(punct_ratio, 9) AS punct_ratio,
+                   ROUND(stopword_ratio, 9) AS stopword_ratio,
+                   ROUND(LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+                       + GREATEST(1.0 - punct_ratio * 4.0, 0.0) * 0.4
+                       + LEAST(stopword_ratio * 3.0 + 0.5, 1.0) * 0.2, 9) AS quality
+            FROM f
+        """,
+        "lang_id": f"""
+            WITH {text_ctes},
+            c AS (
+              SELECT doc_id,
+                     len(list_filter(w, t -> t IN ('der','die','das','und','ist','ein','zu'))) AS nde,
+                     len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is'))) AS nen,
+                     len(list_filter(w, t -> t IN ('el','la','los','y','es','un','una'))) AS nes,
+                     len(list_filter(w, t -> t IN ('le','la','les','et','est','un','une'))) AS nfr
+              FROM d
+            )
+            SELECT doc_id,
+                   CASE WHEN GREATEST(nde, nen, nes, nfr) = 0 THEN 'und'
+                        WHEN nde = GREATEST(nde, nen, nes, nfr) THEN 'de'
+                        WHEN nen = GREATEST(nde, nen, nes, nfr) THEN 'en'
+                        WHEN nes = GREATEST(nde, nen, nes, nfr) THEN 'es'
+                        ELSE 'fr' END AS lang_guess
+            FROM c
+        """,
+        "fingerprint": f"""
+            WITH {text_ctes}
+            SELECT doc_id, {md5.format(x='norm')} AS fp, len(w) AS n_tokens FROM d
+        """,
+    }
+    return dedup_text_oracles | {
         "pip_join": f"""
             WITH {_GEO_CTE}
             SELECT g.doc_id AS doc_id, p.poly_id AS poly_id

@@ -1,0 +1,104 @@
+"""Text-analysis column functions for the training-data pipeline.
+
+All pure native Column expressions (whole-stage codegen; zero Python at
+runtime) so they hold up on a 10^12-doc table, and every formula is
+reproducible in ANSI SQL for the DuckDB oracle.  The md5-based hashes
+are engine-portable: Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+DuckDB ``CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)`` (60-bit, fits a
+signed int64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic mini stopword lists for the lang-id heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "es": ["el", "la", "los", "y", "es", "un", "una"],
+}
+
+
+def normalize_text(col) -> Column:
+    """lower + trim + collapse whitespace — the canonical form every
+    dedup/fingerprint op keys on."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def tokens(col) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def md5_long(col) -> Column:
+    """Portable 60-bit hash (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: portable hash of the normalized text."""
+    return md5_long(normalize_text(col))
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Word n-gram shingle array (space-joined), [] when too short.
+
+    NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — the
+    short-doc case must be guarded explicitly or slice(start=0) throws.
+    """
+    t = tokens(col)
+    idx = F.when(F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+
+
+def quality_features(col) -> dict[str, Column]:
+    """Quality-scoring features: length, token count, mean token length,
+    punctuation ratio, stopword(en) ratio, uppercase ratio."""
+    raw = F.coalesce(col, F.lit(""))
+    norm = normalize_text(col)
+    toks = tokens(col)
+    n_chars = F.length(raw)
+    n_tokens = F.size(toks)
+    punct = F.length(raw) - F.length(F.regexp_replace(raw, r"[^\w\s]", ""))
+    upper = F.length(raw) - F.length(F.regexp_replace(raw, r"[A-Z]", ""))
+    stop = F.size(F.filter(toks, lambda w: w.isin(*LANG_STOPWORDS["en"])))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": (F.length(norm) - n_tokens + 1).cast("double") / F.greatest(n_tokens, F.lit(1)),
+        "punct_ratio": punct.cast("double") / F.greatest(n_chars, F.lit(1)),
+        "upper_ratio": upper.cast("double") / F.greatest(n_chars, F.lit(1)),
+        "stopword_ratio": stop.cast("double") / F.greatest(n_tokens, F.lit(1)),
+    }
+
+
+def quality_score(col) -> Column:
+    """Scalar quality score in [0,1]: rewards mid-length docs with real
+    words, penalizes punctuation soup (engine-pinned formula)."""
+    f = quality_features(col)
+    len_term = F.least(f["n_tokens"].cast("double") / 64.0, F.lit(1.0))
+    punct_term = F.greatest(F.lit(1.0) - f["punct_ratio"] * 4.0, F.lit(0.0))
+    stop_term = F.least(f["stopword_ratio"] * 3.0 + 0.5, F.lit(1.0))
+    return (len_term * 0.4 + punct_term * 0.4 + stop_term * 0.2).alias("quality")
+
+
+def lang_scores(col) -> Column:
+    """Per-language stopword-hit counts -> argmax language code
+    ('und' when nothing matches)."""
+    toks = tokens(col)
+    best_lang = F.lit("und")
+    best_n = F.lit(0)
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        n = F.size(F.filter(toks, lambda w: w.isin(*words)))
+        cond = n > best_n
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_n = F.when(cond, n).otherwise(best_n)
+    return best_lang

@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, per the build brief:
+
+* ``cosine_topk`` — brute-force baseline: the base matrix is collected
+  (it is the dimension side — at 100 TB you shard it or flip the roles)
+  and broadcast; each Arrow batch of queries does ONE NumPy matmul
+  against it.  Exact, deterministic (score desc, bid asc).
+* ``ann_lsh_topk`` — the scale path: random-hyperplane LSH
+  (deterministic seeded planes) buckets both sides, exact rerank within
+  bucket union over ``n_tables`` tables.  Approximate; recall grows
+  with tables/bits tradeoff.  Rows-only correctness check (planes are
+  not SQL-expressible), with a recall test against the brute-force path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _collect_base(base: DataFrame, id_col: str, vec_col: str):
+    rows = base.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, mat, norms
+
+
+def cosine_topk(
+    query: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (qid, bid, cos, rank): exact cosine top-k per query vector."""
+    spark = query.sparkSession
+    ids, mat, norms = _collect_base(base, id_col, vec_col)
+    b = spark.sparkContext.broadcast((ids, mat, norms))
+    kk = k
+
+    def topk(batches):
+        import pandas as pd
+
+        bids, bmat, bnorms = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(list(pdf["_vec"]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            cos = (q @ bmat.T) / (qn[:, None] * bnorms[None, :])
+            # top-k with deterministic (cos desc, bid asc) order
+            out_q, out_b, out_c, out_r = [], [], [], []
+            for i in range(cos.shape[0]):
+                order = np.lexsort((bids, -cos[i]))[:kk]
+                out_q.extend([pdf["_qid"].iloc[i]] * len(order))
+                out_b.extend(bids[order])
+                out_c.extend(cos[i][order])
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame({"qid": out_q, "bid": out_b, "cos": out_c, "rank": out_r})
+
+    qd = query.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_vec"))
+    return qd.mapInPandas(topk, schema="qid long, bid long, cos double, rank int")
+
+
+def _plane_matrix(dim: int, bits: int, table: int) -> np.ndarray:
+    rng = np.random.default_rng(1_000_003 * (table + 1) + dim)
+    return rng.standard_normal((dim, bits))
+
+
+def ann_lsh_topk(
+    query: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    bits: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: sign-LSH bucket join + exact rerank.
+
+    Physical shape at scale: both sides get (table, bucket) keys from a
+    pandas UDF (one matmul per batch), hash-join on the key, exact
+    cosine only within matching buckets, window top-k per query.
+    """
+    dim = len(base.select(vec_col).first()[0])
+    planes = [_plane_matrix(dim, bits, t) for t in range(n_tables)]
+
+    def bucketize(qid_name):
+        def fn(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array(list(pdf["_vec"]), dtype=np.float64)
+                outs = []
+                for t, P in enumerate(planes):
+                    sign = (v @ P) > 0
+                    bucket = (sign * (1 << np.arange(bits))[None, :]).sum(axis=1).astype(np.int64)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                qid_name: pdf[qid_name].to_numpy(),
+                                "_vec": list(pdf["_vec"]),
+                                "table": np.full(len(pdf), t, dtype=np.int32),
+                                "bucket": bucket,
+                            }
+                        )
+                    )
+                yield pd.concat(outs, ignore_index=True)
+
+        return fn
+
+    vec_spark_type = dict(base.dtypes)[vec_col]
+    qd = query.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_vec"))
+    bd = base.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("_vec"))
+    qb = qd.mapInPandas(bucketize("qid"), schema=f"qid long, _vec {vec_spark_type}, table int, bucket long")
+    bb = bd.mapInPandas(bucketize("bid"), schema=f"bid long, _vec {vec_spark_type}, table int, bucket long")
+
+    cand = (
+        qb.join(bb.withColumnRenamed("_vec", "_bvec"), ["table", "bucket"])
+        .select("qid", "_vec", "bid", "_bvec")
+        .dropDuplicates(["qid", "bid"])
+    )
+
+    def rerank(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(list(pdf["_vec"]), dtype=np.float64)
+            bv = np.array(list(pdf["_bvec"]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            bn = np.linalg.norm(bv, axis=1)
+            qn[qn == 0] = 1.0
+            bn[bn == 0] = 1.0
+            cos = (q * bv).sum(axis=1) / qn / bn
+            yield pd.DataFrame({"qid": pdf["qid"].to_numpy(), "bid": pdf["bid"].to_numpy(), "cos": cos})
+
+    scored = cand.mapInPandas(rerank, schema="qid long, bid long, cos double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "bid")
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

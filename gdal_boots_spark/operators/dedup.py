@@ -1,0 +1,157 @@
+"""Deduplication operators for the large-scale training-data pipeline:
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Everything here is **pure native Spark SQL** (codegen end-to-end; no
+Python in the hot path) and every formula is DuckDB-replicable, so each
+operator has an exact oracle.  Shuffle inventory per operator is noted
+in its docstring — that is the 100 TB cost model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text_fns import md5_long, normalize_text, shingles
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, canonical_id, group_size): hash-groupBy on the
+    normalized text; canonical = min doc_id per group.
+
+    One shuffle on the 60-bit text hash (map-side partial would not
+    help: keys are unique-ish); at scale this is the cheapest dedup.
+    """
+    h = docs.select(F.col(id_col).alias("doc_id"), md5_long(normalize_text(F.col(text_col))).alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return h.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, sig:array<long>[n_hashes]).
+
+    h_i(shingle) = portable 60-bit md5 hash of "i:shingle"; signature
+    element i = min over shingles.  Built with transform/aggregate over
+    the shingle array — no explode, no shuffle: one narrow projection.
+    Empty shingle sets -> null signature (doc too short).
+    """
+    sh = shingles(F.col(text_col), shingle_n)
+
+    def _minhash(i: int):
+        # NB: the transform lambda must take ONE parameter — a
+        # two-parameter lambda makes Spark bind the array index to the
+        # second one, shadowing the hash-family index
+        prefix = f"{i}:"
+        return F.array_min(F.transform(sh, lambda s: md5_long(F.concat(F.lit(prefix), s))))
+
+    sig = F.array(*[_minhash(i) for i in range(n_hashes)])
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(sh) > 0, sig).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n_hashes: int = 16, bands: int = 8, shingle_n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH banding -> candidate near-dup pairs (a < b), distinct.
+
+    Rows explode x bands (cheap: bands small), shuffle on the band
+    bucket key, self-join within buckets.  At 10^12 docs the bucket key
+    (band_id, band_sig) is the natural partitioner; hot buckets are
+    exactly the near-dup clusters the pipeline wants.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes, shingle_n, id_col, text_col).where(F.col("sig").isNotNull())
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(",", *[F.col("sig")[b * rows_per_band + j] for j in range(rows_per_band)]).alias(
+                            "band_sig"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_sig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, simhash:long): per-token portable hash, bitwise
+    majority vote over the token multiset (ties -> 0 bit).
+
+    Narrow: the whole vote happens inside one aggregate over the token
+    array — no explode, no shuffle.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    # materialize token hashes once; the per-bit aggregates below then
+    # reference the column instead of recomputing md5 per bit
+    hashed = docs.select(F.col(id_col).alias("doc_id"), F.transform(toks, lambda t: md5_long(t)).alias("h"))
+    def _vote(j: int):
+        # two-parameter lambda only (see _minhash note on lambda arity)
+        return F.aggregate(
+            F.col("h"), F.lit(0).cast("long"),
+            lambda acc, x: acc + F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1,
+        )
+
+    votes = [_vote(j) for j in range(bits)]
+    sh = None
+    for j, v in enumerate(votes):
+        bit = F.when(v > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sh = bit if sh is None else sh + bit
+    return hashed.select("doc_id", sh.alias("simhash"))
+
+
+def ngram_jaccard_topk(
+    docs: DataFrame, k: int = 20, shingle_n: int = 3, min_shared: int = 1,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Top-k most similar doc pairs by word-n-gram Jaccard, fully
+    relational: explode distinct shingles, self-join on shingle,
+    |A∩B| by groupBy, |A∪B| = |A|+|B|-|A∩B|.
+
+    Shuffles: one on shingle (the join), one on the pair key (the agg).
+    Deterministic order: (jaccard desc, a, b).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    jac = inter.join(sa, "a").join(sb, "b").select(
+        "a", "b",
+        (F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard"),
+    )
+    return jac.orderBy(F.desc("jaccard"), "a", "b").limit(k)

@@ -1,0 +1,103 @@
+"""Training-data pipeline ops: dedup invariants, ANN recall, media stub."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_boots_spark.operators.ann import ann_lsh_topk, cosine_topk
+from gdal_boots_spark.operators.dedup import exact_dedup, minhash_signatures, simhash
+from gdal_boots_spark.sources.media import MEDIA_FEATURE_DIM, fake_features, media_features
+from tests.conftest import SF_ORACLE
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Spark joins  fast"),
+            (2, "spark JOINS fast"),  # same after normalization
+            (3, "totally different"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["canonical_id"], r["group_size"]) for r in exact_dedup(docs).collect()}
+    assert rows[1] == (1, 2) and rows[2] == (1, 2) and rows[3] == (3, 1)
+
+
+def test_minhash_similarity_estimates_jaccard(spark):
+    # identical docs -> identical signatures; disjoint docs -> disjoint
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "q r s t u v w x"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_simhash_similar_docs_close(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 4),
+            (2, "the quick brown fox jumps over the lazy cat " * 4),
+            (3, "completely unrelated words about spark shuffles and tiles"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(queries, emb, k=5)
+    approx = ann_lsh_topk(queries, emb, k=5, bits=4, n_tables=8)
+    e = {(r["qid"], r["bid"]) for r in exact.collect()}
+    a = {(r["qid"], r["bid"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, recall  # approximate path finds most true neighbours
+    # self-match is always found (same bucket in every table)
+    assert all((q, q) in a for q, _ in e if (q, q) in e)
+
+
+def test_media_features_plumbing(spark):
+    from gdal_boots_spark.sources.synth import interleaved_docs
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    # tile store keyed exactly like media_refs: r0/0/<ty>/<tx>, 8x8 grid
+    grid = RasterGrid("r0", 4326, (0.01, 0.0, 26.0, 0.0, -0.01, 55.0), 8 * 16, 8 * 16, 16, 16, 1, "int32")
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    docs = interleaved_docs(spark, "/root/testdata/sf0.001")
+    out = media_features(docs, tiles)
+    rows = out.collect()
+    n_media = docs.select(F.explode("spans").alias("s")).where(F.col("s.kind") == "media").count()
+    assert len(rows) == n_media > 0
+    r = rows[0]
+    assert len(r["feat"]) == MEDIA_FEATURE_DIM
+    assert r["n_bytes"] == r["width"] * r["height"] * 4
+    # feature vector matches the deterministic reference computation
+    arr = np.frombuffer(
+        tiles.where(F.col("tile_key") == r["media_ref"]).collect()[0]["data"], dtype=np.int32
+    ).reshape(r["height"], r["width"])
+    assert np.allclose(r["feat"], fake_features(arr))
+
+
+def test_media_decode_stub_raises_without_pillow(spark):
+    from gdal_boots_spark.sources.media import _decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        _decode_image(b"\x89PNG\r\n\x1a\n garbage")

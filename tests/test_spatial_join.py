@@ -93,3 +93,14 @@ def test_resample_avg_vs_oracle(spark):
 def test_knn_vs_oracle(spark):
     df = entrymod.queries()["knn"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["knn"], SF_ORACLE)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["exact_dedup", "minhash_pairs", "simhash", "ngram_jaccard", "ann_cosine",
+     "text_quality", "lang_id", "fingerprint"],
+)
+def test_pipeline_queries_vs_oracle(spark, name):
+    df = entrymod.queries()[name](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE,
+                      float_cols=("jaccard", "punct_ratio", "stopword_ratio", "quality"), atol=1e-12)
