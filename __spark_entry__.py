@@ -48,19 +48,15 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile/cell assignment of every geo span at resolution 8."""
-    from gdal_boots_spark.functions.geometry_fns import cell_id_col
+    from gdal_boots_spark.functions.geometry_fns import cell_id_col, point_xy_native
     from gdal_boots_spark.operators.spatial_join import extract_geo_spans
 
     docs = interleaved_docs(spark, sf_dir)
     geo = extract_geo_spans(docs)
-    pt = F.from_json(F.col("text"), "type string, coordinates array<double>")
-    pts = geo.select(
+    x, y, is_point = point_xy_native(F.col("text"))
+    return geo.where(is_point).select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("text"),
-    ).withColumn("g", pt)
-    return pts.select(
-        "doc_id",
-        cell_id_col(F.col("g.coordinates")[0], F.col("g.coordinates")[1], 8).alias("cell_id"),
+        cell_id_col(x, y, 8).alias("cell_id"),
     )
 
 
@@ -68,13 +64,15 @@ def q_geo_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo-span extraction: doc_id + decoded lon/lat (rounded to 6)."""
     from gdal_boots_spark.operators.spatial_join import extract_geo_spans
 
+    from gdal_boots_spark.functions.geometry_fns import point_xy_native
+
     docs = interleaved_docs(spark, sf_dir)
     geo = extract_geo_spans(docs)
-    pt = F.from_json(F.col("text"), "type string, coordinates array<double>")
-    return geo.withColumn("g", pt).select(
+    x, y, is_point = point_xy_native(F.col("text"))
+    return geo.where(is_point).select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.round(F.col("g.coordinates")[0], 6).alias("x"),
-        F.round(F.col("g.coordinates")[1], 6).alias("y"),
+        F.round(x, 6).alias("x"),
+        F.round(y, 6).alias("y"),
     )
 
 

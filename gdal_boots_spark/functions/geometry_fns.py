@@ -66,6 +66,21 @@ def cell_id_col(lon, lat, res: int):
     )
 
 
+def point_xy_native(text):
+    """(x, y, is_point) for a GeoJSON Point string — pure string ops.
+
+    Measured on this box: Spark's ``from_json`` does not scale with
+    cores (JacksonParser contention: 7.0s @8 cores -> 8.3s @32 on 6M
+    strings) while substring/split ops scale near-linearly.  Points
+    have un-nested coordinates, so the last '['..']' span is exactly
+    the coordinate pair.  Non-points take the geojson_decode_udf path.
+    """
+    is_point = text.contains('"Point"')
+    inner = F.substring_index(F.substring_index(text, "[", -1), "]", 1)
+    parts = F.split(inner, ",")
+    return parts[0].cast("double"), parts[1].cast("double"), is_point
+
+
 # --- pandas UDFs ---------------------------------------------------------
 
 def _rows_to_struct_pdf(pgs: list[PackedGeometry | None]) -> pd.DataFrame:

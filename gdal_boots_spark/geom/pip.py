@@ -63,7 +63,11 @@ def points_in_polygon(px, py, coords, ring_offsets, chunk: int = 65536):
     dy = y2 - y1
     dy_safe = np.where(dy == 0.0, 1.0, dy)
     slope = (x2 - x1) / dy_safe
-    max_e = max(1, int(np.ceil(4e6 / max(1, x1.size))))
+    # size the (points x edges) crossing matrix to stay cache-resident:
+    # ~192k f8 elements ≈ 1.5 MB per temporary, x ~4 temporaries < L2/L3
+    # share per core.  Larger budgets go memory-bandwidth-bound and stop
+    # scaling with cores (measured on 32-core local mode).
+    max_e = max(1, int(np.ceil(192_000 / max(1, x1.size))))
     step = min(chunk, max_e)
     for lo in range(0, px.size, step):
         hi = min(lo + step, px.size)

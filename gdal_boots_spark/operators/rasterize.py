@@ -87,19 +87,31 @@ def rasterize(
     g = mask_grid
     at, bv = all_touched, burn
 
-    def render(key, pdf):
+    # NOT groupBy().applyInPandas(): contribution rows are a few bytes
+    # but each group is heavy CPU (a full scanline render), so AQE's
+    # byte-based partition coalescing would collapse the render stage
+    # onto one task.  An explicit repartition-by-number is exempt from
+    # AQE coalescing and spreads the tiles across all cores.
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 2)
+
+    def render_partition(batches):
         import pandas as pd
 
-        ti = int(key[0])
-        ty, tx = ti // g.n_tiles_x, ti % g.n_tiles_x
-        h, w = g.tile_shape(tx, ty)
-        t = g.tile_transform(tx, ty)
-        out = np.zeros((h, w), dtype=np.uint8)
-        for pid in sorted(pdf["poly_id"].tolist()):
-            coords, ro = bpolys.value[int(pid)]
-            rasterize_mask(coords, ro, t, h, w, all_touched=at, out=out, burn=bv)
-        return pd.DataFrame(
-            [
+        pdfs = list(batches)  # contributions are tiny; buffer the partition
+        if not pdfs:
+            return
+        allc = pd.concat(pdfs, ignore_index=True)
+        rows = []
+        for ti, grp in allc.groupby("tile_index"):
+            ti = int(ti)
+            ty, tx = ti // g.n_tiles_x, ti % g.n_tiles_x
+            h, w = g.tile_shape(tx, ty)
+            t = g.tile_transform(tx, ty)
+            out = np.zeros((h, w), dtype=np.uint8)
+            for pid in sorted(grp["poly_id"].tolist()):
+                coords, ro = bpolys.value[int(pid)]
+                rasterize_mask(coords, ro, t, h, w, all_touched=at, out=out, burn=bv)
+            rows.append(
                 {
                     "tile_key": g.tile_key(0, ty, tx),
                     "raster_id": g.raster_id,
@@ -114,10 +126,11 @@ def rasterize(
                     "nodata": None,
                     "data": out.tobytes(),
                 }
-            ]
-        )
+            )
+        if rows:
+            yield pd.DataFrame(rows)
 
-    burned = touched.groupBy("tile_index").applyInPandas(render, schema=TILE_SCHEMA)
+    burned = touched.repartition(n_parts, "tile_index").mapInPandas(render_partition, schema=TILE_SCHEMA)
     if not dense:
         return burned
 

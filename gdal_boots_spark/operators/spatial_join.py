@@ -93,46 +93,55 @@ def pip_join_points(
 
     bpolys = spark.sparkContext.broadcast(packed)
     out_schema = cand.schema
-    xi = cand.columns.index(x_col)
-    yi = cand.columns.index(y_col)
 
     def refine(batches):
-        polys_local = bpolys.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            px = pdf.iloc[:, xi].to_numpy(dtype=np.float64)
-            py = pdf.iloc[:, yi].to_numpy(dtype=np.float64)
-            for pid, idx in pdf.groupby("poly_id").indices.items():
-                coords, ro = polys_local[int(pid)]
-                keep[idx] = points_in_polygon(px[idx], py[idx], coords, ro)
-            yield pdf.loc[keep]
+        # mapInArrow, not mapInPandas: candidate batches stay Arrow
+        # RecordBatches, so id/string columns never materialize as
+        # Python objects — x/y/poly_id come out as zero-copy NumPy and
+        # the keep-mask filter happens in Arrow compute.
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return cand.mapInPandas(refine, schema=out_schema)
+        polys_local = bpolys.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            px = batch.column(x_col).to_numpy(zero_copy_only=False)
+            py = batch.column(y_col).to_numpy(zero_copy_only=False)
+            pids = batch.column("poly_id").to_numpy(zero_copy_only=False)
+            keep = np.zeros(n, dtype=bool)
+            order = np.argsort(pids, kind="stable")
+            bounds = np.searchsorted(pids[order], np.unique(pids))
+            for s, pid in zip(np.split(order, bounds[1:]), np.unique(pids)):
+                if len(s) == 0:
+                    continue
+                coords, ro = polys_local[int(pid)]
+                keep[s] = points_in_polygon(px[s], py[s], coords, ro)
+            out = pa.Table.from_batches([batch]).filter(pa.array(keep))
+            if out.num_rows:
+                yield from out.combine_chunks().to_batches()
+
+    return cand.mapInArrow(refine, schema=out_schema)
 
 
 def pip_join_docs(docs: DataFrame, polys: DataFrame, res: int | None = None) -> DataFrame:
     """Interleaved documents x polygons -> (doc_id, span_pos, poly_id).
 
     Geometry extraction is all codegen: posexplode + filter (spans.py),
-    then Point coordinates via native ``from_json`` — the engine keeps
-    the 10^12-doc hot path JVM-side and enters Python only inside the
-    Arrow-batched ray-cast refinement (pandas UDF surface, SURVEY §2.8).
-    Non-point geo spans fall out of the Point fast path (null coords)
-    and are handled by the general geojson_decode_udf route in the
-    polygon-geometry operators.
+    then Point coordinates via native string ops (point_xy_native — NOT
+    from_json, which does not scale with cores; see its docstring) —
+    the engine keeps the 10^12-doc hot path JVM-side and enters Python
+    only inside the Arrow-batched ray-cast refinement (pandas UDF
+    surface, SURVEY §2.8).  Non-point geo spans fall out of the Point
+    fast path and are handled by the general geojson_decode_udf route
+    in the polygon-geometry operators.
     """
+    from ..functions.geometry_fns import point_xy_native
+
     geo = extract_geo_spans(docs)
-    pt = F.from_json(F.col("text"), "type string, coordinates array<double>")
-    pts = (
-        geo.withColumn("g", pt)
-        .where(F.col("g.type") == "Point")
-        .select(
-            "doc_id",
-            "span_pos",
-            F.col("g.coordinates")[0].alias("x"),
-            F.col("g.coordinates")[1].alias("y"),
-        )
+    x, y, is_point = point_xy_native(F.col("text"))
+    pts = geo.where(is_point).select("doc_id", "span_pos", x.alias("x"), y.alias("y")).where(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
     )
     return pip_join_points(pts, polys, res=res).select("doc_id", "span_pos", "poly_id", "x", "y")

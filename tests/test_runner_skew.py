@@ -1,0 +1,84 @@
+"""M6: resumable stage runner (lineage metrics) + salted join."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_boots_spark.operators.skew import hot_keys, salted_join
+from gdal_boots_spark.plans.runner import StageRunner
+
+
+def test_runner_runs_then_skips(spark, tmp_path):
+    root = str(tmp_path / "pipe")
+    runner = StageRunner(spark, root)
+    calls = {"n": 0}
+
+    def stage_a():
+        calls["n"] += 1
+        return spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+    out1 = runner.run("a", stage_a)
+    assert out1.count() == 100 and calls["n"] == 1
+    # second run: skipped, data read back from checkpoint
+    out2 = runner.run("a", stage_a)
+    assert out2.count() == 100 and calls["n"] == 1
+    assert [e["action"] for e in runner.events] == ["ran", "skipped"]
+    # lineage metrics exist and sum to the row count
+    m = runner.metrics("a")
+    assert m.agg(F.sum("rows")).collect()[0][0] == 100
+    assert m.columns == ["stage", "file", "rows"]
+    # a NEW runner over the same root resumes too (true cross-run resume)
+    runner2 = StageRunner(spark, root)
+    out3 = runner2.run("a", stage_a)
+    assert out3.count() == 100 and calls["n"] == 1
+
+
+def test_runner_fingerprint_invalidates(spark, tmp_path):
+    runner = StageRunner(spark, str(tmp_path / "pipe2"))
+    calls = {"n": 0}
+
+    def stage():
+        calls["n"] += 1
+        return spark.range(10 * calls["n"])
+
+    assert runner.run("s", stage, fingerprint="v1").count() == 10
+    assert runner.run("s", stage, fingerprint="v1").count() == 10
+    assert calls["n"] == 1
+    assert runner.run("s", stage, fingerprint="v2").count() == 20
+    assert calls["n"] == 2
+
+
+def test_runner_resume_identical_output(spark, tmp_path):
+    """Property (SURVEY §5d): checkpoint-resume produces identical rows."""
+    runner = StageRunner(spark, str(tmp_path / "pipe3"))
+
+    def stage():
+        return spark.range(1000).select(F.col("id"), F.md5(F.col("id").cast("string")).alias("h"))
+
+    first = sorted(map(tuple, runner.run("x", stage).collect()))
+    again = sorted(map(tuple, StageRunner(spark, str(tmp_path / "pipe3")).run("x", stage).collect()))
+    assert first == again
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavy skew: 90% of big rows share key 7
+    big = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 100).alias("dim"))
+    plain = {tuple(r) for r in big.join(small, "k").collect()}
+    salted = {tuple(r) for r in salted_join(big, small, "k", salt=8, hot_threshold=1000).collect()}
+    assert salted == plain
+
+
+def test_hot_keys_detects_skew(spark):
+    big = spark.range(10000).select(F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50).alias("k"))
+    hks = {r["k"] for r in hot_keys(big, "k", threshold=1000).collect()}
+    assert hks == {7}
+    # salts actually spread the hot key
+    from gdal_boots_spark.operators.skew import salted_join as _sj  # noqa: F401
+
+    hot = big.where(F.col("k") == 7).withColumn("_salt", F.pmod(F.hash("k", F.rand(1)), F.lit(8)))
+    assert hot.select("_salt").distinct().count() > 1
