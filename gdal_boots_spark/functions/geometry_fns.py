@@ -226,3 +226,22 @@ def point_xy_udf(s: pd.Series) -> pd.DataFrame:
         xs.append(None)
         ys.append(None)
     return pd.DataFrame({"x": xs, "y": ys})
+
+
+@pandas_udf(StringType())
+def make_valid_geojson_udf(s: pd.Series) -> pd.Series:
+    """GeoJSON string -> repaired GeoJSON string (geom.validity;
+    reference make_valid_geojson, geometry.py:160-163).  Batched: one
+    Python call per Arrow batch; per-geometry NumPy arrangement."""
+    from ..geom.validity import make_valid_geojson as _mv
+
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            out.append(json.dumps(_mv(v), separators=(",", ":")))
+        except (ValueError, KeyError, json.JSONDecodeError):
+            out.append(None)
+    return pd.Series(out)
