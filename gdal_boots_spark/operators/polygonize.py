@@ -1,0 +1,224 @@
+"""Distributed polygonize (raster -> vector) with cross-tile stitching.
+
+Reference: ``RasterDataset.to_vector`` (gdal.py:609-623) —
+gdal.Polygonize: 4-connected regions of equal pixel value -> polygons.
+
+Engine shape (the two-stage plan of SURVEY §2.7):
+
+  1. per-tile mapInPandas: label components, emit per-component
+     (value, pixel count, directed boundary edges as an int64 blob,
+     border runs on each tile side);
+  2. adjacency join: border runs meet across a shared tile line when
+     value matches and row/col intervals overlap -> merge pairs;
+  3. union-find over merge pairs (driver-side: the graph has one node
+     per *border-touching component*, not per pixel; an iterative
+     Spark connected-components pass is the swap-in for planet scale);
+  4. groupBy(global component): concat edges, cancel seam pairs, trace
+     rings, emit Polygon (shell + holes) in world coordinates.
+
+Exactness: boundary edges are directed interior-left, so seam edges
+cancel in pairs and the stitched polygon is pixel-exact (validated by
+the PIP round-trip property test).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..geom.polygonize_kernel import (
+    boundary_edges,
+    cancel_paired_edges,
+    label_components,
+    ring_signed_area,
+    trace_rings,
+)
+from ..geom.validity import _interior_point
+from ..sources.tiles import RasterGrid
+
+
+def _per_tile(grid: RasterGrid, exclude):
+    tw, th = grid.tile_w, grid.tile_h
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            comp_rows, border_rows = [], []
+            for _, t in pdf.iterrows():
+                arr = np.frombuffer(t["data"], dtype=np.dtype(t["dtype"])).reshape(t["height"], t["width"])
+                labels, n = label_components(arr, exclude=exclude)
+                if n == 0:
+                    continue
+                tx, ty = int(t["tile_x"]), int(t["tile_y"])
+                r0, c0 = ty * th, tx * tw
+                h, w = arr.shape
+                for lab in range(1, n + 1):
+                    m = labels == lab
+                    val = float(arr[m][0])
+                    edges = boundary_edges(labels, lab, r0=r0, c0=c0)
+                    ckey = f"{tx}_{ty}_{lab}"
+                    comp_rows.append(
+                        {"comp": ckey, "value": val, "npix": int(m.sum()), "edges": edges.tobytes()}
+                    )
+                    # border runs (global pixel indices along each side)
+                    sides = [
+                        ("v", c0, m[:, 0], r0),        # left side at line x=c0
+                        ("v", c0 + w, m[:, -1], r0),   # right side at line x=c0+w
+                        ("h", r0, m[0, :], c0),        # top side at line y=r0
+                        ("h", r0 + h, m[-1, :], c0),   # bottom at line y=r0+h
+                    ]
+                    for axis, line, strip, off in sides:
+                        idx = np.nonzero(strip)[0]
+                        if len(idx) == 0:
+                            continue
+                        # contiguous runs
+                        breaks = np.nonzero(np.diff(idx) > 1)[0]
+                        starts = np.concatenate([[0], breaks + 1])
+                        ends = np.concatenate([breaks, [len(idx) - 1]])
+                        for s, e in zip(starts, ends):
+                            border_rows.append(
+                                {
+                                    "comp": ckey,
+                                    "value": val,
+                                    "axis": axis,
+                                    "line": int(line),
+                                    "lo": int(idx[s] + off),
+                                    "hi": int(idx[e] + off + 1),
+                                }
+                            )
+            if comp_rows:
+                yield pd.DataFrame(
+                    {
+                        "kind": ["c"] * len(comp_rows) + ["b"] * len(border_rows),
+                        "payload": [json.dumps({k: v for k, v in r.items() if k != "edges"}) for r in comp_rows]
+                        + [json.dumps(r) for r in border_rows],
+                        "edges": [r["edges"] for r in comp_rows] + [None] * len(border_rows),
+                    }
+                )
+
+    return fn
+
+
+def polygonize(
+    spark: SparkSession, tiles: DataFrame, grid: RasterGrid, exclude=None, band: int = 0
+) -> DataFrame:
+    """-> (comp_id string, value double, n_pixels long, geojson string)."""
+    src = tiles.where(F.col("band") == band).select("tile_x", "tile_y", "width", "height", "dtype", "data")
+    raw = src.mapInPandas(_per_tile(grid, exclude), schema="kind string, payload string, edges binary").persist()
+
+    comps = raw.where(F.col("kind") == "c").select(
+        F.get_json_object("payload", "$.comp").alias("comp"),
+        F.get_json_object("payload", "$.value").cast("double").alias("value"),
+        F.get_json_object("payload", "$.npix").cast("long").alias("npix"),
+        "edges",
+    )
+    borders = raw.where(F.col("kind") == "b").select(
+        F.get_json_object("payload", "$.comp").alias("comp"),
+        F.get_json_object("payload", "$.value").cast("double").alias("value"),
+        F.get_json_object("payload", "$.axis").alias("axis"),
+        F.get_json_object("payload", "$.line").cast("long").alias("line"),
+        F.get_json_object("payload", "$.lo").cast("long").alias("lo"),
+        F.get_json_object("payload", "$.hi").cast("long").alias("hi"),
+    )
+
+    a = borders.alias("a")
+    b = borders.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.axis") == F.col("b.axis"))
+            & (F.col("a.line") == F.col("b.line"))
+            & (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.comp") < F.col("b.comp"))
+            & (F.col("a.lo") < F.col("b.hi"))
+            & (F.col("b.lo") < F.col("a.hi")),
+        )
+        .select(F.col("a.comp").alias("x"), F.col("b.comp").alias("y"))
+        .distinct()
+        .collect()
+    )
+
+    # driver union-find over border-touching components
+    parent: dict[str, str] = {}
+
+    def find(u):
+        parent.setdefault(u, u)
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for r in pairs:
+        ru, rv = find(r["x"]), find(r["y"])
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    mapping = {u: find(u) for u in list(parent)}
+    bmap = spark.sparkContext.broadcast(mapping)
+
+    @F.pandas_udf("string")
+    def gid_of(comp):
+        import pandas as pd
+
+        m = bmap.value
+        return pd.Series([m.get(c, c) for c in comp])
+
+    g = grid
+    a_, b_, c_, d_, e_, f_ = g.transform
+
+    def assemble(key, pdf):
+        import pandas as pd
+
+        edges = np.concatenate(
+            [np.frombuffer(x, dtype=np.int64).reshape(-1, 4) for x in pdf["edges"]]
+        )
+        edges = cancel_paired_edges(edges)
+        rings = trace_rings(edges)
+        shells, holes = [], []
+        for r in rings:
+            (shells if ring_signed_area(r) > 0 else holes).append(r)
+        # world transform: corner (x=col, y=row) -> world
+        def world(r):
+            xs = a_ * r[:, 0] + b_ * r[:, 1] + c_
+            ys = d_ * r[:, 0] + e_ * r[:, 1] + f_
+            return np.column_stack([xs, ys]).tolist()
+
+        polys = []
+        for s in shells:
+            rs = [world(s)]
+            for h in holes:
+                ip = _interior_point([tuple(p) for p in h.tolist()])
+                if ip is not None:
+                    # hole belongs to the shell containing it (pixel frame)
+                    from ..geom.pip import points_in_polygon
+
+                    inside = points_in_polygon(
+                        np.array([ip[0]]), np.array([ip[1]]),
+                        s.astype(np.float64).ravel(), np.asarray([0, len(s)], np.int32),
+                    )[0]
+                    if inside:
+                        rs.append(world(h))
+            polys.append(rs)
+        if len(polys) == 1:
+            gj = {"type": "Polygon", "coordinates": polys[0]}
+        else:
+            gj = {"type": "MultiPolygon", "coordinates": polys}
+        return pd.DataFrame(
+            [
+                {
+                    "comp_id": str(key[0]),
+                    "value": float(pdf["value"].iloc[0]),
+                    "n_pixels": int(pdf["npix"].sum()),
+                    "geojson": json.dumps(gj, separators=(",", ":")),
+                }
+            ]
+        )
+
+    merged = comps.withColumn("gid", gid_of(F.col("comp")))
+    out = merged.groupBy("gid").applyInPandas(
+        assemble, schema="comp_id string, value double, n_pixels long, geojson string"
+    )
+    return out

@@ -1,0 +1,91 @@
+"""Polygonize: pixel-exact raster->vector with cross-tile stitching.
+
+Reference contract: to_vector (gdal.py:609-623) — 4-connected equal
+value regions become polygons (shape-level assertions,
+test_raster.py:116-140).  Strong oracle here: PIP round-trip — every
+pixel center must be inside exactly the polygon of its own component.
+"""
+
+import json
+
+import numpy as np
+
+from gdal_boots_spark.geom.packed import from_geojson
+from gdal_boots_spark.geom.pip import points_in_packed
+from gdal_boots_spark.operators.polygonize import polygonize
+from gdal_boots_spark.sources.tiles import RasterGrid, array_to_tiles
+
+
+def _grid_for(arr, tile=4, rid="pz"):
+    return RasterGrid(rid, 4326, (1.0, 0.0, 0.0, 0.0, 1.0, 0.0), arr.shape[1], arr.shape[0], tile, tile, 1, str(arr.dtype))
+
+
+def _pip_roundtrip(spark, arr, exclude=None, tile=4):
+    grid = _grid_for(arr, tile=tile)
+    tiles = array_to_tiles(spark, arr, grid)
+    rows = polygonize(spark, tiles, grid, exclude=exclude).collect()
+    # identity transform (a=1, e=+1): world == pixel-corner coords
+    from gdal_boots_spark.geom.polygonize_kernel import label_components
+
+    labels, n = label_components(arr, exclude=exclude)
+    assert len(rows) == n, (len(rows), n)
+    total_px = sum(r["n_pixels"] for r in rows)
+    assert total_px == int((labels > 0).sum())
+    jj, ii = np.meshgrid(np.arange(arr.shape[1]) + 0.5, np.arange(arr.shape[0]) + 0.5)
+    for r in rows:
+        pg = from_geojson(r["geojson"])
+        inside = points_in_packed(jj.ravel(), ii.ravel(), pg).reshape(arr.shape)
+        # the polygon contains exactly the pixels of ONE component with
+        # this value and the right pixel count
+        assert inside.sum() == r["n_pixels"], r
+        vals = arr[inside]
+        assert (vals == r["value"]).all(), r
+        lab_inside = labels[inside]
+        assert len(set(lab_inside.tolist())) == 1
+    return rows
+
+
+def test_polygonize_basic_regions(spark):
+    arr = np.zeros((8, 12), np.int32)
+    arr[1:4, 1:5] = 7
+    arr[5:7, 2:11] = 9  # spans multiple 4px tiles
+    arr[0:8, 11:12] = 7  # separate component, same value
+    _pip_roundtrip(spark, arr, exclude=0)
+
+
+def test_polygonize_hole_across_tiles(spark):
+    arr = np.zeros((10, 10), np.int32)
+    arr[1:9, 1:9] = 5
+    arr[3:6, 3:7] = 0  # hole crossing the tile boundary at col 4
+    rows = _pip_roundtrip(spark, arr, exclude=0)
+    big = max(rows, key=lambda r: r["n_pixels"])
+    gj = json.loads(big["geojson"])
+    assert gj["type"] == "Polygon" and len(gj["coordinates"]) == 2  # shell + hole
+
+
+def test_polygonize_diagonal_not_connected(spark):
+    arr = np.zeros((6, 6), np.int32)
+    arr[0:3, 0:3] = 2
+    arr[3:6, 3:6] = 2  # touches only at a corner -> 2 components
+    rows = _pip_roundtrip(spark, arr, exclude=0)
+    assert len(rows) == 2
+
+
+def test_polygonize_all_values_no_exclude(spark):
+    arr = np.array([[1, 1, 2], [1, 2, 2], [3, 3, 3]], np.int32)
+    rows = _pip_roundtrip(spark, arr, exclude=None, tile=2)
+    assert {r["value"] for r in rows} == {1.0, 2.0, 3.0}
+
+
+def test_polygonize_world_transform(spark):
+    arr = np.zeros((4, 4), np.int32)
+    arr[1:3, 1:3] = 8
+    grid = RasterGrid("wt", 4326, (0.5, 0.0, 10.0, 0.0, -0.5, 20.0), 4, 4, 2, 2, 1, "int32")
+    tiles = array_to_tiles(spark, arr, grid)
+    rows = polygonize(spark, tiles, grid, exclude=0).collect()
+    assert len(rows) == 1
+    ring = json.loads(rows[0]["geojson"])["coordinates"][0]
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    assert (min(xs), max(xs)) == (10.5, 11.5)  # cols 1..3 at res 0.5
+    assert (min(ys), max(ys)) == (18.5, 19.5)  # rows 1..3, y-flip
