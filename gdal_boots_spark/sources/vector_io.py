@@ -1,0 +1,98 @@
+"""Vector I/O: GeoJSON FeatureCollection <-> features DataFrame.
+
+Reference: VectorDataset.open (gdal.py:1197-1205, file path or inline
+GeoJSON string), to_file (gdal.py:1225-1263 — overwrite-by-delete, error
+when the target exists and overwrite=False, test_raster.py:138-140),
+from_bytes (gdal.py:1265-1274).
+
+A whole-file GeoJSON FeatureCollection is not splittable, so `read_geojson`
+parses on the driver (vector layers are dimension-sized); the scale path
+is `read_ndjson`/`write_ndjson` — one feature per line via the native
+JSON datasource.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = "fid long, gtype string, geojson string, props_json string"
+
+
+def read_geojson(spark: SparkSession, src: str) -> DataFrame:
+    """Path to a .geojson file OR an inline GeoJSON string (the
+    reference accepts both, gdal.py:860,1197)."""
+    if os.path.exists(src):
+        with open(src) as f:
+            obj = json.load(f)
+    else:
+        obj = json.loads(src)
+    if obj.get("type") == "FeatureCollection":
+        feats = obj.get("features", [])
+    elif obj.get("type") == "Feature":
+        feats = [obj]
+    else:  # bare geometry
+        feats = [{"type": "Feature", "geometry": obj, "properties": {}}]
+    rows = []
+    for i, ft in enumerate(feats):
+        geom = ft.get("geometry") or {}
+        rows.append(
+            (
+                int(ft.get("id", i)) if str(ft.get("id", i)).isdigit() else i,
+                geom.get("type"),
+                json.dumps(geom, separators=(",", ":")),
+                json.dumps(ft.get("properties") or {}, separators=(",", ":")),
+            )
+        )
+    return spark.createDataFrame(rows, FEATURE_SCHEMA)
+
+
+def write_geojson(df: DataFrame, path: str, overwrite: bool = False) -> None:
+    """features DataFrame -> one FeatureCollection file.
+
+    Overwrite semantics of the reference to_file (gdal.py:1250-1256):
+    raises when the file exists and overwrite=False."""
+    if os.path.exists(path):
+        if not overwrite:
+            raise FileExistsError(path)
+        os.remove(path)
+    rows = df.select("fid", "geojson", "props_json").collect()
+    feats = [
+        {
+            "type": "Feature",
+            "id": r["fid"],
+            "geometry": json.loads(r["geojson"]),
+            "properties": json.loads(r["props_json"] or "{}"),
+        }
+        for r in rows
+    ]
+    with open(path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+
+
+def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
+    """Scale path: newline-delimited GeoJSON features via the native
+    (splittable, pushdown-capable) JSON datasource."""
+    raw = spark.read.json(path)
+    return raw.select(
+        F.coalesce(F.col("id"), F.monotonically_increasing_id()).cast("long").alias("fid"),
+        F.col("geometry.type").alias("gtype"),
+        F.to_json("geometry").alias("geojson"),
+        F.to_json("properties").alias("props_json"),
+    )
+
+
+def write_ndjson(df: DataFrame, path: str, mode: str = "error") -> None:
+    df.select(
+        F.col("fid").alias("id"),
+        F.from_json("geojson", "type string, coordinates string").alias("_g"),
+        "geojson",
+        "props_json",
+    ).select(
+        F.col("id"),
+        F.col("geojson"),
+        F.col("props_json"),
+    ).write.mode(mode).json(path)

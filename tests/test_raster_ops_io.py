@@ -1,0 +1,129 @@
+"""Parity small ops: as_type, band ops, window write, meta codec,
+PNG codec round-trip, vector GeoJSON I/O, writer options."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gdal_boots_spark.operators.raster_ops import (
+    add_band,
+    as_type,
+    is_valid,
+    meta_decode,
+    meta_encode,
+    select_band,
+    write_window,
+)
+from gdal_boots_spark.sources.options import PNG, GeoJSONOptions, GTiffLike
+from gdal_boots_spark.sources.png import decode_png, encode_png
+from gdal_boots_spark.sources.tiles import RasterGrid, array_to_tiles, generate_tiles, ramp_fill, tiles_to_array
+from gdal_boots_spark.sources.vector_io import read_geojson, write_geojson
+
+
+def _ramp(spark, bands=1):
+    grid = RasterGrid("ro", 4326, (1.0, 0.0, 0.0, 0.0, -1.0, 6.0), 8, 6, 4, 4, bands, "int32")
+    return generate_tiles(spark, grid, ramp_fill), grid
+
+
+def test_as_type(spark):
+    tiles, grid = _ramp(spark)
+    out, og = as_type(tiles, grid, "float64")
+    assert og.dtype == "float64"
+    arr = tiles_to_array(out, og)
+    assert arr.dtype == np.float64
+    assert np.array_equal(arr, np.arange(1, 49).reshape(6, 8))
+
+
+def test_band_select_and_add(spark):
+    tiles, grid = _ramp(spark, bands=2)
+    assert select_band(tiles, 1).count() == grid.n_tiles_x * grid.n_tiles_y
+    extra, eg = _ramp(spark)
+    out, og = add_band(tiles, grid, extra)
+    assert og.bands == 3
+    assert out.where("band = 2").count() == grid.n_tiles_x * grid.n_tiles_y
+
+
+def test_write_window_scalar_broadcast(spark):
+    # reference __setitem__ scalar broadcast (gdal.py:459-460)
+    tiles, grid = _ramp(spark)
+    out = write_window(tiles, grid, (2, 1, 6, 4), 99)
+    arr = tiles_to_array(out, grid)
+    exp = np.arange(1, 49).reshape(6, 8).copy()
+    exp[1:4, 2:6] = 99
+    assert np.array_equal(arr, exp)
+
+
+def test_is_valid(spark):
+    tiles, grid = _ramp(spark)
+    rows = is_valid(tiles).collect()
+    assert all(r["ok"] for r in rows) and len(rows) == 4
+
+
+def test_meta_codec_roundtrip():
+    # gdal.py:230-239 'json:' convention (golden style test_raster.py:563-625)
+    meta = {"one": 1, "name": "s2", "nested": {"a": [1, 2]}, "f": 1.4}
+    enc = meta_encode(meta)
+    assert enc["name"] == "s2" and enc["one"] == "json:1"
+    assert meta_decode(enc) == meta
+
+
+def test_png_roundtrip_gray8():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_roundtrip_gray16_and_rgb():
+    rng = np.random.default_rng(9)
+    img16 = rng.integers(0, 65536, (21, 17), dtype=np.uint16)
+    assert np.array_equal(decode_png(encode_png(img16)), img16)
+    rgb = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+
+
+def test_png_magic_and_zlevel():
+    img = np.zeros((64, 64), np.uint8)
+    data = encode_png(img, zlevel=9)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"  # magic golden (test_raster.py:90-113 style)
+    assert len(encode_png(img, zlevel=0)) > len(data)
+
+
+def test_vector_geojson_roundtrip(spark, tmp_path):
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "id": 1, "geometry": {"type": "Point", "coordinates": [27.5, 53.9]},
+             "properties": {"name": "a", "rank": 3}},
+            {"type": "Feature", "id": 2, "geometry": {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 0]]]},
+             "properties": {"name": "b"}},
+        ],
+    }
+    p = str(tmp_path / "x.geojson")
+    with open(p, "w") as f:
+        json.dump(fc, f)
+    df = read_geojson(spark, p)
+    assert df.count() == 2
+    assert {r["gtype"] for r in df.collect()} == {"Point", "Polygon"}
+
+    out = str(tmp_path / "y.geojson")
+    write_geojson(df, out)
+    back = read_geojson(spark, out)
+    assert sorted(r["geojson"] for r in back.collect()) == sorted(r["geojson"] for r in df.collect())
+    # overwrite=False on existing -> error (test_raster.py:138-140 semantics)
+    with pytest.raises(FileExistsError):
+        write_geojson(df, out)
+    write_geojson(df, out, overwrite=True)
+    # inline GeoJSON string input (gdal.py:860)
+    inline = read_geojson(spark, json.dumps({"type": "Point", "coordinates": [1.0, 2.0]}))
+    assert inline.count() == 1
+
+
+def test_driver_options_encoding():
+    # reference GTiff drops zlevel unless deflate (options.py:88-92)
+    assert "ZLEVEL" in GTiffLike(compress="deflate").encode()
+    assert "ZLEVEL" not in GTiffLike(compress="zstd").encode()
+    assert GTiffLike(compress="zstd").parquet_options() == {"compression": "zstd"}
+    assert PNG(zlevel=9).encode() == {"ZLEVEL": "9"}
+    assert GeoJSONOptions().encode()["COORDINATE_PRECISION"] == "15"
