@@ -175,6 +175,26 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "bid", F.col("rank").alias("rnk"))
 
 
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster->vector (to_vector, gdal.py:609-623): burn the 12 DISJOINT
+    grid rectangles (poly_id < 100) at res 0.01, polygonize with
+    cross-tile stitching, emit per-component pixel counts.  Each rect is
+    one 4-connected component, so the oracle computes every component's
+    center-coverage count analytically."""
+    from gdal_boots_spark.operators.polygonize import polygonize
+    from gdal_boots_spark.operators.rasterize import rasterize
+    from gdal_boots_spark.sources.tiles import RasterGrid
+
+    grid = RasterGrid(
+        raster_id="pzq", epsg=4326, transform=(0.01, 0.0, 26.0, 0.0, -0.01, 55.0),
+        width=300, height=200, tile_w=64, tile_h=64, bands=1, dtype="uint8",
+    )
+    polys = rect_polygons_df(spark).where(F.col("poly_id") < 100)
+    tiles = rasterize(spark, polys, grid, all_touched=False, dense=True)
+    out = polygonize(spark, tiles, grid, exclude=0)
+    return out.select("n_pixels")
+
+
 # --- training-data pipeline queries (dedup / similarity / text) ----------
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_counts": q_span_counts,
         "point_sampling": q_point_sampling,
         "rasterize_hist": q_rasterize,
+        "polygonize": q_polygonize,
         "resample_avg": q_resample_avg,
         "knn": q_knn,
         "exact_dedup": q_exact_dedup,
@@ -473,6 +494,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT i.range AS row, j.range AS col,
                    CAST((i.range * 4 + 1.5) * 64.0 + (j.range * 4 + 1.5) + 1.0 AS DOUBLE) AS value
             FROM range(12) i, range(16) j
+        """,
+        "polygonize": f"""
+            WITH px AS (
+              SELECT 26.005 + cx.range * 0.01 AS x,
+                     54.995 - cy.range * 0.01 AS y
+              FROM range(300) cx, range(200) cy
+            ), rects AS (
+              SELECT * FROM {rects_sql_values('p')} WHERE poly_id < 100
+            )
+            SELECT COUNT(*) AS n_pixels
+            FROM rects r JOIN px
+              ON px.x > r.minx AND px.x < r.maxx AND px.y > r.miny AND px.y < r.maxy
+            GROUP BY r.poly_id
         """,
         "rasterize_hist": f"""
             WITH px AS (

@@ -1,0 +1,88 @@
+"""Structured Streaming surface: incremental span extraction + cell
+assignment over an interleaved-documents stream.
+
+The reference has no streaming (SURVEY §2.10) and the north rule asks
+for *resumability* (plans/runner.py), not streams — but the engine's
+narrow extraction pipeline is stateless, so exposing it as a streaming
+query is free and gives continuous-ingest deployments the same
+operators: readStream(parquet dir) -> posexplode -> point decode ->
+native cell ids -> writeStream (append), or a watermarked windowed
+count per cell for monitoring.
+
+All transformations reuse the batch code paths (spans.explode_spans,
+point_xy_native, cell_id_col) — one logical plan serving both modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geometry_fns import cell_id_col, point_xy_native
+from ..operators.spans import explode_spans
+
+
+def _geo_cells(docs: DataFrame, res: int) -> DataFrame:
+    geo = explode_spans(docs).where(F.col("kind") == "geo")
+    x, y, is_point = point_xy_native(F.col("text"))
+    return geo.where(is_point).select(
+        "doc_id", "span_pos", cell_id_col(x, y, res).alias("cell_id")
+    )
+
+
+def stream_cell_assign(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    res: int = 8,
+    trigger_available_now: bool = True,
+):
+    """Continuous doc->cell assignment: parquet dir in, parquet out.
+
+    availableNow=True drains the current backlog and stops (used by
+    tests and catch-up runs); otherwise it runs as a continuous
+    micro-batch stream.
+    """
+    docs = spark.readStream.schema(
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    ).parquet(input_dir)
+    out = _geo_cells(docs, res)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_cell_counts(
+    spark: SparkSession,
+    input_dir: str,
+    res: int = 8,
+    event_time_col: str | None = None,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Windowed per-cell document counts (monitoring stream).
+
+    With an event-time column, applies a watermark so late data beyond
+    `watermark` is dropped and state is bounded; without one, a simple
+    running aggregate (complete mode).
+    """
+    docs = spark.readStream.schema(
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        + (f", {event_time_col} timestamp" if event_time_col else "")
+    ).parquet(input_dir)
+    cells = _geo_cells(
+        docs if not event_time_col else docs.withWatermark(event_time_col, watermark), res
+    )
+    if event_time_col:
+        joined = docs.select("doc_id", event_time_col).join(cells, "doc_id")
+        return joined.groupBy(F.window(event_time_col, window), "cell_id").agg(
+            F.count("*").alias("n_docs")
+        )
+    return cells.groupBy("cell_id").agg(F.count("*").alias("n_docs"))

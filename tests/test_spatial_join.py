@@ -104,3 +104,8 @@ def test_pipeline_queries_vs_oracle(spark, name):
     df = entrymod.queries()[name](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE,
                       float_cols=("jaccard", "punct_ratio", "stopword_ratio", "quality"), atol=1e-12)
+
+
+def test_polygonize_vs_oracle(spark):
+    df = entrymod.queries()["polygonize"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["polygonize"], SF_ORACLE)
