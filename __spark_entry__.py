@@ -195,6 +195,42 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_pixels")
 
 
+def q_geom_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-geometry UDF pipeline: GeoJSON decode -> envelope
+    (Feature.bounds, gdal.py:961-962) over the polygon dim."""
+    from gdal_boots_spark.functions.geometry_fns import geojson_decode_udf, geom_bounds_udf
+
+    polys = rect_polygons_df(spark)
+    g = polys.withColumn("geom", geojson_decode_udf(F.col("geojson")))
+    b = g.withColumn("b", geom_bounds_udf(F.col("geom")))
+    return b.select(
+        "poly_id",
+        F.col("b.minx").alias("bminx"),
+        F.col("b.miny").alias("bminy"),
+        F.col("b.maxx").alias("bmaxx"),
+        F.col("b.maxy").alias("bmaxy"),
+    )
+
+
+def q_crs_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized CRS transform (geometry.py:142-145 semantics): doc geo
+    points 4326 -> 3857 via the packed-geometry transform UDF, rounded
+    to cm.  Oracle uses the identical closed-form Web-Mercator
+    expression (same operation order, bit-compatible)."""
+    from gdal_boots_spark.functions.geometry_fns import geojson_decode_udf, transform_geom_udf
+    from gdal_boots_spark.operators.spatial_join import extract_geo_spans
+
+    docs = interleaved_docs(spark, sf_dir)
+    geo = extract_geo_spans(docs)
+    g = geo.withColumn("geom", geojson_decode_udf(F.col("text")))
+    t = g.withColumn("tg", transform_geom_udf(4326, 3857)(F.col("geom")))
+    return t.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("tg.coords")[0], 2).alias("mx"),
+        F.round(F.col("tg.coords")[1], 2).alias("my"),
+    )
+
+
 # --- training-data pipeline queries (dedup / similarity / text) ----------
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,6 +308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_sampling": q_point_sampling,
         "rasterize_hist": q_rasterize,
         "polygonize": q_polygonize,
+        "geom_bounds": q_geom_bounds,
+        "crs_3857": q_crs_3857,
         "resample_avg": q_resample_avg,
         "knn": q_knn,
         "exact_dedup": q_exact_dedup,
@@ -494,6 +532,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT i.range AS row, j.range AS col,
                    CAST((i.range * 4 + 1.5) * 64.0 + (j.range * 4 + 1.5) + 1.0 AS DOUBLE) AS value
             FROM range(12) i, range(16) j
+        """,
+        "geom_bounds": f"""
+            SELECT poly_id,
+                   CAST(minx AS DOUBLE) AS bminx, CAST(miny AS DOUBLE) AS bminy,
+                   CAST(maxx AS DOUBLE) AS bmaxx, CAST(maxy AS DOUBLE) AS bmaxy
+            FROM {rects_sql_values('p')}
+        """,
+        "crs_3857": f"""
+            WITH {_GEO_CTE},
+            r AS (
+              SELECT doc_id,
+                     ROUND(CAST(x AS DOUBLE), 6) AS xr,
+                     ROUND(CAST(y AS DOUBLE), 6) AS yr
+              FROM geo
+            )
+            SELECT doc_id,
+                   ROUND(6378137.0 * (xr * (PI() / 180.0)), 2) AS mx,
+                   ROUND(6378137.0 * LN(TAN(PI() / 4.0 + (yr * (PI() / 180.0)) / 2.0)), 2) AS my
+            FROM r
         """,
         "polygonize": f"""
             WITH px AS (

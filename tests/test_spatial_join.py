@@ -109,3 +109,10 @@ def test_pipeline_queries_vs_oracle(spark, name):
 def test_polygonize_vs_oracle(spark):
     df = entrymod.queries()["polygonize"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["polygonize"], SF_ORACLE)
+
+
+@pytest.mark.parametrize("name", ["geom_bounds", "crs_3857"])
+def test_udf_pipeline_vs_oracle(spark, name):
+    df = entrymod.queries()[name](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE,
+                      float_cols=("mx", "my", "bminx", "bminy", "bmaxx", "bmaxy"), atol=1e-9)
