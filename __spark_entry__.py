@@ -172,7 +172,7 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(53.0) + ((sk * 9973) % 2000).cast("double") / 1000.0).alias("y"),
     )
     out = knn_join(query, base, k=3)
-    return out.select("qid", "bid", F.col("rank").alias("rnk"))
+    return out.select("qid", "bid", F.col("rank").cast("long").alias("rnk"))
 
 
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,7 +266,7 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") % 50 == 0)
-    return cosine_topk(queries_df, emb, k=5).select("qid", "bid", F.col("rank").alias("rnk"))
+    return cosine_topk(queries_df, emb, k=5).select("qid", "bid", F.col("rank").cast("long").alias("rnk"))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,8 +391,8 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT doc_id,
-                   list_sum([CASE WHEN votes[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
-                             for j in generate_series(0, 31)]) AS simhash
+                   CAST(list_sum([CASE WHEN votes[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+                             for j in generate_series(0, 31)]) AS BIGINT) AS simhash
             FROM v
         """,
         "ngram_jaccard": f"""
@@ -471,7 +471,7 @@ def oracle_sql() -> dict[str, str]:
     return dedup_text_oracles | {
         "pip_join": f"""
             WITH {_GEO_CTE}
-            SELECT g.doc_id AS doc_id, p.poly_id AS poly_id
+            SELECT g.doc_id AS doc_id, CAST(p.poly_id AS BIGINT) AS poly_id
             FROM geo g
             JOIN {rects_sql_values('p')}
               ON g.x >= p.minx AND g.x < p.maxx
@@ -534,7 +534,7 @@ def oracle_sql() -> dict[str, str]:
             FROM range(12) i, range(16) j
         """,
         "geom_bounds": f"""
-            SELECT poly_id,
+            SELECT CAST(poly_id AS BIGINT) AS poly_id,
                    CAST(minx AS DOUBLE) AS bminx, CAST(miny AS DOUBLE) AS bminy,
                    CAST(maxx AS DOUBLE) AS bmaxx, CAST(maxy AS DOUBLE) AS bmaxy
             FROM {rects_sql_values('p')}
@@ -571,19 +571,19 @@ def oracle_sql() -> dict[str, str]:
                      54.995 - cy.range * 0.01 AS y
               FROM range(300) cx, range(200) cy
             ), cov AS (
-              SELECT CASE WHEN EXISTS (
+              SELECT CAST(CASE WHEN EXISTS (
                        SELECT 1 FROM {rects_sql_values('p')}
                        WHERE px.x > p.minx AND px.x < p.maxx
                          AND px.y > p.miny AND px.y < p.maxy
-                     ) THEN 1.0 ELSE 0.0 END AS value
+                     ) THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value
               FROM px
             )
             SELECT value, COUNT(*) AS cnt FROM cov GROUP BY value
         """,
         "span_counts": f"""
             SELECT doc_id,
-                   2 + CASE WHEN doc_id % 10 IN (0,1,2) THEN 1 ELSE 0 END
-                     + CASE WHEN doc_id % 10 IN (8,9) THEN 1 ELSE 0 END AS n_spans,
+                   CAST(2 + CASE WHEN doc_id % 10 IN (0,1,2) THEN 1 ELSE 0 END
+                     + CASE WHEN doc_id % 10 IN (8,9) THEN 1 ELSE 0 END AS BIGINT) AS n_spans,
                    CAST(CASE WHEN doc_id % 10 IN (0,1,2) THEN 1 ELSE 0 END AS BIGINT) AS n_geo,
                    CAST(CASE WHEN doc_id % 10 IN (8,9) THEN 1 ELSE 0 END AS BIGINT) AS n_media
             FROM documents
