@@ -231,6 +231,86 @@ def q_crs_3857(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crop_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crop_by_geometry (gdal.py:819-888) end-to-end: 80x60 ramp raster
+    at res 0.25, rectangular cutline, center-coverage mask, nodata 0 —
+    per-value histogram of the masked window.  Window snap, mask
+    coverage, and kept ramp values are all closed-form for the oracle."""
+    from gdal_boots_spark.operators.crop import crop_by_geometry
+    from gdal_boots_spark.operators.stats import tile_histogram
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid(
+        raster_id="ch", epsg=4326, transform=(0.25, 0.0, 0.0, 0.0, -0.25, 15.0),
+        width=80, height=60, tile_w=16, tile_h=16, bands=1, dtype="int32", nodata=0.0,
+    )
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    # quarter-aligned-but-offset rect: snaps outward by the fast_warp rule
+    cut = {
+        "type": "Polygon",
+        "coordinates": [[[3.2, 4.2], [12.7, 4.2], [12.7, 11.7], [3.2, 11.7], [3.2, 4.2]]],
+    }
+    masked, _, og = crop_by_geometry(spark, tiles, grid, cut, all_touched=False)
+    return tile_histogram(masked).select("value", "cnt")
+
+
+def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mosaic last-wins (union goldens test_raster.py:628-645 semantics):
+    two overlapping ramp rasters, second shifted 8px right/4px down and
+    offset +100000 in value; emit the merged pixel table."""
+    from gdal_boots_spark.operators.mosaic import mosaic
+    from gdal_boots_spark.operators.stats import tiles_to_pixels
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    g1 = RasterGrid("m1", 4326, (0.25, 0.0, 0.0, 0.0, -0.25, 10.0), 32, 24, 16, 16, 1, "int32")
+    g2 = RasterGrid("m2", 4326, (0.25, 0.0, 2.0, 0.0, -0.25, 9.0), 32, 24, 16, 16, 1, "int32")
+    t1 = generate_tiles(spark, g1, ramp_fill)
+
+    def fill2(band, ty, tx, h, w, g):
+        return ramp_fill(band, ty, tx, h, w, g) + 100000
+
+    t2 = generate_tiles(spark, g2, fill2)
+    out, og = mosaic(spark, [(t1, g1), (t2, g2)])
+    return tiles_to_pixels(out, og.tile_w, og.tile_h).select("row", "col", "value")
+
+
+def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster reprojection 4326 -> 3857 (warp out_epsg arm,
+    gdal.py:716-719), nearest kernel, EXPLICIT output grid so the
+    oracle can run the same inverse mapping in closed form."""
+    from gdal_boots_spark.operators.reproject import reproject
+    from gdal_boots_spark.operators.stats import tiles_to_pixels
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    src = RasterGrid("rpq", 4326, (0.05, 0.0, 26.0, 0.0, -0.05, 55.0), 64, 48, 16, 16, 1, "int32")
+    tiles = generate_tiles(spark, src, ramp_fill)
+    # fixed dst grid over the same area in meters (constants mirrored in SQL)
+    dst = RasterGrid(
+        "rpq_prj", 3857, (6000.0, 0.0, 2894000.0, 0.0, -6000.0, 7362000.0),
+        width=60, height=48, tile_w=16, tile_h=16, bands=1, dtype="int32",
+    )
+    out, og = reproject(tiles, src, 3857, kernel="nearest", out_grid=dst)
+    return tiles_to_pixels(out, og.tile_w, og.tile_h).select("row", "col", "value")
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew handling (north_rule): lineitem (heavily reusing
+    supplier keys) joined to supplier through the hot-key salted join;
+    result rows are identical to the plain join, which IS the oracle."""
+    from gdal_boots_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    out = salted_join(li, supp, "l_suppkey", salt=8, hot_threshold=100)
+    return out.groupBy("l_suppkey", "s_nationkey").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 3).alias("qty")
+    )
+
+
 # --- training-data pipeline queries (dedup / similarity / text) ----------
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,6 +389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_hist": q_rasterize,
         "polygonize": q_polygonize,
         "geom_bounds": q_geom_bounds,
+        "crop_hist": q_crop_hist,
+        "mosaic": q_mosaic,
+        "reproject": q_reproject,
+        "salted_join": q_salted_join,
         "crs_3857": q_crs_3857,
         "resample_avg": q_resample_avg,
         "knn": q_knn,
@@ -336,6 +420,41 @@ geo AS (
   WHERE {SQL_HAS_GEO}
 )
 """
+
+
+def _reproject_oracle_sql() -> str:
+    """Inverse-mapping oracle for q_reproject: identical formula shape
+    AND identical floating-point constants (the source grid's inverse
+    affine is embedded with full double precision, so the oracle's
+    pixel math is bit-compatible with the engine's)."""
+    from gdal_boots_spark.geom.affine import invert_transform
+
+    ia, ib, ic, id_, ie, if_ = invert_transform((0.05, 0.0, 26.0, 0.0, -0.05, 55.0))
+    r = 6378137.0
+    return f"""
+        WITH px AS (
+          SELECT cy.range AS row, cx.range AS col FROM range(60) cx, range(48) cy
+        ), world AS (
+          SELECT row, col,
+                 2894000.0 + (col + 0.5) * 6000.0 AS wx,
+                 7362000.0 - (row + 0.5) * 6000.0 AS wy
+          FROM px
+        ), ll AS (
+          SELECT row, col,
+                 DEGREES(wx / {r!r}) AS lon,
+                 DEGREES(2.0 * ATAN(EXP(wy / {r!r})) - PI() / 2.0) AS lat
+          FROM world
+        ), src AS (
+          SELECT row, col,
+                 CAST(FLOOR({ia!r} * lon + {ic!r}) AS BIGINT) AS px_,
+                 CAST(FLOOR({ie!r} * lat + {if_!r}) AS BIGINT) AS py_
+          FROM ll
+        )
+        SELECT row, col,
+               CAST(CASE WHEN px_ >= 0 AND px_ < 64 AND py_ >= 0 AND py_ < 48
+                         THEN py_ * 64 + px_ + 1 ELSE 0 END AS DOUBLE) AS value
+        FROM src
+    """
 
 
 # shared oracle fragments (mirror gdal_boots_spark.functions.text_fns)
@@ -532,6 +651,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT i.range AS row, j.range AS col,
                    CAST((i.range * 4 + 1.5) * 64.0 + (j.range * 4 + 1.5) + 1.0 AS DOUBLE) AS value
             FROM range(12) i, range(16) j
+        """,
+        "crop_hist": """
+            WITH params AS (
+              SELECT CAST(FLOOR(3.2 / 0.25) AS BIGINT) AS c0, CAST(CEIL(12.7 / 0.25) AS BIGINT) AS c1,
+                     CAST(FLOOR((15.0 - 11.7) / 0.25) AS BIGINT) AS r0, CAST(CEIL((15.0 - 4.2) / 0.25) AS BIGINT) AS r1
+            ), px AS (
+              SELECT p.r0 + cy.range AS row, p.c0 + cx.range AS col
+              FROM params p, range(200) cx, range(200) cy
+              WHERE p.c0 + cx.range < p.c1 AND p.r0 + cy.range < p.r1
+            ), vals AS (
+              SELECT CASE WHEN (col + 0.5) * 0.25 > 3.2 AND (col + 0.5) * 0.25 < 12.7
+                           AND 15.0 - (row + 0.5) * 0.25 > 4.2 AND 15.0 - (row + 0.5) * 0.25 < 11.7
+                          THEN CAST(row * 80 + col + 1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS value
+              FROM px
+            )
+            SELECT value, COUNT(*) AS cnt FROM vals GROUP BY value
+        """,
+        "mosaic": """
+            WITH px AS (
+              SELECT cy.range AS row, cx.range AS col FROM range(40) cx, range(28) cy
+            )
+            SELECT row, col,
+                   CAST(CASE
+                     WHEN row >= 4 AND row < 28 AND col >= 8 AND col < 40
+                       THEN (row - 4) * 32 + (col - 8) + 1 + 100000
+                     WHEN row < 24 AND col < 32
+                       THEN row * 32 + col + 1
+                     ELSE 0 END AS DOUBLE) AS value
+            FROM px
+        """,
+        "reproject": _reproject_oracle_sql(),
+        "salted_join": """
+            SELECT l.l_suppkey AS l_suppkey, s.s_nationkey AS s_nationkey,
+                   COUNT(*) AS n, ROUND(SUM(l.l_quantity), 3) AS qty
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
         """,
         "geom_bounds": f"""
             SELECT CAST(poly_id AS BIGINT) AS poly_id,

@@ -116,3 +116,9 @@ def test_udf_pipeline_vs_oracle(spark, name):
     df = entrymod.queries()[name](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE,
                       float_cols=("mx", "my", "bminx", "bminy", "bmaxx", "bmaxy"), atol=1e-9)
+
+
+@pytest.mark.parametrize("name", ["crop_hist", "mosaic", "reproject", "salted_join"])
+def test_warp_family_vs_oracle(spark, name):
+    df = entrymod.queries()[name](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE)
