@@ -145,3 +145,74 @@ def pip_join_docs(docs: DataFrame, polys: DataFrame, res: int | None = None) -> 
         F.col("x").isNotNull() & F.col("y").isNotNull()
     )
     return pip_join_points(pts, polys, res=res).select("doc_id", "span_pos", "poly_id", "x", "y")
+
+
+def pip_join_points_shuffle(
+    points: DataFrame,
+    polys: DataFrame,
+    res: int | None = None,
+    x_col: str = "x",
+    y_col: str = "y",
+    salt: int = 8,
+    hot_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Big-polygon-side variant: no driver collect, no broadcast dict.
+
+    The polygon table is decoded and cover-exploded DISTRIBUTED
+    (pandas UDFs), candidates come from a shuffle hash join on cell_id
+    with **salted repartitioning on hot cells** (north_star: points
+    side counts pick hot cell ids; their rows split across `salt`
+    reducers, the polygon side's hot rows are exploded x salt), and the
+    ray-cast refinement runs per candidate batch with each polygon's
+    packed coords decoded once per (batch, poly) group.
+
+    Semantics identical to pip_join_points (tested); use when the
+    polygon side is too large to broadcast.
+    """
+    from ..functions.geometry_fns import cells_cover_udf, geojson_decode_udf
+    from .skew import salted_join
+
+    gp = polys.select("poly_id", geojson_decode_udf(F.col("geojson")).alias("geom"))
+    if res is None:
+        # distributed resolution heuristic: median bbox span via approx
+        b = gp.select(
+            F.col("poly_id"),
+            (F.array_max("geom.coords") - F.array_min("geom.coords")).alias("rough_span"),
+        ).agg(F.expr("percentile_approx(rough_span, 0.5)").alias("med")).collect()[0]
+        med = float(b["med"] or 1.0)
+        res = int(np.clip(np.floor(np.log2(360.0 / max(med, 1e-9))), 0, 24))
+    cells = gp.select("poly_id", "geom", F.explode(cells_cover_udf(res)(F.col("geom"))).alias("cell_id"))
+
+    pts = points.withColumn("cell_id", cell_id_col(F.col(x_col), F.col(y_col), res))
+    cand = salted_join(pts, cells, "cell_id", salt=salt, hot_threshold=hot_threshold).drop("cell_id")
+
+    out_cols = [c for c in cand.columns if c not in ("geom",)]
+    out_schema = cand.select(*out_cols).schema
+
+    def refine(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            px = batch.column(x_col).to_numpy(zero_copy_only=False)
+            py = batch.column(y_col).to_numpy(zero_copy_only=False)
+            pids = batch.column("poly_id").to_numpy(zero_copy_only=False)
+            geom = batch.column("geom")
+            keep = np.zeros(n, dtype=bool)
+            order = np.argsort(pids, kind="stable")
+            uniq = np.unique(pids)
+            bounds = np.searchsorted(pids[order], uniq)
+            for s, pid in zip(np.split(order, bounds[1:]), uniq):
+                if len(s) == 0:
+                    continue
+                g0 = geom[int(s[0])]  # decode this polygon's arrays once
+                coords = np.asarray(g0["coords"].as_py(), dtype=np.float64)
+                ro = np.asarray(g0["ring_offsets"].as_py(), dtype=np.int32)
+                keep[s] = points_in_polygon(px[s], py[s], coords, ro)
+            out = pa.Table.from_batches([batch]).filter(pa.array(keep)).drop_columns(["geom"])
+            if out.num_rows:
+                yield from out.combine_chunks().to_batches()
+
+    return cand.mapInArrow(refine, schema=out_schema)

@@ -122,3 +122,83 @@ def interleaved_docs(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Da
     )
     spans = F.filter(spans, lambda s: s["kind"].isNotNull())
     return docs.select(d.cast("string").alias("doc_id"), spans.alias("spans"))
+
+
+# --- features table (FIXTURES.md §3) ---------------------------------------
+
+# fixture geometries traced from the reference test suite (data, not code):
+# the 17-vertex Minsk polygon (conftest.py:36-60), the 5-vertex Paris
+# polygon with exact 3857 goldens (test_geometry.py:52-95), the bowtie
+# and self-touching make_valid inputs (test_geometry.py:184-247), empty
+# geometries (test_geometry.py:121-128)
+MINSK_POLYGON = {
+    "type": "Polygon",
+    "coordinates": [[
+        [27.40966796875, 53.99202955302058], [27.421035766601562, 53.88803004514291],
+        [27.437515258789062, 53.82557246196687], [27.50925064086914, 53.802742944590686],
+        [27.619285583496094, 53.81699954098488], [27.680397033691406, 53.876979229976655],
+        [27.693443298339844, 53.94566726301008], [27.668724060058594, 54.00384682717626],
+        [27.563495635986328, 54.03550369540078], [27.481040954589844, 54.03429889418305],
+        [27.42652893066406, 54.020805048030325], [27.40966796875, 53.99202955302058],
+        [27.410011291503906, 53.99202955302058], [27.40966796875, 53.99192875509375],
+        [27.409324645996094, 53.99202955302058], [27.40966796875, 53.99213035038003],
+        [27.40966796875, 53.99202955302058],
+    ]],
+}
+PARIS_POLYGON = {
+    "type": "Polygon",
+    "coordinates": [[
+        [2.295279, 48.860081], [2.291867, 48.857713], [2.293404, 48.856723],
+        [2.296872, 48.859022], [2.295279, 48.860081],
+    ]],
+}
+BOWTIE_POLYGON = {
+    "type": "Polygon",
+    "coordinates": [[
+        [28.377685, 53.533778], [28.388671, 54.278054], [26.768188, 53.504384],
+        [26.845092, 54.226707], [28.377685, 53.533778],
+    ]],
+}
+
+
+def features_df(spark: SparkSession) -> DataFrame:
+    """The FIXTURES.md §3 features table: named fixture geometries plus
+    a deterministic mixed-type layer (points/linestrings/polygons/
+    multipolygons) with the reference's typed fields
+    (FIELD_TYPES, gdal.py:997-1003)."""
+    rows = []
+
+    def add(fid, layer, gj, name, category, rank, score, flag, props):
+        rows.append(
+            (
+                fid, layer, 4326, gj["type"], json.dumps(gj, separators=(",", ":")),
+                name, category, rank, score, flag, json.dumps(props, separators=(",", ":")),
+            )
+        )
+
+    add(1, "fixtures", MINSK_POLYGON, "minsk", "boundary", 1, 0.9, True, {"src": "conftest"})
+    add(2, "fixtures", PARIS_POLYGON, "paris", "landmark", 2, 0.8, False, {"epsg3857": True})
+    add(3, "fixtures", BOWTIE_POLYGON, "bowtie", "invalid", 3, 0.1, False, {})
+    add(4, "fixtures", {"type": "Point", "coordinates": []}, "empty_pt", "empty", 4, 0.0, False, {})
+    fid = 10
+    for i in range(38):  # mixed 38-feature layer (test_vector.py:13-18 analog)
+        x = 26.0 + (i * 37 % 100) / 50.0
+        y = 53.0 + (i * 61 % 100) / 50.0
+        if i % 4 == 0:
+            gj = {"type": "Point", "coordinates": [x, y]}
+        elif i % 4 == 1:
+            gj = {"type": "LineString", "coordinates": [[x, y], [x + 0.1, y + 0.1], [x + 0.2, y]]}
+        elif i % 4 == 2:
+            gj = {"type": "Polygon", "coordinates": [[[x, y], [x + 0.2, y], [x + 0.2, y + 0.2], [x, y], ]]}
+        else:
+            gj = {
+                "type": "MultiPolygon",
+                "coordinates": [[[[x, y], [x + 0.1, y], [x + 0.1, y + 0.1], [x, y]]]],
+            }
+        add(fid + i, "mixed", gj, f"f{i}", ["a", "b", "c"][i % 3], i, i / 38.0, i % 2 == 0, {"i": i})
+
+    return spark.createDataFrame(
+        rows,
+        "fid long, layer string, epsg int, gtype string, geojson string, "
+        "name string, category string, rank long, score double, flag boolean, props_json string",
+    )

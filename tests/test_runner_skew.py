@@ -82,3 +82,22 @@ def test_hot_keys_detects_skew(spark):
 
     hot = big.where(F.col("k") == 7).withColumn("_salt", F.pmod(F.hash("k", F.rand(1)), F.lit(8)))
     assert hot.select("_salt").distinct().count() > 1
+
+
+def test_features_table_and_packaging(spark, tmp_path):
+    from gdal_boots_spark.sources.synth import features_df
+
+    f = features_df(spark)
+    assert f.count() == 42
+    assert f.where("layer = 'mixed'").count() == 38  # test_vector.py:13-18 analog
+    assert {r["gtype"] for r in f.collect()} >= {"Point", "LineString", "Polygon", "MultiPolygon"}
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    import package as pkgmod
+
+    out = pkgmod.build(str(tmp_path / "dist" / "pkg.zip"))
+    import zipfile
+
+    names = zipfile.ZipFile(out).namelist()
+    assert "gdal_boots_spark/__init__.py" in names
+    assert any(n.startswith("gdal_boots_spark/operators/") for n in names)

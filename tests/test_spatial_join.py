@@ -122,3 +122,33 @@ def test_udf_pipeline_vs_oracle(spark, name):
 def test_warp_family_vs_oracle(spark, name):
     df = entrymod.queries()[name](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE)
+
+
+def test_pip_join_shuffle_path_equals_broadcast(spark):
+    """Big-side shuffle path (salted hot cells) == broadcast path."""
+    import numpy as np
+
+    from gdal_boots_spark.operators.spatial_join import (
+        pip_join_points,
+        pip_join_points_shuffle,
+    )
+
+    rng = np.random.default_rng(13)
+    # hot region: 80% of points in one small square (one hot cell)
+    hot = rng.uniform(27.0, 27.1, (4000, 2))
+    cold = np.column_stack([rng.uniform(26, 29, 1000), rng.uniform(53, 55, 1000)])
+    xs = np.concatenate([hot[:, 0], cold[:, 0]])
+    ys = np.concatenate([27.05 + 0 * hot[:, 1] + (hot[:, 1] - 27.05) * 0 + rng.uniform(53.9, 54.0, 4000), cold[:, 1]])
+    pts = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+        "point_id long, x double, y double",
+    )
+    polys = rect_polygons_df(spark)
+    a = {(r["point_id"], r["poly_id"]) for r in pip_join_points(pts, polys).select("point_id", "poly_id").collect()}
+    b = {
+        (r["point_id"], r["poly_id"])
+        for r in pip_join_points_shuffle(pts, polys, salt=4, hot_threshold=500)
+        .select("point_id", "poly_id")
+        .collect()
+    }
+    assert a == b and len(a) > 0
