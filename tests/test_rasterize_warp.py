@@ -135,3 +135,21 @@ def test_tile_checksum(spark):
     rows = tile_checksum(t).collect()
     assert len(rows) == 6
     assert all(r["n_bytes"] == r["crc32"] >= 0 or r["n_bytes"] > 0 for r in rows)
+
+
+def test_slice_window_pushes_tile_filters_to_parquet(spark, tmp_path):
+    """The tile-range prune must reach the parquet scan as PushedFilters
+    (the pushdown the reference lacks — SURVEY §3 case 1)."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "tiles.parquet")
+    grid = RasterGrid("pp", 4326, (0.01, 0.0, 26.0, 0.0, -0.01, 55.0), 512, 512, 64, 64, 1, "int32")
+    generate_tiles(spark, grid, ramp_fill).write.parquet(path)
+    tiles = spark.read.parquet(path)
+    out, _ = fast_warp(tiles, grid, (26.5, 52.5 + 2.0, 27.0, 55.0 - 0.2), clip=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "GreaterThanOrEqual(tile_x" in plan and "LessThanOrEqual(tile_y" in plan
