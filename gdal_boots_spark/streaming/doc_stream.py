@@ -19,14 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.geometry_fns import cell_id_col, point_xy_native
-from ..operators.spans import explode_spans
 
 
-def _geo_cells(docs: DataFrame, res: int) -> DataFrame:
-    geo = explode_spans(docs).where(F.col("kind") == "geo")
-    x, y, is_point = point_xy_native(F.col("text"))
+def _geo_cells(docs: DataFrame, res: int, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    geo = docs.select(
+        "doc_id", *extra_cols, F.posexplode("spans").alias("span_pos", "span")
+    ).where(F.col("span.kind") == "geo")
+    x, y, is_point = point_xy_native(F.col("span.text"))
     return geo.where(is_point).select(
-        "doc_id", "span_pos", cell_id_col(x, y, res).alias("cell_id")
+        "doc_id", *extra_cols, "span_pos", cell_id_col(x, y, res).alias("cell_id")
     )
 
 
@@ -77,12 +78,11 @@ def stream_cell_counts(
         "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
         + (f", {event_time_col} timestamp" if event_time_col else "")
     ).parquet(input_dir)
-    cells = _geo_cells(
-        docs if not event_time_col else docs.withWatermark(event_time_col, watermark), res
-    )
     if event_time_col:
-        joined = docs.select("doc_id", event_time_col).join(cells, "doc_id")
-        return joined.groupBy(F.window(event_time_col, window), "cell_id").agg(
+        # event time rides along through the narrow extraction (no
+        # stream-stream self-join); watermark bounds the window state
+        cells = _geo_cells(docs.withWatermark(event_time_col, watermark), res, (event_time_col,))
+        return cells.groupBy(F.window(event_time_col, window), "cell_id").agg(
             F.count("*").alias("n_docs")
         )
-    return cells.groupBy("cell_id").agg(F.count("*").alias("n_docs"))
+    return _geo_cells(docs, res).groupBy("cell_id").agg(F.count("*").alias("n_docs"))

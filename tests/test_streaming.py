@@ -32,3 +32,51 @@ def test_stream_cell_assign_matches_batch(spark, tmp_path):
     q2 = stream_cell_assign(spark, indir, ckpt, outdir, res=8)
     q2.awaitTermination(120)
     assert spark.read.parquet(outdir).count() == exp.count()
+
+
+def test_stream_windowed_cell_counts_with_watermark(spark, tmp_path):
+    """Watermarked windowed aggregation over event-time docs."""
+    import datetime as dt
+
+    from gdal_boots_spark.streaming.doc_stream import stream_cell_counts
+
+    indir = str(tmp_path / "ev_in")
+    docs = interleaved_docs(spark, SF_SMOKE)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    with_ts = docs.withColumn(
+        "ts",
+        F.to_timestamp(F.lit(t0.isoformat()))
+        + F.make_interval(mins=(F.col("doc_id").cast("long") % 30)),
+    )
+    with_ts.write.parquet(indir)
+
+    agg = stream_cell_counts(spark, indir, res=6, event_time_col="ts",
+                             watermark="5 minutes", window="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("cellcounts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM cellcounts").collect()
+    # append mode emits only windows closed by the watermark: with max
+    # event time 00:29 and a 5-min watermark, the 00:00 and 00:10
+    # windows are final
+    assert len(got) > 0
+    windows = {(r["window"]["start"].minute) for r in got}
+    assert windows <= {0, 10}
+    # counts match the batch computation for those closed windows
+    from gdal_boots_spark.streaming.doc_stream import _geo_cells
+
+    batch = _geo_cells(with_ts, 6, ("ts",)).groupBy(
+        F.window("ts", "10 minutes"), "cell_id"
+    ).agg(F.count("*").alias("n_docs"))
+    exp = {
+        (r["window"]["start"], r["cell_id"]): r["n_docs"]
+        for r in batch.collect()
+        if r["window"]["start"].minute in windows
+    }
+    gotmap = {(r["window"]["start"], r["cell_id"]): r["n_docs"] for r in got}
+    assert gotmap == exp
