@@ -311,6 +311,35 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (SURVEY §2.3): orders-derived rects x
+    part-derived rects via the cell-bucketed bbox-overlap join with the
+    dedup-free reporting-cell trick.  Oracle is the definitional
+    interval-overlap cross join."""
+    from gdal_boots_spark.operators.bbox_join import bbox_overlap_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    ok, pk = F.col("o_orderkey"), F.col("p_partkey")
+    left = orders.select(
+        ok.alias("lid"),
+        (F.lit(26.0) + ((ok * 271) % 2900).cast("double") / 1000.0).alias("lminx"),
+        (F.lit(53.0) + ((ok * 577) % 1900).cast("double") / 1000.0).alias("lminy"),
+    ).select(
+        "lid", "lminx", "lminy",
+        (F.col("lminx") + 0.04).alias("lmaxx"), (F.col("lminy") + 0.04).alias("lmaxy"),
+    )
+    right = part.select(
+        pk.alias("rid"),
+        (F.lit(26.0) + ((pk * 383) % 2900).cast("double") / 1000.0).alias("rminx"),
+        (F.lit(53.0) + ((pk * 769) % 1900).cast("double") / 1000.0).alias("rminy"),
+    ).select(
+        "rid", "rminx", "rminy",
+        (F.col("rminx") + 0.05).alias("rmaxx"), (F.col("rminy") + 0.05).alias("rmaxy"),
+    )
+    return bbox_overlap_join(left, right, res=10).select("lid", "rid")
+
+
 # --- training-data pipeline queries (dedup / similarity / text) ----------
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic": q_mosaic,
         "reproject": q_reproject,
         "salted_join": q_salted_join,
+        "bbox_join": q_bbox_join,
         "crs_3857": q_crs_3857,
         "resample_avg": q_resample_avg,
         "knn": q_knn,
@@ -682,6 +712,23 @@ def oracle_sql() -> dict[str, str]:
             FROM px
         """,
         "reproject": _reproject_oracle_sql(),
+        "bbox_join": """
+            WITH l AS (
+              SELECT o_orderkey AS lid,
+                     26.0 + CAST((o_orderkey * 271) % 2900 AS DOUBLE) / 1000.0 AS lminx,
+                     53.0 + CAST((o_orderkey * 577) % 1900 AS DOUBLE) / 1000.0 AS lminy
+              FROM orders
+            ), r AS (
+              SELECT p_partkey AS rid,
+                     26.0 + CAST((p_partkey * 383) % 2900 AS DOUBLE) / 1000.0 AS rminx,
+                     53.0 + CAST((p_partkey * 769) % 1900 AS DOUBLE) / 1000.0 AS rminy
+              FROM part
+            )
+            SELECT l.lid AS lid, r.rid AS rid
+            FROM l, r
+            WHERE l.lminx <= r.rminx + 0.05 AND r.rminx <= l.lminx + 0.04
+              AND l.lminy <= r.rminy + 0.05 AND r.rminy <= l.lminy + 0.04
+        """,
         "salted_join": """
             SELECT l.l_suppkey AS l_suppkey, s.s_nationkey AS s_nationkey,
                    COUNT(*) AS n, ROUND(SUM(l.l_quantity), 3) AS qty

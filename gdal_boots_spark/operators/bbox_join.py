@@ -1,0 +1,62 @@
+"""BBox-overlap (range/interval) join — SURVEY §2.3: "bbox-overlap is a
+range/interval join realized as cell-bucket equi-join + exact
+refinement predicate" (the standard OSS-Spark pattern, cf. PAPERS.md
+"Raster Intervals").
+
+Both sides explode to covering cells at one resolution — **entirely in
+native Column math** (sequence/transform over the ix/iy ranges; no
+UDF) — then hash-join on cell_id, refine with the exact interval
+predicate, and de-duplicate WITHOUT a distinct shuffle via the
+reporting-cell trick: a pair is emitted only in the unique cell that
+contains the intersection's (max(minx), max(miny)) corner, so each
+overlapping pair appears exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell_parts(lon, lat, res: int):
+    n = 1 << res
+    ix = F.least(F.greatest(F.floor((lon + F.lit(180.0)) / 360.0 * n), F.lit(0)), F.lit(n - 1)).cast("long")
+    iy = F.least(F.greatest(F.floor((lat + F.lit(90.0)) / 180.0 * n), F.lit(0)), F.lit(n - 1)).cast("long")
+    return ix, iy
+
+
+def _explode_cover(df: DataFrame, res: int, prefix: str) -> DataFrame:
+    """bbox columns -> one row per covering cell (native sequence math)."""
+    ix0, iy0 = _cell_parts(F.col(f"{prefix}minx"), F.col(f"{prefix}miny"), res)
+    ix1, iy1 = _cell_parts(F.col(f"{prefix}maxx"), F.col(f"{prefix}maxy"), res)
+    base = F.lit(res).cast("long") * F.lit(2**58)
+    out = df.select(
+        "*",
+        F.explode(F.sequence(ix0, ix1)).alias("_ix"),
+        iy0.alias("_iy0"),
+        iy1.alias("_iy1"),
+    ).select("*", F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))).alias("_iy"))
+    return out.withColumn("cell_id", base + F.col("_ix") * F.lit(2**29) + F.col("_iy")).drop(
+        "_ix", "_iy", "_iy0", "_iy1"
+    )
+
+
+def bbox_overlap_join(left: DataFrame, right: DataFrame, res: int = 10) -> DataFrame:
+    """left(lid, lminx..lmaxy) x right(rid, rminx..rmaxy) ->
+    one row per overlapping pair (closed-interval overlap), all left +
+    right columns, exactly once per pair (no distinct needed)."""
+    lc = _explode_cover(left, res, "l")
+    rc = _explode_cover(right, res, "r")
+    j = lc.join(rc, "cell_id")
+    overlap = (
+        (F.col("lminx") <= F.col("rmaxx"))
+        & (F.col("rminx") <= F.col("lmaxx"))
+        & (F.col("lminy") <= F.col("rmaxy"))
+        & (F.col("rminy") <= F.col("lmaxy"))
+    )
+    # reporting cell: the one containing the intersection's lower-left
+    rep_x, rep_y = _cell_parts(
+        F.greatest(F.col("lminx"), F.col("rminx")), F.greatest(F.col("lminy"), F.col("rminy")), res
+    )
+    rep = F.lit(res).cast("long") * F.lit(2**58) + rep_x * F.lit(2**29) + rep_y
+    return j.where(overlap & (F.col("cell_id") == rep)).drop("cell_id")

@@ -152,3 +152,18 @@ def test_pip_join_shuffle_path_equals_broadcast(spark):
         .collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_bbox_join_vs_oracle(spark):
+    df = entrymod.queries()["bbox_join"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["bbox_join"], SF_ORACLE)
+
+
+def test_bbox_join_no_duplicates_multi_cell(spark):
+    """A pair whose overlap spans many cells is still reported once."""
+    from gdal_boots_spark.operators.bbox_join import bbox_overlap_join
+
+    left = spark.createDataFrame([(1, 26.0, 53.0, 28.5, 54.5)], "lid long, lminx double, lminy double, lmaxx double, lmaxy double")
+    right = spark.createDataFrame([(7, 26.5, 53.2, 28.0, 54.4), (8, 40.0, 10.0, 41.0, 11.0)], "rid long, rminx double, rminy double, rmaxx double, rmaxy double")
+    rows = bbox_overlap_join(left, right, res=10).select("lid", "rid").collect()
+    assert [(r["lid"], r["rid"]) for r in rows] == [(1, 7)]
