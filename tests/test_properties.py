@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) over the pure-NumPy geometry core.
+
+SURVEY §5d: property tests complement the golden suite — codec
+round-trips, PIP equivalence, CRS inverses, index identities.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gdal_boots_spark.geom import (
+    apply_transform,
+    cell_bounds,
+    cell_id,
+    cover_bbox,
+    from_geojson,
+    pixel_of,
+    snap_bbox_to_grid,
+    to_geojson,
+    transform_coords,
+)
+from gdal_boots_spark.geom.cells import cell_decode, compose
+from gdal_boots_spark.geom.pip import points_in_packed
+
+coord = st.floats(min_value=-179.0, max_value=179.0, allow_nan=False).map(lambda v: round(v, 6))
+lat = st.floats(min_value=-85.0, max_value=85.0, allow_nan=False).map(lambda v: round(v, 6))
+
+
+@st.composite
+def star_polygon(draw, n_min=3, n_max=12):
+    """A simple (non-self-intersecting) polygon: points sorted by angle
+    around their centroid."""
+    n = draw(st.integers(n_min, n_max))
+    xs = np.array([draw(st.floats(0, 10, allow_nan=False)) for _ in range(n)])
+    ys = np.array([draw(st.floats(0, 10, allow_nan=False)) for _ in range(n)])
+    cx, cy = xs.mean(), ys.mean()
+    order = np.argsort(np.arctan2(ys - cy, xs - cx))
+    ring = [[round(float(xs[i]), 6), round(float(ys[i]), 6)] for i in order]
+    # drop duplicate consecutive points
+    dedup = [ring[0]]
+    for p in ring[1:]:
+        if p != dedup[-1]:
+            dedup.append(p)
+    if len(dedup) < 3:
+        dedup = [[0.0, 0.0], [1.0, 0.0], [0.5, 1.0]]
+    dedup.append(dedup[0])
+    return {"type": "Polygon", "coordinates": [dedup]}
+
+
+@settings(max_examples=60, deadline=None)
+@given(star_polygon())
+def test_codec_roundtrip_property(poly):
+    assert to_geojson(from_geojson(poly), precision=6) == poly
+
+
+@settings(max_examples=40, deadline=None)
+@given(star_polygon(), st.integers(0, 10_000))
+def test_pip_matches_scalar_property(poly, seed):
+    pg = from_geojson(poly)
+    rng = np.random.default_rng(seed)
+    px = rng.uniform(-1, 11, 64)
+    py = rng.uniform(-1, 11, 64)
+    got = points_in_packed(px, py, pg)
+    ring = poly["coordinates"][0]
+
+    def brute(x, y):
+        inside = False
+        for i in range(len(ring) - 1):
+            x1, y1 = ring[i]
+            x2, y2 = ring[i + 1]
+            if (y1 > y) != (y2 > y) and x < x1 + (x2 - x1) * (y - y1) / (y2 - y1):
+                inside = not inside
+        return inside
+
+    exp = np.array([brute(x, y) for x, y in zip(px, py)])
+    assert np.array_equal(got, exp)
+
+
+@settings(max_examples=100, deadline=None)
+@given(coord, lat)
+def test_crs_3857_inverse_property(lon, la):
+    x, y = transform_coords(np.array([lon]), np.array([la]), 4326, 3857)
+    lon2, la2 = transform_coords(x, y, 3857, 4326)
+    assert abs(lon2[0] - lon) < 1e-9 and abs(la2[0] - la) < 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 60), st.floats(-80, 80, allow_nan=False), st.booleans())
+def test_crs_utm_inverse_property(zone, la, south):
+    epsg = (32700 if south else 32600) + zone
+    lon0 = 6.0 * zone - 183.0
+    lon = lon0 + 2.5  # inside the zone
+    x, y = transform_coords(np.array([lon]), np.array([la]), 4326, epsg)
+    lon2, la2 = transform_coords(x, y, epsg, 4326)
+    assert abs(lon2[0] - lon) < 1e-8 and abs(la2[0] - la) < 1e-8
+
+
+@settings(max_examples=100, deadline=None)
+@given(coord, lat, st.integers(0, 28))
+def test_cell_identity_property(lon, la, res):
+    cid = cell_id(np.array([lon]), np.array([la]), res)
+    r, ix, iy = cell_decode(cid)
+    assert int(r[0]) == res
+    assert int(compose(res, ix, iy)[0]) == int(cid[0])
+    minlon, minlat, maxlon, maxlat = cell_bounds(cid)
+    assert minlon[0] <= lon <= maxlon[0] + 1e-9
+    assert minlat[0] <= la <= maxlat[0] + 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(coord, lat, coord, lat, st.integers(3, 12))
+def test_cover_contains_point_cells_property(x1, y1, x2, y2, res):
+    minx, maxx = sorted((x1, x2))
+    miny, maxy = sorted((y1, y2))
+    ids = set(cover_bbox(minx, miny, maxx, maxy, res).tolist())
+    # the cell of every corner and the center is in the cover
+    for px, py in [(minx, miny), (maxx, maxy), ((minx + maxx) / 2, (miny + maxy) / 2)]:
+        assert int(cell_id(np.array([px]), np.array([py]), res)[0]) in ids
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.floats(0.001, 100, allow_nan=False),
+    st.floats(-1000, 1000, allow_nan=False),
+    st.floats(-1000, 1000, allow_nan=False),
+    st.integers(0, 500),
+    st.integers(0, 500),
+)
+def test_affine_pixel_inverse_property(resv, ox, oy, c, r):
+    t = (resv, 0.0, ox, 0.0, -resv, oy)
+    wx, wy = apply_transform(t, c + 0.5, r + 0.5)  # pixel center
+    col, row = pixel_of(t, wx, wy)
+    assert (int(col), int(row)) == (c, r)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.floats(0.01, 10, allow_nan=False),
+    st.floats(-100, 100, allow_nan=False),
+    st.floats(-100, 100, allow_nan=False),
+    st.floats(0.01, 50, allow_nan=False),
+    st.floats(0.01, 50, allow_nan=False),
+)
+def test_snap_contains_bbox_property(resv, minx, miny, w, h):
+    t = (resv, 0.0, -200.0, 0.0, -resv, 200.0)
+    maxx, maxy = minx + w, miny + h
+    c0, r0, c1, r1, sminx, sminy, smaxx, smaxy = snap_bbox_to_grid(t, minx, miny, maxx, maxy)
+    assert sminx <= minx + 1e-9 and smaxx >= maxx - 1e-9
+    assert sminy <= miny + 1e-9 and smaxy >= maxy - 1e-9
+    assert c1 > c0 and r1 > r0
