@@ -81,9 +81,13 @@ def run_bench() -> dict:
 
     ctl = spark.range(40_000_000).select(F.md5(F.col("id").cast("string")).alias("h"))
     ctl.where(F.col("h") > "f").count()
-    t0 = time.perf_counter()
-    ctl.where(F.col("h") > "f").count()
-    times["cpu_control"] = round(time.perf_counter() - t0, 4)
+    cbest = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ctl.where(F.col("h") > "f").count()
+        dt = time.perf_counter() - t0
+        cbest = dt if cbest is None else min(cbest, dt)
+    times["cpu_control"] = round(cbest, 4)
 
     total = round(sum(v for k, v in times.items() if k != "cpu_control"), 4)
     flagship = times.get("pip_join_xl", total) or 1e-9
