@@ -340,6 +340,24 @@ def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bbox_overlap_join(left, right, res=10).select("lid", "rid")
 
 
+def q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (classic raster x vector, Raptor-style): ramp
+    raster at res 0.01 aggregated per polygon-dim rect; every aggregate
+    is closed-form over the covered pixel-center range."""
+    from gdal_boots_spark.operators.zonal import zonal_stats
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid(
+        raster_id="zs", epsg=4326, transform=(0.01, 0.0, 26.0, 0.0, -0.01, 55.0),
+        width=300, height=200, tile_w=64, tile_h=64, bands=1, dtype="int32",
+    )
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    out = zonal_stats(spark, tiles, grid, rect_polygons_df(spark))
+    return out.select(
+        "poly_id", "n_pixels", "sum", "min", "max", F.round("mean", 9).alias("mean")
+    )
+
+
 # --- training-data pipeline queries (dedup / similarity / text) ----------
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject": q_reproject,
         "salted_join": q_salted_join,
         "bbox_join": q_bbox_join,
+        "zonal_stats": q_zonal,
         "crs_3857": q_crs_3857,
         "resample_avg": q_resample_avg,
         "knn": q_knn,
@@ -712,6 +731,25 @@ def oracle_sql() -> dict[str, str]:
             FROM px
         """,
         "reproject": _reproject_oracle_sql(),
+        "zonal_stats": f"""
+            WITH px AS (
+              SELECT cy.range AS row, cx.range AS col,
+                     26.005 + cx.range * 0.01 AS x,
+                     54.995 - cy.range * 0.01 AS y
+              FROM range(300) cx, range(200) cy
+            ), hit AS (
+              SELECT p.poly_id, px.row * 300 + px.col + 1 AS v
+              FROM {rects_sql_values('p')}, px
+              WHERE px.x > p.minx AND px.x < p.maxx AND px.y > p.miny AND px.y < p.maxy
+            )
+            SELECT CAST(poly_id AS BIGINT) AS poly_id,
+                   COUNT(*) AS n_pixels,
+                   CAST(SUM(v) AS DOUBLE) AS sum,
+                   CAST(MIN(v) AS DOUBLE) AS min,
+                   CAST(MAX(v) AS DOUBLE) AS max,
+                   ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS mean
+            FROM hit GROUP BY poly_id
+        """,
         "bbox_join": """
             WITH l AS (
               SELECT o_orderkey AS lid,

@@ -85,3 +85,40 @@ def points_in_packed(px, py, pg: PackedGeometry):
     if pg.gtype not in (3, 6):
         raise ValueError("PIP requires Polygon/MultiPolygon")
     return points_in_polygon(px, py, pg.coords, pg.ring_offsets)
+
+
+
+def polygons_intersect(pga: PackedGeometry, pgb: PackedGeometry) -> bool:
+    """Exact polygon/polygon intersection predicate: any boundary
+    crossing, or either containing a vertex of the other (even-odd).
+    Both inputs Polygon/MultiPolygon."""
+    ca = pga.coords.reshape(-1, 2)
+    cb = pgb.coords.reshape(-1, 2)
+    if len(ca) == 0 or len(cb) == 0:
+        return False
+    # quick bbox reject
+    if ca[:, 0].max() < cb[:, 0].min() or cb[:, 0].max() < ca[:, 0].min():
+        return False
+    if ca[:, 1].max() < cb[:, 1].min() or cb[:, 1].max() < ca[:, 1].min():
+        return False
+    # vertex containment either way
+    if points_in_polygon(ca[:, 0], ca[:, 1], pgb.coords, pgb.ring_offsets).any():
+        return True
+    if points_in_polygon(cb[:, 0], cb[:, 1], pga.coords, pga.ring_offsets).any():
+        return True
+    # boundary crossing: orientation tests, vectorized (m x n)
+    x1a, y1a, x2a, y2a = _ring_edges(pga.coords, pga.ring_offsets)
+    x1b, y1b, x2b, y2b = _ring_edges(pgb.coords, pgb.ring_offsets)
+    if x1a.size == 0 or x1b.size == 0:
+        return False
+
+    def orient(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    # d1/d2: b endpoints relative to a; d3/d4: a endpoints relative to b
+    d1 = orient(x1a[:, None], y1a[:, None], x2a[:, None], y2a[:, None], x1b[None, :], y1b[None, :])
+    d2 = orient(x1a[:, None], y1a[:, None], x2a[:, None], y2a[:, None], x2b[None, :], y2b[None, :])
+    d3 = orient(x1b[None, :], y1b[None, :], x2b[None, :], y2b[None, :], x1a[:, None], y1a[:, None])
+    d4 = orient(x1b[None, :], y1b[None, :], x2b[None, :], y2b[None, :], x2a[:, None], y2a[:, None])
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    return bool(proper.any())

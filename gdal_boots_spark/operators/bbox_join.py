@@ -60,3 +60,51 @@ def bbox_overlap_join(left: DataFrame, right: DataFrame, res: int = 10) -> DataF
     )
     rep = F.lit(res).cast("long") * F.lit(2**58) + rep_x * F.lit(2**29) + rep_y
     return j.where(overlap & (F.col("cell_id") == rep)).drop("cell_id")
+
+
+def intersects_join(left: DataFrame, right: DataFrame, res: int = 10) -> DataFrame:
+    """Exact polygon-intersects join: left(lid, geojson) x
+    right(rid, geojson) -> (lid, rid) for every intersecting pair.
+
+    bbox-overlap candidates (cell-bucketed, dedup-free) refined by the
+    exact predicate (geom.pip.polygons_intersect: boundary crossing or
+    mutual vertex containment).  Geometries ride the candidate rows as
+    GeoJSON strings; decode happens once per pair inside the Arrow
+    batch.  For dimension x dimension workloads; point x polygon goes
+    through pip_join_*, bbox-only through bbox_overlap_join.
+    """
+    from ..functions.geometry_fns import geojson_decode_udf, geom_bounds_udf
+    from ..geom.packed import PackedGeometry
+    from ..geom.pip import polygons_intersect
+    import numpy as np
+    import json as _json
+
+    def side(df, ident, prefix):
+        g = df.select(F.col(ident), F.col("geojson").alias(f"{prefix}gj"))
+        g = g.withColumn("_geom", geojson_decode_udf(F.col(f"{prefix}gj")))
+        b = geom_bounds_udf(F.col("_geom"))
+        return g.select(
+            ident, f"{prefix}gj",
+            b["minx"].alias(f"{prefix}minx"), b["miny"].alias(f"{prefix}miny"),
+            b["maxx"].alias(f"{prefix}maxx"), b["maxy"].alias(f"{prefix}maxy"),
+        )
+
+    l = side(left.select(F.col("poly_id").alias("lid"), "geojson"), "lid", "l")
+    r = side(right.select(F.col("poly_id").alias("rid"), "geojson"), "rid", "r")
+    cand = bbox_overlap_join(l, r, res=res)
+
+    def refine(batches):
+        import pandas as pd
+
+        from ..geom.packed import from_geojson
+
+        for pdf in batches:
+            keep = []
+            for _, row in pdf.iterrows():
+                try:
+                    keep.append(polygons_intersect(from_geojson(row["lgj"]), from_geojson(row["rgj"])))
+                except (ValueError, KeyError):
+                    keep.append(False)
+            yield pdf.loc[np.asarray(keep, dtype=bool), ["lid", "rid"]]
+
+    return cand.mapInPandas(refine, schema="lid long, rid long")

@@ -167,3 +167,41 @@ def test_bbox_join_no_duplicates_multi_cell(spark):
     right = spark.createDataFrame([(7, 26.5, 53.2, 28.0, 54.4), (8, 40.0, 10.0, 41.0, 11.0)], "rid long, rminx double, rminy double, rmaxx double, rmaxy double")
     rows = bbox_overlap_join(left, right, res=10).select("lid", "rid").collect()
     assert [(r["lid"], r["rid"]) for r in rows] == [(1, 7)]
+
+
+def test_zonal_stats_vs_oracle(spark):
+    df = entrymod.queries()["zonal_stats"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["zonal_stats"], SF_ORACLE, float_cols=("mean",), atol=1e-9)
+
+
+def test_intersects_join_vs_bruteforce(spark):
+    """Exact polygon-intersects join == pairwise kernel brute force."""
+    import json
+
+    import numpy as np
+
+    from gdal_boots_spark.geom.packed import from_geojson
+    from gdal_boots_spark.geom.pip import polygons_intersect
+    from gdal_boots_spark.operators.bbox_join import intersects_join
+
+    rng = np.random.default_rng(31)
+    def mk(pid):
+        cx, cy = rng.uniform(26.3, 28.7), rng.uniform(53.3, 54.7)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 7))
+        rad = rng.uniform(0.05, 0.35, 7)
+        ring = [[float(cx + rr * np.cos(a)), float(cy + rr * np.sin(a))] for a, rr in zip(ang, rad)]
+        ring.append(ring[0])
+        return (pid, json.dumps({"type": "Polygon", "coordinates": [ring]}))
+
+    rows_l = [mk(i) for i in range(25)]
+    rows_r = [mk(100 + i) for i in range(25)]
+    l = spark.createDataFrame(rows_l, "poly_id long, geojson string")
+    r = spark.createDataFrame(rows_r, "poly_id long, geojson string")
+    got = {(x["lid"], x["rid"]) for x in intersects_join(l, r, res=9).collect()}
+    exp = {
+        (a, b)
+        for a, gj_a in rows_l
+        for b, gj_b in rows_r
+        if polygons_intersect(from_geojson(gj_a), from_geojson(gj_b))
+    }
+    assert got == exp and len(exp) > 0
