@@ -92,7 +92,8 @@ def rasterize(
     # byte-based partition coalescing would collapse the render stage
     # onto one task.  An explicit repartition-by-number is exempt from
     # AQE coalescing and spreads the tiles across all cores.
-    n_parts = max(spark.sparkContext.defaultParallelism * 2, 2)
+    n_touched = len({t for t, _ in contribs}) or 1
+    n_parts = max(min(spark.sparkContext.defaultParallelism * 2, n_touched), 2)
 
     def render_partition(batches):
         import pandas as pd
