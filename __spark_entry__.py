@@ -358,6 +358,18 @@ def q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event-time aggregation over the events stream table
+    (the batch face of streaming/doc_stream's windowed counts):
+    per-hour, per-type counts + value sums."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v")
+    ).select(F.col("w.start").alias("w_start"), "event_type", "n", "v")
+
+
 # --- training-data pipeline queries (dedup / similarity / text) ----------
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "bbox_join": q_bbox_join,
         "zonal_stats": q_zonal,
+        "event_windows": q_event_windows,
         "crs_3857": q_crs_3857,
         "resample_avg": q_resample_avg,
         "knn": q_knn,
@@ -731,6 +744,11 @@ def oracle_sql() -> dict[str, str]:
             FROM px
         """,
         "reproject": _reproject_oracle_sql(),
+        "event_windows": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 6) AS v
+            FROM events GROUP BY 1, 2
+        """,
         "zonal_stats": f"""
             WITH px AS (
               SELECT cy.range AS row, cx.range AS col,

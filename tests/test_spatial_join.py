@@ -205,3 +205,8 @@ def test_intersects_join_vs_bruteforce(spark):
         if polygons_intersect(from_geojson(gj_a), from_geojson(gj_b))
     }
     assert got == exp and len(exp) > 0
+
+
+def test_event_windows_vs_oracle(spark):
+    df = entrymod.queries()["event_windows"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["event_windows"], SF_ORACLE, float_cols=("v",), atol=1e-6)
