@@ -120,7 +120,9 @@ def knn_join(
         hard_stop = min(hard_stop, max_rounds)
 
     remaining = query.select(F.col(q_id).alias("qid"), "x", "y")
-    acc: DataFrame | None = None
+    acc: DataFrame | None = None  # candidates of still-UNFINISHED queries only
+    finished: list[DataFrame] = []  # frozen top-k of finished queries
+    w = Window.partitionBy("qid").orderBy("dist", "bid")
     r = 0
     while r <= hard_stop:
         shells = remaining.select(
@@ -132,20 +134,34 @@ def knn_join(
             F.sqrt((F.col("x") - F.col("bx")) ** 2 + (F.col("y") - F.col("by")) ** 2).alias("dist"),
         )
         acc = cand if acc is None else acc.unionByName(cand)
-        # eager localCheckpoint: keeps the iterative plan shallow (the
-        # union lineage would otherwise grow linearly with rounds)
-        acc = acc.localCheckpoint(eager=True)
-
-        w = Window.partitionBy("qid").orderBy("dist", "bid")
-        ranked = acc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k_eff)
+        # rank ONLY unfinished queries' candidates; finished queries'
+        # results are frozen, so per-round work decays with the frontier
+        # instead of re-ranking the whole accumulator every round.
+        # eager localCheckpoint keeps the iterative plan shallow.
+        ranked = (
+            acc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_eff)
+            .localCheckpoint(eager=True)
+        )
         kth = ranked.groupBy("qid").agg(F.max("dist").alias("kth"), F.count("*").alias("cnt"))
         done_ids = kth.where((F.col("cnt") >= k_eff) & (F.col("kth") <= r * guarantee)).select("qid")
+        finished.append(ranked.join(done_ids, "qid", "left_semi"))
         remaining = remaining.join(done_ids, "qid", "left_anti").localCheckpoint(eager=True)
         if remaining.count() == 0:
+            acc = None
             break
+        # keep only unfinished queries' top-k candidates (dominated
+        # candidates can never re-enter the top-k, so dropping them is
+        # safe and bounds the accumulator at k_eff rows per open query)
+        acc = ranked.join(done_ids, "qid", "left_anti").select("qid", "bid", "dist")
         r += 1
 
-    w = Window.partitionBy("qid").orderBy("dist", "bid")
-    out = acc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    out = finished[0]
+    for f in finished[1:]:
+        out = out.unionByName(f)
+    if acc is not None:  # hard_stop reached with open queries: emit best-so-far
+        out = out.unionByName(
+            acc.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        )
     basec.unpersist()
     return out.select("qid", "bid", "dist", "rank")
