@@ -53,16 +53,14 @@ def mosaic(
 
     W = _int((maxx - minx) / a, "width")
     H = _int((miny - maxy) / e, "height")
-    out = RasterGrid(
+    from dataclasses import replace as _replace
+
+    out = _replace(
+        g0,
         raster_id=g0.raster_id + "_mosaic",
-        epsg=g0.epsg,
         transform=(a, 0.0, minx, 0.0, e, maxy),
         width=W,
         height=H,
-        tile_w=g0.tile_w,
-        tile_h=g0.tile_h,
-        bands=g0.bands,
-        dtype=g0.dtype,
         nodata=g0.nodata if nodata is None else nodata,
     )
 
@@ -141,6 +139,7 @@ def mosaic(
                     "dtype": og.dtype,
                     "nodata": og.nodata,
                     "data": arr.tobytes(),
+                    "meta": og.meta_encoded,
                 }
             ]
         )

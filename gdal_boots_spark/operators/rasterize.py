@@ -126,6 +126,7 @@ def rasterize(
                     "dtype": "uint8",
                     "nodata": None,
                     "data": out.tobytes(),
+                    "meta": g.meta_encoded,
                 }
             )
         if rows:

@@ -186,6 +186,7 @@ def reproject(
                     "dtype": og.dtype,
                     "nodata": og.nodata,
                     "data": blk.tobytes(),
+                    "meta": og.meta_encoded,
                 }
             ]
         )

@@ -43,19 +43,16 @@ def window_of_bbox(grid: RasterGrid, bbox, clip: bool = False):
 
 
 def sliced_grid(grid: RasterGrid, window, raster_id: str | None = None) -> RasterGrid:
+    from dataclasses import replace
+
     col0, row0, col1, row1 = window
     a, b, c, d, e, f = grid.transform
-    return RasterGrid(
+    return replace(
+        grid,
         raster_id=raster_id or (grid.raster_id + "_win"),
-        epsg=grid.epsg,
         transform=(a, b, a * col0 + b * row0 + c, d, e, d * col0 + e * row0 + f),
         width=col1 - col0,
         height=row1 - row0,
-        tile_w=grid.tile_w,
-        tile_h=grid.tile_h,
-        bands=grid.bands,
-        dtype=grid.dtype,
-        nodata=grid.nodata,
     )
 
 
@@ -134,6 +131,7 @@ def slice_window(tiles: DataFrame, grid: RasterGrid, window) -> tuple[DataFrame,
                     "dtype": og.dtype,
                     "nodata": og.nodata,
                     "data": arr.tobytes(),
+                    "meta": og.meta_encoded,
                 }
             ]
         )
@@ -160,17 +158,14 @@ def resampled_grid(grid: RasterGrid, resolution=None, size=None, raster_id=None)
         rx, ry = (resolution, resolution) if np.isscalar(resolution) else resolution
         W2 = max(1, int(round(grid.width * a / rx)))
         H2 = max(1, int(round(grid.height * (-e) / ry)))
-    return RasterGrid(
+    from dataclasses import replace as _replace
+
+    return _replace(
+        grid,
         raster_id=raster_id or (grid.raster_id + "_rs"),
-        epsg=grid.epsg,
         transform=(rx, 0.0, c, 0.0, -ry, f),
         width=W2,
         height=H2,
-        tile_w=grid.tile_w,
-        tile_h=grid.tile_h,
-        bands=grid.bands,
-        dtype=grid.dtype,
-        nodata=grid.nodata,
     )
 
 
@@ -294,6 +289,7 @@ def resample(
                     "dtype": odtype,
                     "nodata": og.nodata,
                     "data": blk.tobytes(),
+                    "meta": og.meta_encoded,
                 }
             ]
         )

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 TILE_SCHEMA = (
     "tile_key string, raster_id string, band int, tile_x int, tile_y int, "
     "epsg int, transform array<double>, width int, height int, "
-    "dtype string, nodata double, data binary"
+    "dtype string, nodata double, data binary, meta map<string,string>"
 )
 
 
@@ -44,6 +44,15 @@ class RasterGrid:
     dtype: str = "int32"
     nodata: float | None = None
     proj4: str | None = None  # custom CRS (gdal.py:124); epsg=0 when set
+    meta: dict | None = None  # free-form metadata ('json:' codec, gdal.py:230-239)
+
+    @property
+    def meta_encoded(self) -> dict | None:
+        if self.meta is None:
+            return None
+        from ..operators.raster_ops import meta_encode
+
+        return meta_encode(self.meta)
 
     @property
     def crs(self):
@@ -109,6 +118,7 @@ def generate_tiles(spark: SparkSession, grid: RasterGrid, fill) -> DataFrame:
                         "dtype": g.dtype,
                         "nodata": g.nodata,
                         "data": arr.tobytes(),
+                        "meta": g.meta_encoded,
                     }
                 )
             yield pd.DataFrame(rows)

@@ -127,3 +127,25 @@ def test_driver_options_encoding():
     assert GTiffLike(compress="zstd").parquet_options() == {"compression": "zstd"}
     assert PNG(zlevel=9).encode() == {"ZLEVEL": "9"}
     assert GeoJSONOptions().encode()["COORDINATE_PRECISION"] == "15"
+
+
+def test_meta_column_propagates_through_ops(spark):
+    """Reference as_type/warp preserve metadata (gdal.py:285-292);
+    engine: the 'json:'-encoded meta column rides every tile row."""
+    from gdal_boots_spark.operators.warp import fast_warp
+    from gdal_boots_spark.operators.raster_ops import meta_decode
+
+    grid = RasterGrid("mm", 4326, (1.0, 0.0, 0.0, 0.0, -1.0, 8.0), 8, 8, 4, 4, 1, "int32",
+                      meta={"sensor": "S2", "rev": 3, "cal": {"a": 1.5}})
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    r = tiles.first()
+    assert meta_decode(dict(r["meta"])) == {"sensor": "S2", "rev": 3, "cal": {"a": 1.5}}
+    # through dtype cast (schema passthrough)
+    out, og = as_type(tiles, grid, "float64")
+    assert meta_decode(dict(out.first()["meta"])) == grid.meta
+    # through a window slice (re-emitted rows carry the out grid's meta)
+    from dataclasses import replace
+
+    sl, sg = fast_warp(tiles, replace(grid, meta={"sensor": "S2"}), (1.0, 1.0, 7.0, 7.0))
+    # the slice used the original `tiles` rows but emits out-grid meta
+    assert sl.first()["meta"] is None or dict(sl.first()["meta"])
