@@ -21,3 +21,18 @@ Design rules (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def engine_versions() -> dict:
+    """Environment probe (reference utils.py:1-32 get_geos/gdal_version):
+    the engine's backend versions for skip/compat logic."""
+    import numpy
+    import pyarrow
+    import pyspark
+
+    return {
+        "gdal_boots_spark": __version__,
+        "pyspark": pyspark.__version__,
+        "pyarrow": pyarrow.__version__,
+        "numpy": numpy.__version__,
+    }

@@ -172,3 +172,77 @@ def array_to_tiles(spark: SparkSession, arr: np.ndarray, grid: RasterGrid) -> Da
         return a[band, r0 : r0 + h, c0 : c0 + w]
 
     return generate_tiles(spark, grid, fill)
+
+
+def png_to_tiles(spark: SparkSession, path: str, grid: RasterGrid) -> DataFrame:
+    """Encoded-image ingestion (reference from_bytes/from_stream,
+    gdal.py:546-575): binaryFile datasource -> pure-Python PNG decode ->
+    tile rows on `grid` (one source image per file; grid describes its
+    georeferencing and tiling).  Decode happens once per file inside an
+    Arrow batch; tiles are cut locally — no shuffle."""
+    from .png import decode_png
+
+    g = grid
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def cut(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_png(bytes(r["content"]))
+                if arr.ndim == 3:  # RGB -> one band per channel
+                    planes = [np.ascontiguousarray(arr[:, :, b]) for b in range(arr.shape[2])]
+                else:
+                    planes = [arr]
+                for band, plane in enumerate(planes):
+                    for ty in range(g.n_tiles_y):
+                        for tx in range(g.n_tiles_x):
+                            h, w = g.tile_shape(tx, ty)
+                            blk = np.ascontiguousarray(
+                                plane[ty * g.tile_h : ty * g.tile_h + h, tx * g.tile_w : tx * g.tile_w + w]
+                            )
+                            rows.append(
+                                {
+                                    "tile_key": g.tile_key(band, ty, tx),
+                                    "raster_id": g.raster_id,
+                                    "band": band,
+                                    "tile_x": tx,
+                                    "tile_y": ty,
+                                    "epsg": g.epsg,
+                                    "transform": list(g.tile_transform(tx, ty)),
+                                    "width": w,
+                                    "height": h,
+                                    "dtype": str(plane.dtype),
+                                    "nodata": g.nodata,
+                                    "data": blk.tobytes(),
+                                    "meta": g.meta_encoded,
+                                }
+                            )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return files.mapInPandas(cut, schema=TILE_SCHEMA)
+
+
+def tiles_to_png(tiles: DataFrame, zlevel: int = 6) -> DataFrame:
+    """Per-tile PNG export (reference to_bytes, gdal.py:577-607):
+    -> (tile_key, png binary).  Encode UDF, Arrow-batched."""
+    from .png import encode_png
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
+                if arr.dtype not in (np.uint8, np.uint16):
+                    arr = arr.astype(np.uint16)
+                out.append(encode_png(arr, zlevel=zlevel))
+            yield pd.DataFrame({"tile_key": pdf["tile_key"], "png": out})
+
+    return tiles.select("tile_key", "width", "height", "dtype", "data").mapInPandas(
+        enc, schema="tile_key string, png binary"
+    )

@@ -149,3 +149,25 @@ def test_meta_column_propagates_through_ops(spark):
     sl, sg = fast_warp(tiles, replace(grid, meta={"sensor": "S2"}), (1.0, 1.0, 7.0, 7.0))
     # the slice used the original `tiles` rows but emits out-grid meta
     assert sl.first()["meta"] is None or dict(sl.first()["meta"])
+
+
+def test_png_ingestion_and_export_roundtrip(spark, tmp_path):
+    """binaryFile PNG ingest -> tile table -> per-tile PNG export."""
+    from gdal_boots_spark.sources.png import decode_png, encode_png
+    from gdal_boots_spark.sources.tiles import png_to_tiles, tiles_to_png
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    p = tmp_path / "imgs"
+    p.mkdir()
+    (p / "a.png").write_bytes(encode_png(img))
+
+    grid = RasterGrid("png1", 4326, (0.1, 0.0, 26.0, 0.0, -0.1, 55.0), 32, 24, 16, 16, 1, "uint8")
+    tiles = png_to_tiles(spark, str(p), grid)
+    assert tiles.count() == 4
+    assert np.array_equal(tiles_to_array(tiles, grid), img)
+
+    # per-tile export decodes back to the tile pixels
+    out = {r["tile_key"]: bytes(r["png"]) for r in tiles_to_png(tiles).collect()}
+    t00 = decode_png(out["png1/0/0/0"])
+    assert np.array_equal(t00, img[:16, :16])
