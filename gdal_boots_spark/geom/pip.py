@@ -89,9 +89,12 @@ def points_in_packed(px, py, pg: PackedGeometry):
 
 
 def polygons_intersect(pga: PackedGeometry, pgb: PackedGeometry) -> bool:
-    """Exact polygon/polygon intersection predicate: any boundary
-    crossing, or either containing a vertex of the other (even-odd).
-    Both inputs Polygon/MultiPolygon."""
+    """Exact polygon/polygon intersection predicate matching GEOS
+    ``Intersects`` semantics (the reference's feature.intersects is a
+    GEOS call): proper boundary crossing, vertex containment (even-odd),
+    OR any degenerate boundary contact — shared edge, collinear overlap,
+    edge-through-vertex, vertex-on-edge.  Both inputs
+    Polygon/MultiPolygon."""
     ca = pga.coords.reshape(-1, 2)
     cb = pgb.coords.reshape(-1, 2)
     if len(ca) == 0 or len(cb) == 0:
@@ -121,4 +124,28 @@ def polygons_intersect(pga: PackedGeometry, pgb: PackedGeometry) -> bool:
     d3 = orient(x1b[None, :], y1b[None, :], x2b[None, :], y2b[None, :], x1a[:, None], y1a[:, None])
     d4 = orient(x1b[None, :], y1b[None, :], x2b[None, :], y2b[None, :], x2a[:, None], y2a[:, None])
     proper = (d1 * d2 < 0) & (d3 * d4 < 0)
-    return bool(proper.any())
+    if proper.any():
+        return True
+
+    # degenerate contact: a collinear endpoint lying ON the other
+    # segment (covers shared edges, collinear partial overlap, and
+    # edge-through-vertex: any touching pair of 1-D overlapping
+    # collinear segments has at least one endpoint of one inside the
+    # other's bbox, and a vertex landing on an edge has d == 0)
+    def on_seg(sx1, sy1, sx2, sy2, px, py):
+        return (
+            (np.minimum(sx1, sx2) <= px) & (px <= np.maximum(sx1, sx2))
+            & (np.minimum(sy1, sy2) <= py) & (py <= np.maximum(sy1, sy2))
+        )
+
+    ax1, ay1 = x1a[:, None], y1a[:, None]
+    ax2, ay2 = x2a[:, None], y2a[:, None]
+    bx1, by1 = x1b[None, :], y1b[None, :]
+    bx2, by2 = x2b[None, :], y2b[None, :]
+    touch = (
+        ((d1 == 0) & on_seg(ax1, ay1, ax2, ay2, bx1, by1))
+        | ((d2 == 0) & on_seg(ax1, ay1, ax2, ay2, bx2, by2))
+        | ((d3 == 0) & on_seg(bx1, by1, bx2, by2, ax1, ay1))
+        | ((d4 == 0) & on_seg(bx1, by1, bx2, by2, ax2, ay2))
+    )
+    return bool(touch.any())

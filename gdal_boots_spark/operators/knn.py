@@ -144,7 +144,10 @@ def knn_join(
             .localCheckpoint(eager=True)
         )
         kth = ranked.groupBy("qid").agg(F.max("dist").alias("kth"), F.count("*").alias("cnt"))
-        done_ids = kth.where((F.col("cnt") >= k_eff) & (F.col("kth") <= r * guarantee)).select("qid")
+        # STRICT kth < r*guarantee: an unexplored point can sit at exactly
+        # r*cell from the query, tie the frozen k-th candidate, and win
+        # the (dist, bid) tie-break — non-strict would freeze too early.
+        done_ids = kth.where((F.col("cnt") >= k_eff) & (F.col("kth") < r * guarantee)).select("qid")
         finished.append(ranked.join(done_ids, "qid", "left_semi"))
         remaining = remaining.join(done_ids, "qid", "left_anti").localCheckpoint(eager=True)
         if remaining.count() == 0:

@@ -228,7 +228,11 @@ def png_to_tiles(spark: SparkSession, path: str, grid: RasterGrid) -> DataFrame:
 
 def tiles_to_png(tiles: DataFrame, zlevel: int = 6) -> DataFrame:
     """Per-tile PNG export (reference to_bytes, gdal.py:577-607):
-    -> (tile_key, png binary).  Encode UDF, Arrow-batched."""
+    -> (tile_key, png binary).  Encode UDF, Arrow-batched.
+
+    Only uint8/uint16 band types are encodable — the reference's GDAL
+    PNG driver refuses other types, so we raise instead of silently
+    wrapping values with a lossy cast."""
     from .png import encode_png
 
     def enc(batches):
@@ -239,7 +243,10 @@ def tiles_to_png(tiles: DataFrame, zlevel: int = 6) -> DataFrame:
             for _, r in pdf.iterrows():
                 arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
                 if arr.dtype not in (np.uint8, np.uint16):
-                    arr = arr.astype(np.uint16)
+                    raise ValueError(
+                        f"PNG export supports uint8/uint16 bands only, got {arr.dtype} "
+                        f"(tile {r['tile_key']}); cast explicitly with as_type first"
+                    )
                 out.append(encode_png(arr, zlevel=zlevel))
             yield pd.DataFrame({"tile_key": pdf["tile_key"], "png": out})
 

@@ -74,25 +74,34 @@ def write_geojson(df: DataFrame, path: str, overwrite: bool = False) -> None:
 
 
 def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
-    """Scale path: newline-delimited GeoJSON features via the native
-    (splittable, pushdown-capable) JSON datasource."""
-    raw = spark.read.json(path)
+    """Scale path: newline-delimited GeoJSON Feature objects, one per
+    line.  Read as splittable text and field-extracted with native JSON
+    path ops (NOT schema inference: ``coordinates`` nesting depth varies
+    by geometry type, so inferring a unified schema across mixed layers
+    mangles it; get_json_object returns each sub-object's raw JSON text,
+    which is exactly the engine's geojson/props_json column format)."""
+    raw = spark.read.text(path)
     return raw.select(
-        F.coalesce(F.col("id"), F.monotonically_increasing_id()).cast("long").alias("fid"),
-        F.col("geometry.type").alias("gtype"),
-        F.to_json("geometry").alias("geojson"),
-        F.to_json("properties").alias("props_json"),
+        F.get_json_object("value", "$.id").cast("long").alias("fid"),
+        F.get_json_object("value", "$.geometry.type").alias("gtype"),
+        F.get_json_object("value", "$.geometry").alias("geojson"),
+        F.coalesce(F.get_json_object("value", "$.properties"), F.lit("{}")).alias("props_json"),
     )
 
 
 def write_ndjson(df: DataFrame, path: str, mode: str = "error") -> None:
-    df.select(
-        F.col("fid").alias("id"),
-        F.from_json("geojson", "type string, coordinates string").alias("_g"),
-        "geojson",
-        "props_json",
-    ).select(
-        F.col("id"),
-        F.col("geojson"),
-        F.col("props_json"),
-    ).write.mode(mode).json(path)
+    """Inverse of read_ndjson: one GeoJSON Feature per line, built by
+    string concatenation (geojson/props_json are already JSON text, so
+    no parse/re-serialize round-trip and no from_json in the plan)."""
+    lines = df.select(
+        F.concat(
+            F.lit('{"type":"Feature","id":'),
+            F.coalesce(F.col("fid").cast("string"), F.lit("null")),
+            F.lit(',"geometry":'),
+            F.coalesce(F.col("geojson"), F.lit("null")),
+            F.lit(',"properties":'),
+            F.coalesce(F.col("props_json"), F.lit("{}")),
+            F.lit("}"),
+        ).alias("value")
+    )
+    lines.write.mode(mode).text(path)

@@ -290,3 +290,34 @@ def test_cover_bbox_and_ring():
     assert len(r1) == 9 and int(ctr) in r1.tolist()
     r0 = ring(int(ctr), 0)
     assert r0.tolist() == [int(ctr)]
+
+
+def _rect_pg(minx, miny, maxx, maxy):
+    gj = {"type": "Polygon", "coordinates": [[
+        [minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]]]}
+    return from_geojson(json.dumps(gj))
+
+
+def test_polygons_intersect_touch_semantics():
+    """GEOS Intersects semantics: boundary contact counts (ADVICE r1)."""
+    from gdal_boots_spark.geom.pip import polygons_intersect
+
+    a = _rect_pg(0.0, 0.0, 1.0, 1.0)
+    # shared full edge (adjacent parcels)
+    assert polygons_intersect(a, _rect_pg(1.0, 0.0, 2.0, 1.0))
+    # collinear partial edge overlap
+    assert polygons_intersect(a, _rect_pg(1.0, 0.25, 2.0, 0.75))
+    # corner-touch at a single shared vertex
+    assert polygons_intersect(a, _rect_pg(1.0, 1.0, 2.0, 2.0))
+    # vertex of one on the edge interior of the other
+    assert polygons_intersect(a, _rect_pg(1.0, 0.5, 2.0, 1.5))
+    # edge-through-vertex: triangle whose apex touches a's edge
+    tri = from_geojson(json.dumps({"type": "Polygon", "coordinates": [[
+        [1.0, 0.5], [2.0, 0.0], [2.0, 1.0], [1.0, 0.5]]]}))
+    assert polygons_intersect(a, tri)
+    # clearly disjoint stays false
+    assert not polygons_intersect(a, _rect_pg(1.1, 0.0, 2.0, 1.0))
+    # proper overlap still true
+    assert polygons_intersect(a, _rect_pg(0.5, 0.5, 1.5, 1.5))
+    # containment (no boundary contact) still true via vertex containment
+    assert polygons_intersect(a, _rect_pg(0.25, 0.25, 0.75, 0.75))

@@ -171,3 +171,32 @@ def test_png_ingestion_and_export_roundtrip(spark, tmp_path):
     out = {r["tile_key"]: bytes(r["png"]) for r in tiles_to_png(tiles).collect()}
     t00 = decode_png(out["png1/0/0/0"])
     assert np.array_equal(t00, img[:16, :16])
+
+
+def test_ndjson_roundtrip(spark, tmp_path):
+    """write_ndjson -> read_ndjson round-trips mixed geometry types
+    (ADVICE r1: the flat writer was unreadable by the reader)."""
+    from gdal_boots_spark.sources.vector_io import read_ndjson, write_ndjson
+
+    rows = [
+        (1, "Point", '{"type":"Point","coordinates":[27.5,53.9]}', '{"name":"a","rank":3}'),
+        (2, "Polygon", '{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,0]]]}', "{}"),
+        (3, "LineString", '{"type":"LineString","coordinates":[[0,0],[2,2]]}', '{"k":null}'),
+    ]
+    df = spark.createDataFrame(rows, "fid long, gtype string, geojson string, props_json string")
+    p = str(tmp_path / "feats_ndjson")
+    write_ndjson(df, p)
+    back = read_ndjson(spark, p)
+    got = {r["fid"]: (r["gtype"], json.loads(r["geojson"]), json.loads(r["props_json"])) for r in back.collect()}
+    exp = {fid: (gt, json.loads(gj), json.loads(pj)) for fid, gt, gj, pj in rows}
+    assert got == exp
+
+
+def test_png_export_rejects_wide_dtypes(spark):
+    """int32 tiles must error, not wrap (reference PNG driver refuses)."""
+    from gdal_boots_spark.sources.tiles import generate_tiles, ramp_fill, tiles_to_png
+
+    grid = RasterGrid("png_bad", 4326, (0.1, 0.0, 0.0, 0.0, -0.1, 5.0), 16, 16, 16, 16, 1, "int32")
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    with pytest.raises(Exception, match="uint8/uint16"):
+        tiles_to_png(tiles).collect()
