@@ -5,12 +5,16 @@ for every polygon, aggregate the raster values whose pixel CENTER falls
 inside it (same coverage rule as rasterize all_touched=False).
 
 Physical shape:
-    polys (dimension, driver-collected + broadcast)
-      -> touched-tile contribution rows (tile bbox intersect, driver)
-    contributions ⋈ tiles on (band, tile_x, tile_y)   (hash join)
-      -> mapInPandas: scanline mask per (poly, tile), masked partial
-         aggregates (count/sum/min/max) — one NumPy pass per pair
-      -> groupBy(poly_id, band) final combine  (shuffle of tiny rows)
+    polys -> (tile, poly) contribution rows
+        broadcast path (default): driver bbox loop, coords via a Spark
+        broadcast dict, contributions broadcast-joined to tiles
+        distributed path: operators.cover no-collect explode; the geom
+        struct rides the rows through a shuffle hash join on
+        (tile_x, tile_y) — for polygon tables too large to broadcast
+    joined ⋈ tiles -> mapInPandas: scanline mask per (poly, tile),
+        masked partial aggregates (count/sum/min/max) — one NumPy pass
+        per pair
+    groupBy(poly_id, band) final combine  (shuffle of tiny rows)
 
 The partial+final split means pixel bytes never shuffle: only
 O(polys x touched tiles) aggregate rows do.
@@ -22,10 +26,12 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..geom.packed import from_geojson
 from ..geom.raster_kernels import rasterize_mask
 from ..sources.tiles import RasterGrid
-from .rasterize import _pixel_bbox
+from .cover import contribs_broadcast, contribs_distributed, geom_arrays
+
+_OUT_SCHEMA = "poly_id long, band int, n_pixels long, sum double, min double, max double, mean double"
+_PARTIAL_SCHEMA = "poly_id long, band int, n_pixels long, sum double, min double, max double"
 
 
 def zonal_stats(
@@ -33,65 +39,57 @@ def zonal_stats(
     tiles: DataFrame,
     grid: RasterGrid,
     polys: DataFrame,
+    distributed: bool = False,
 ) -> DataFrame:
     """-> (poly_id, band, n_pixels, sum, min, max, mean) per polygon
     over all raster bands; polygons with no covered pixel are absent
-    (the reference's GDAL zonal workflows behave the same)."""
-    rows = polys.select("poly_id", "geojson").collect()
-    packed, contribs = {}, []
-    for r in rows:
-        pg = from_geojson(r["geojson"])
-        if pg.n_points == 0:
-            continue
-        pid = int(r["poly_id"])
-        packed[pid] = (pg.coords, pg.ring_offsets)
-        minpx, minpy, maxpx, maxpy = _pixel_bbox(pg, grid.transform)
-        tx0 = max(0, int(np.floor(minpx)) // grid.tile_w)
-        tx1 = min(grid.n_tiles_x - 1, int(np.ceil(maxpx) - 1) // grid.tile_w)
-        ty0 = max(0, int(np.floor(minpy)) // grid.tile_h)
-        ty1 = min(grid.n_tiles_y - 1, int(np.ceil(maxpy) - 1) // grid.tile_h)
-        for ty in range(ty0, ty1 + 1):
-            for tx in range(tx0, tx1 + 1):
-                contribs.append((tx, ty, pid))
-    if not contribs:
-        return spark.createDataFrame(
-            [], "poly_id long, band int, n_pixels long, sum double, min double, max double, mean double"
-        )
-    cdf = spark.createDataFrame(contribs, "tile_x int, tile_y int, poly_id long")
-    joined = tiles.join(F.broadcast(cdf), ["tile_x", "tile_y"])
+    (the reference's GDAL zonal workflows behave the same).
 
-    bpolys = spark.sparkContext.broadcast(packed)
+    ``distributed=True``: no driver collect — use when the polygon side
+    exceeds broadcast size; identical output (pytest-asserted)."""
     g = grid
 
-    def partial(batches):
-        import pandas as pd
+    if distributed:
+        cdf = contribs_distributed(polys, grid)
+        joined = tiles.join(cdf, ["tile_x", "tile_y"])
 
-        for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
-                coords, ro = bpolys.value[int(r["poly_id"])]
-                t = g.tile_transform(int(r["tile_x"]), int(r["tile_y"]))
-                m = rasterize_mask(coords, ro, t, r["height"], r["width"]).astype(bool)
-                if not m.any():
-                    continue
-                vals = arr[m].astype(np.float64)
-                out.append(
-                    {
-                        "poly_id": int(r["poly_id"]),
-                        "band": int(r["band"]),
-                        "n_pixels": int(vals.size),
-                        "sum": float(vals.sum()),
-                        "min": float(vals.min()),
-                        "max": float(vals.max()),
-                    }
-                )
-            if out:
-                yield pd.DataFrame(out)
+        def partial(batches):
+            import pandas as pd
 
-    partials = joined.mapInPandas(
-        partial, schema="poly_id long, band int, n_pixels long, sum double, min double, max double"
-    )
+            for pdf in batches:
+                out = []
+                for _, r in pdf.iterrows():
+                    coords, ro = geom_arrays(r["geom"])
+                    rec = _pair_partial(r, coords, ro, g)
+                    if rec is not None:
+                        out.append(rec)
+                if out:
+                    yield pd.DataFrame(out)
+
+        partials = joined.mapInPandas(partial, schema=_PARTIAL_SCHEMA)
+    else:
+        packed, pairs = contribs_broadcast(spark, polys, grid)
+        if not pairs:
+            return spark.createDataFrame([], _OUT_SCHEMA)
+        cdf = spark.createDataFrame(pairs, "tile_x int, tile_y int, poly_id long")
+        joined = tiles.join(F.broadcast(cdf), ["tile_x", "tile_y"])
+        bpolys = spark.sparkContext.broadcast(packed)
+
+        def partial(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out = []
+                for _, r in pdf.iterrows():
+                    coords, ro = bpolys.value[int(r["poly_id"])]
+                    rec = _pair_partial(r, coords, ro, g)
+                    if rec is not None:
+                        out.append(rec)
+                if out:
+                    yield pd.DataFrame(out)
+
+        partials = joined.mapInPandas(partial, schema=_PARTIAL_SCHEMA)
+
     return partials.groupBy("poly_id", "band").agg(
         F.sum("n_pixels").alias("n_pixels"),
         F.sum("sum").alias("sum"),
@@ -99,3 +97,21 @@ def zonal_stats(
         F.max("max").alias("max"),
         (F.sum("sum") / F.sum("n_pixels")).alias("mean"),
     )
+
+
+def _pair_partial(r, coords: np.ndarray, ro: np.ndarray, g: RasterGrid):
+    """One (tile, polygon) pair -> partial aggregate record or None."""
+    arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
+    t = g.tile_transform(int(r["tile_x"]), int(r["tile_y"]))
+    m = rasterize_mask(coords, ro, t, r["height"], r["width"]).astype(bool)
+    if not m.any():
+        return None
+    vals = arr[m].astype(np.float64)
+    return {
+        "poly_id": int(r["poly_id"]),
+        "band": int(r["band"]),
+        "n_pixels": int(vals.size),
+        "sum": float(vals.sum()),
+        "min": float(vals.min()),
+        "max": float(vals.max()),
+    }

@@ -210,3 +210,24 @@ def test_intersects_join_vs_bruteforce(spark):
 def test_event_windows_vs_oracle(spark):
     df = entrymod.queries()["event_windows"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["event_windows"], SF_ORACLE, float_cols=("v",), atol=1e-6)
+
+
+def test_zonal_broadcast_vs_distributed(spark):
+    """zonal_stats distributed cover path == broadcast path (VERDICT r1
+    item 2: the driver collect+loop must have a distributed swap-in)."""
+    from gdal_boots_spark.operators.zonal import zonal_stats
+    from gdal_boots_spark.sources.synth import rect_polygons_df
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid(
+        raster_id="zsd", epsg=4326, transform=(0.01, 0.0, 26.0, 0.0, -0.01, 55.0),
+        width=300, height=200, tile_w=64, tile_h=64, bands=1, dtype="int32",
+    )
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    polys = rect_polygons_df(spark)
+    key = lambda r: (r["poly_id"], r["band"])
+    a = {key(r): (r["n_pixels"], r["sum"], r["min"], r["max"], r["mean"])
+         for r in zonal_stats(spark, tiles, grid, polys, distributed=False).collect()}
+    b = {key(r): (r["n_pixels"], r["sum"], r["min"], r["max"], r["mean"])
+         for r in zonal_stats(spark, tiles, grid, polys, distributed=True).collect()}
+    assert a == b and len(a) == 14
