@@ -152,6 +152,28 @@ def q_resample_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles_to_pixels(out_tiles, og.tile_w, og.tile_h).select("row", "col", "value")
 
 
+def q_resample_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cubic (Keys a=-0.5) upsample x2 of a float64 ramp raster
+    (Resampling.cubic, gdal.py:191).  At half-pixel offsets every tap
+    weight is an exact binary fraction and the ramp is affine, so the
+    separable convolution (incl. edge index clamping) is reproducible
+    in closed form: value = W * Sy + Sx + 1 with Sy/Sx the weighted
+    clamped-tap-index sums (weights sum to exactly 1.0)."""
+    from gdal_boots_spark.operators.stats import tiles_to_pixels
+    from gdal_boots_spark.operators.warp import resample
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid(
+        raster_id="rc", epsg=4326, transform=(0.25, 0.0, 0.0, 0.0, -0.25, 6.0),
+        width=32, height=24, tile_w=16, tile_h=16, bands=1, dtype="float64",
+    )
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    out_tiles, og = resample(tiles, grid, "cubic", resolution=(0.125, 0.125))
+    return tiles_to_pixels(out_tiles, og.tile_w, og.tile_h).select(
+        "row", "col", F.round("value", 6).alias("value")
+    )
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-pruned exact kNN (ring expansion over the cell index):
     supplier-derived query points x customer-derived base points, k=3.
@@ -457,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "crs_3857": q_crs_3857,
         "resample_avg": q_resample_avg,
+        "resample_cubic": q_resample_cubic,
         "knn": q_knn,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
@@ -516,6 +539,45 @@ def _reproject_oracle_sql() -> str:
                CAST(CASE WHEN px_ >= 0 AND px_ < 64 AND py_ >= 0 AND py_ < 48
                          THEN py_ * 64 + px_ + 1 ELSE 0 END AS DOUBLE) AS value
         FROM src
+    """
+
+
+def _resample_cubic_oracle_sql() -> str:
+    """Closed-form oracle for q_resample_cubic.  Upsample x2 => the
+    fractional tap offset is 0.25 or 0.75 by output-index parity; the 4
+    Keys weights at each are exact binary fractions (asserted), so the
+    engine's separable convolution and this SQL compute bit-identical
+    doubles (see geom/resample_kernels._w_cubic)."""
+    import numpy as np
+
+    from gdal_boots_spark.geom.resample_kernels import _w_cubic
+
+    # tap distances for fractional offset f: f+1, f, f-1, f-2  (t=0..3)
+    w = {f: _w_cubic(np.array([f + 1, f, f - 1, f - 2])) for f in (0.25, 0.75)}
+    assert all(ws.sum() == 1.0 for ws in w.values())
+
+    def axis_sum(base: str, f: float, nmax: int) -> str:
+        # CAST each weight: bare float literals type as DECIMAL in DuckDB
+        return " + ".join(
+            f"CAST({w[f][t]!r} AS DOUBLE) * LEAST(GREATEST({base} - 1 + {t}, 0), {nmax})"
+            for t in range(4)
+        )
+
+    return f"""
+        WITH px AS (
+          SELECT cy.range AS row, cx.range AS col FROM range(64) cx, range(48) cy
+        ), b AS (
+          SELECT row, col,
+                 CAST(FLOOR(col * 0.5 - 0.25) AS BIGINT) AS x0,
+                 CAST(FLOOR(row * 0.5 - 0.25) AS BIGINT) AS y0
+          FROM px
+        )
+        SELECT row, col,
+               ROUND(32.0 * (CASE WHEN row % 2 = 1 THEN {axis_sum('y0', 0.25, 23)}
+                                  ELSE {axis_sum('y0', 0.75, 23)} END)
+                     + (CASE WHEN col % 2 = 1 THEN {axis_sum('x0', 0.25, 31)}
+                             ELSE {axis_sum('x0', 0.75, 31)} END) + 1.0, 6) AS value
+        FROM b
     """
 
 
@@ -744,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
             FROM px
         """,
         "reproject": _reproject_oracle_sql(),
+        "resample_cubic": _resample_cubic_oracle_sql(),
         "event_windows": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 6) AS v

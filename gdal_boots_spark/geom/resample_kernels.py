@@ -8,9 +8,19 @@ inside gdal.Warp (gdal.py:720).  Engine semantics:
                   GDAL near behavior for both up- and down-sampling.
 * ``bilinear``  — src coord = (dst+0.5) * scale - 0.5, 4-neighbour
                   weighted, edge-clamped.
-* aggregates (``average sum min max median q1 q3 mode rms``) — defined
-  for integer downscale factors (block reduce); the per-output-pixel
-  aggregation over contributing input pixels.
+* convolution (``cubic cubicspline lanczos``) — separable windowed
+  convolution at any scale: cubic = Keys a=-0.5 (4 taps),
+  cubicspline = cubic B-spline (4 taps, approximating/smoothing),
+  lanczos = 3-lobe windowed sinc (6 taps).  Tap weights are computed
+  from unclamped distances then normalized to sum 1; tap INDICES are
+  edge-clamped (no weight renormalization after clamping — the oracle
+  SQL reproduces exactly this rule).
+* aggregates (``average sum min max median q1 q3 mode rms``) — the
+  per-output-pixel aggregation over the source pixels whose CENTERS
+  fall in the output pixel's source-space footprint
+  [j*scale, (j+1)*scale).  For integer factors this is exactly the
+  block reduce (fast path ``block_agg``); any downscale factor >= 1
+  goes through ``window_agg``.
 
 All functions map a source buffer to a destination block in one
 vectorized call; they are invoked per (output tile) group inside
@@ -22,6 +32,9 @@ from __future__ import annotations
 import numpy as np
 
 AGG_KERNELS = ("average", "sum", "min", "max", "median", "q1", "q3", "mode", "rms")
+
+# kernel -> support radius (taps = 2*support per axis)
+CONV_KERNELS = {"cubic": 2, "cubicspline": 2, "lanczos": 3}
 
 
 def nearest(src: np.ndarray, sx0: float, sy0: float, scale_x: float, scale_y: float, oh: int, ow: int, ox0: int, oy0: int):
@@ -53,6 +66,136 @@ def bilinear(src: np.ndarray, sx0: float, sy0: float, scale_x: float, scale_y: f
     if np.issubdtype(src.dtype, np.integer):
         return np.round(out).astype(src.dtype)
     return out.astype(src.dtype)
+
+
+def _w_cubic(t: np.ndarray) -> np.ndarray:
+    """Keys cubic convolution, a = -0.5 (the GDAL cubic kernel).
+    Exactly reproduces polynomials up to degree 2; all weights at
+    dyadic fractional offsets are exact binary fractions (the
+    resample_cubic oracle relies on this)."""
+    at = np.abs(t)
+    return np.where(
+        at <= 1.0,
+        1.5 * at**3 - 2.5 * at**2 + 1.0,
+        np.where(at < 2.0, -0.5 * at**3 + 2.5 * at**2 - 4.0 * at + 2.0, 0.0),
+    )
+
+
+def _w_bspline(t: np.ndarray) -> np.ndarray:
+    """Cubic B-spline (GDAL cubicspline): smoothing/approximating —
+    does NOT interpolate samples but reproduces linears exactly."""
+    at = np.abs(t)
+    return np.where(
+        at <= 1.0,
+        (4.0 - 6.0 * at**2 + 3.0 * at**3) / 6.0,
+        np.where(at < 2.0, (2.0 - at) ** 3 / 6.0, 0.0),
+    )
+
+
+def _w_lanczos(t: np.ndarray) -> np.ndarray:
+    """3-lobe Lanczos windowed sinc (GDAL lanczos)."""
+    at = np.abs(t)
+    out = np.sinc(t) * np.sinc(t / 3.0)
+    return np.where(at < 3.0, out, 0.0)
+
+
+_CONV_W = {"cubic": _w_cubic, "cubicspline": _w_bspline, "lanczos": _w_lanczos}
+
+
+def _axis_taps(lo_global: int, n_out: int, scale: float, off0: float, src_len: int, kernel: str):
+    """Per-output-index tap indices (clamped, buffer-local) + normalized
+    weights for one axis.  Returns (I (T, n_out) int, W (T, n_out) f8)."""
+    support = CONV_KERNELS[kernel]
+    wfn = _CONV_W[kernel]
+    js = np.arange(lo_global, lo_global + n_out, dtype=np.float64)
+    fx = (js + 0.5) * scale - 0.5 - off0  # continuous buffer-local coord
+    base = np.floor(fx).astype(np.int64) - (support - 1)
+    taps = 2 * support
+    I = np.clip(base[None, :] + np.arange(taps)[:, None], 0, src_len - 1)
+    W = wfn(fx[None, :] - (base[None, :] + np.arange(taps)[:, None]))
+    W = W / W.sum(axis=0, keepdims=True)
+    return I, W
+
+
+def separable_conv(
+    src: np.ndarray, sx0: float, sy0: float, scale_x: float, scale_y: float,
+    oh: int, ow: int, ox0: int, oy0: int, kernel: str,
+):
+    """Windowed separable convolution (cubic/cubicspline/lanczos) at any
+    scale: columns first (one gather+weighted-sum per tap), then rows."""
+    Ix, Wx = _axis_taps(ox0, ow, scale_x, sx0, src.shape[1], kernel)
+    Iy, Wy = _axis_taps(oy0, oh, scale_y, sy0, src.shape[0], kernel)
+    s = src.astype(np.float64)
+    # tmp[y, j] = sum_t Wx[t, j] * src[y, Ix[t, j]]
+    tmp = np.zeros((src.shape[0], ow), dtype=np.float64)
+    for t in range(Ix.shape[0]):
+        tmp += s[:, Ix[t]] * Wx[t][None, :]
+    out = np.zeros((oh, ow), dtype=np.float64)
+    for t in range(Iy.shape[0]):
+        out += tmp[Iy[t], :] * Wy[t][:, None]
+    if np.issubdtype(src.dtype, np.integer):
+        return np.round(out).astype(src.dtype)
+    return out.astype(src.dtype)
+
+
+def _window_bounds(lo_global: int, n_out: int, scale: float, off0: int, src_len: int):
+    """Footprint windows: output index j covers source centers in
+    [j*scale, (j+1)*scale) -> source index range [ceil(j*scale - 0.5),
+    ceil((j+1)*scale - 0.5)).  Contiguous partition (hi_j == lo_{j+1})."""
+    js = np.arange(lo_global, lo_global + n_out + 1, dtype=np.float64)
+    b = np.ceil(js * scale - 0.5).astype(np.int64) - off0
+    return np.clip(b, 0, src_len)
+
+
+def window_agg(
+    src: np.ndarray, sx0: int, sy0: int, scale_x: float, scale_y: float,
+    oh: int, ow: int, ox0: int, oy0: int, kernel: str,
+):
+    """Aggregate resampling at ANY downscale factor >= 1 (the
+    integer-factor fast path is block_agg; this generalizes it —
+    identical results when the factors are integers, tested)."""
+    if scale_x < 1.0 or scale_y < 1.0:
+        raise ValueError("aggregate kernels are downsampling kernels (scale >= 1)")
+    bx = _window_bounds(ox0, ow, scale_x, sx0, src.shape[1])
+    by = _window_bounds(oy0, oh, scale_y, sy0, src.shape[0])
+    b = src.astype(np.float64)
+    cnt = np.maximum(by[1:] - by[:-1], 1)[:, None] * np.maximum(bx[1:] - bx[:-1], 1)[None, :]
+
+    def reduce2(ufunc, arr):
+        rows = ufunc.reduceat(arr[by[0] : by[-1]], by[:-1] - by[0], axis=0)
+        return ufunc.reduceat(rows[:, bx[0] : bx[-1]], bx[:-1] - bx[0], axis=1)
+
+    if kernel == "sum":
+        return reduce2(np.add, b)
+    if kernel == "average":
+        return reduce2(np.add, b) / cnt
+    if kernel == "rms":
+        return np.sqrt(reduce2(np.add, b**2) / cnt)
+    if kernel == "min":
+        out = reduce2(np.minimum, b)
+    elif kernel == "max":
+        out = reduce2(np.maximum, b)
+    elif kernel in ("median", "q1", "q3", "mode"):
+        out = np.empty((oh, ow), dtype=np.float64)
+        for i in range(oh):
+            for j in range(ow):
+                blk = b[by[i] : by[i + 1], bx[j] : bx[j + 1]].ravel()
+                if blk.size == 0:
+                    out[i, j] = 0.0
+                elif kernel == "median":
+                    out[i, j] = np.median(blk)
+                elif kernel == "q1":
+                    out[i, j] = np.quantile(blk, 0.25)
+                elif kernel == "q3":
+                    out[i, j] = np.quantile(blk, 0.75)
+                else:  # mode: most frequent, ties -> smallest (block_agg rule)
+                    vals, cnts = np.unique(blk, return_counts=True)
+                    out[i, j] = vals[np.argmax(cnts)]
+    else:
+        raise ValueError(f"unknown kernel {kernel}")
+    if np.issubdtype(src.dtype, np.integer) and kernel in ("min", "max", "mode"):
+        return out.astype(src.dtype)
+    return out
 
 
 def block_agg(src: np.ndarray, kx: int, ky: int, kernel: str):

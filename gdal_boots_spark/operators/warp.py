@@ -178,40 +178,60 @@ def resample(
 ) -> tuple[DataFrame, RasterGrid]:
     """Resolution change over the same extent with one of the reference's
     kernels (Resampling enum, gdal.py:179-204): nearest / bilinear /
-    the 9 aggregate kernels (integer downscale factors).
+    cubic / cubicspline / lanczos (separable convolution, any scale) /
+    the 9 aggregate kernels (any downscale factor >= 1; integer factors
+    take the block-reduce fast path).
 
     Physical shape: native contribution explode (each source tile ->
-    the output tiles whose preimage it can influence, +-1 halo) ->
-    groupBy(out tile) applyInPandas: paste the source window into a
-    local buffer, then one vectorized kernel call
-    (geom.resample_kernels).  Shuffle volume O(source bytes).
+    the output tiles whose preimage it can influence, +-halo where halo
+    covers the kernel support) -> groupBy(out tile) applyInPandas:
+    paste the source window into a local buffer, then one vectorized
+    kernel call (geom.resample_kernels).  Shuffle volume
+    O(source bytes).
     """
-    from ..geom.resample_kernels import AGG_KERNELS, bilinear, block_agg, nearest
+    from ..geom.resample_kernels import (
+        AGG_KERNELS,
+        CONV_KERNELS,
+        bilinear,
+        block_agg,
+        nearest,
+        separable_conv,
+        window_agg,
+    )
 
     og = resampled_grid(grid, resolution=resolution, size=size)
     scale_x = grid.width / og.width
     scale_y = grid.height / og.height
+    support = 1
     if kernel in AGG_KERNELS:
-        kx, ky = int(round(scale_x)), int(round(scale_y))
-        if abs(scale_x - kx) > 1e-9 or abs(scale_y - ky) > 1e-9 or kx < 1 or ky < 1:
-            raise NotImplementedError("aggregate kernels require integer downscale factors")
+        if scale_x < 1.0 - 1e-9 or scale_y < 1.0 - 1e-9:
+            raise ValueError("aggregate kernels are downsampling kernels (factor >= 1)")
         # aggregates produce exact float64 (documented deviation from
         # GDAL, which clips back to the band dtype)
         from dataclasses import replace as _dc_replace
 
         og = _dc_replace(og, dtype="float64")
+    elif kernel in CONV_KERNELS:
+        support = CONV_KERNELS[kernel]
     elif kernel not in ("nearest", "bilinear"):
         raise ValueError(f"unknown kernel {kernel}")
 
     g = grid
-    # out col range a source tile [x0,x1) can influence (+-1 halo)
-    jx0 = F.greatest(F.floor((F.col("tile_x") * g.tile_w) / scale_x).cast("int") - 1, F.lit(0))
-    jx1 = F.least(
-        F.ceil((F.col("tile_x") * g.tile_w + F.col("width")) / scale_x).cast("int") + 1, F.lit(og.width - 1)
+    halo = support + 1  # source pixels beyond the tile that can matter
+    # out col range a source tile [x0,x1) can influence (+-halo)
+    jx0 = F.greatest(
+        F.floor((F.col("tile_x") * g.tile_w - halo) / scale_x).cast("int") - 1, F.lit(0)
     )
-    jy0 = F.greatest(F.floor((F.col("tile_y") * g.tile_h) / scale_y).cast("int") - 1, F.lit(0))
+    jx1 = F.least(
+        F.ceil((F.col("tile_x") * g.tile_w + F.col("width") + halo) / scale_x).cast("int") + 1,
+        F.lit(og.width - 1),
+    )
+    jy0 = F.greatest(
+        F.floor((F.col("tile_y") * g.tile_h - halo) / scale_y).cast("int") - 1, F.lit(0)
+    )
     jy1 = F.least(
-        F.ceil((F.col("tile_y") * g.tile_h + F.col("height")) / scale_y).cast("int") + 1, F.lit(og.height - 1)
+        F.ceil((F.col("tile_y") * g.tile_h + F.col("height") + halo) / scale_y).cast("int") + 1,
+        F.lit(og.height - 1),
     )
     cand = (
         tiles.select(
@@ -247,11 +267,12 @@ def resample(
         band, otx, oty = int(key[0]), int(key[1]), int(key[2])
         oh, ow = og.tile_shape(otx, oty)
         ox0, oy0 = otx * og.tile_w, oty * og.tile_h
-        # source buffer covering the preimage (+2 halo), clipped
-        sx0 = max(0, int(np.floor(ox0 * scale_x)) - 2)
-        sx1 = min(g.width, int(np.ceil((ox0 + ow) * scale_x)) + 2)
-        sy0 = max(0, int(np.floor(oy0 * scale_y)) - 2)
-        sy1 = min(g.height, int(np.ceil((oy0 + oh) * scale_y)) + 2)
+        # source buffer covering the preimage (+ kernel-support halo), clipped
+        hb = support + 1
+        sx0 = max(0, int(np.floor(ox0 * scale_x)) - hb)
+        sx1 = min(g.width, int(np.ceil((ox0 + ow) * scale_x)) + hb)
+        sy0 = max(0, int(np.floor(oy0 * scale_y)) - hb)
+        sy1 = min(g.height, int(np.ceil((oy0 + oh) * scale_y)) + hb)
         buf = np.full((sy1 - sy0, sx1 - sx0), fill, dtype=np.dtype(g.dtype))
         for _, r in pdf.iterrows():
             src = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
@@ -267,11 +288,17 @@ def resample(
             blk = nearest(buf, sx0, sy0, scale_x, scale_y, oh, ow, ox0, oy0)
         elif kname == "bilinear":
             blk = bilinear(buf, sx0, sy0, scale_x, scale_y, oh, ow, ox0, oy0)
+        elif kname in CONV_KERNELS:
+            blk = separable_conv(buf, sx0, sy0, scale_x, scale_y, oh, ow, ox0, oy0, kname)
         else:
             kx, ky = int(round(scale_x)), int(round(scale_y))
-            wx0, wy0 = ox0 * kx, oy0 * ky
-            sub = buf[wy0 - sy0 : wy0 - sy0 + oh * ky, wx0 - sx0 : wx0 - sx0 + ow * kx]
-            blk = block_agg(sub, kx, ky, kname)
+            if abs(scale_x - kx) < 1e-9 and abs(scale_y - ky) < 1e-9:
+                # integer-factor fast path: pure block reduce
+                wx0, wy0 = ox0 * kx, oy0 * ky
+                sub = buf[wy0 - sy0 : wy0 - sy0 + oh * ky, wx0 - sx0 : wx0 - sx0 + ow * kx]
+                blk = block_agg(sub, kx, ky, kname)
+            else:
+                blk = window_agg(buf, sx0, sy0, scale_x, scale_y, oh, ow, ox0, oy0, kname)
         blk = np.ascontiguousarray(blk.astype(np.dtype(og.dtype)))
         odtype = og.dtype
         return pd.DataFrame(

@@ -152,8 +152,76 @@ def test_resample_median_q_mode(spark):
     assert np.array_equal(got, exp)
 
 
-def test_resample_agg_non_integer_raises(spark):
-    src = np.zeros((12, 16), np.int32)
+def test_resample_agg_non_integer(spark):
+    """Aggregate kernels at NON-integer downscale factors (VERDICT r1
+    item 3 lifted the integer guard): footprint-window semantics."""
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 50, (12, 16)).astype(np.int32)
     tiles, grid = _mk(spark, src, (10.0, 0.0, 0.0, 0.0, -10.0, 120.0), tile=5, rid="rx")
-    with pytest.raises(NotImplementedError):
-        resample(tiles, grid, "average", resolution=(15.0, 15.0))
+    out, og = resample(tiles, grid, "average", resolution=(15.0, 15.0))
+    got = tiles_to_array(out, og)
+    sx, sy = 16 / og.width, 12 / og.height
+    bx = np.ceil(np.arange(og.width + 1) * sx - 0.5).astype(int).clip(0, 16)
+    by = np.ceil(np.arange(og.height + 1) * sy - 0.5).astype(int).clip(0, 12)
+    exp = np.array(
+        [[src[by[i]: by[i + 1], bx[j]: bx[j + 1]].mean() for j in range(og.width)] for i in range(og.height)]
+    )
+    assert np.allclose(got, exp)
+    # windows partition the grid -> sum kernel still preserves total mass
+    out2, og2 = resample(tiles, grid, "sum", resolution=(15.0, 15.0))
+    assert tiles_to_array(out2, og2).sum() == src.sum()
+    # upsampling with an aggregate kernel is still an error
+    with pytest.raises(ValueError):
+        resample(tiles, grid, "average", resolution=(5.0, 5.0))
+
+
+def test_window_agg_matches_block_agg():
+    """window_agg generalizes block_agg: identical on integer factors."""
+    from gdal_boots_spark.geom.resample_kernels import AGG_KERNELS, block_agg, window_agg
+
+    rng = np.random.default_rng(8)
+    src = rng.integers(0, 20, (12, 16)).astype(np.int32)
+    for k in AGG_KERNELS:
+        a = block_agg(src, 4, 4, k)
+        b = window_agg(src, 0, 0, 4.0, 4.0, 3, 4, 0, 0, k)
+        assert np.allclose(a, b), k
+
+
+def test_conv_kernel_properties():
+    """cubic/cubicspline/lanczos: normalized weights (constant->constant
+    everywhere) and linear-reproduction in the interior (cubic & bspline)."""
+    from gdal_boots_spark.geom.resample_kernels import separable_conv
+
+    const = np.full((10, 12), 7.25)
+    for k in ("cubic", "cubicspline", "lanczos"):
+        out = separable_conv(const, 0, 0, 12 / 24, 10 / 20, 20, 24, 0, 0, k)
+        assert np.allclose(out, 7.25), k
+
+    yy, xx = np.mgrid[0:10, 0:12]
+    ramp = 3.0 * xx + 2.0 * yy
+    for k in ("cubic", "cubicspline"):
+        out = separable_conv(ramp, 0, 0, 0.5, 0.5, 20, 24, 0, 0, k)
+        for i in range(4, 16):          # rows with unclamped taps
+            for j in range(4, 20):      # cols with unclamped taps
+                fx = (j + 0.5) * 0.5 - 0.5
+                fy = (i + 0.5) * 0.5 - 0.5
+                assert abs(out[i, j] - (3.0 * fx + 2.0 * fy)) < 1e-9, (k, i, j)
+
+
+def test_resample_conv_matches_dense(spark):
+    """Distributed tiled cubic/cubicspline/lanczos == one dense kernel
+    call over the whole raster (validates halo/assembly), up AND down."""
+    from gdal_boots_spark.geom.resample_kernels import separable_conv
+
+    rng = np.random.default_rng(9)
+    src = rng.uniform(0, 100, (12, 16))
+    tiles, grid = _mk(spark, src, (10.0, 0.0, 0.0, 0.0, -10.0, 120.0), tile=5, rid="rc")
+    for k in ("cubic", "cubicspline", "lanczos"):
+        out_tiles, og = resample(tiles, grid, k, size=(24, 18))
+        got = tiles_to_array(out_tiles, og)
+        exp = separable_conv(src, 0, 0, 16 / 24, 12 / 18, 18, 24, 0, 0, k)
+        assert np.allclose(got, exp), k
+        out_tiles, og = resample(tiles, grid, k, size=(5, 4))
+        got = tiles_to_array(out_tiles, og)
+        exp = separable_conv(src, 0, 0, 16 / 5, 12 / 4, 4, 5, 0, 0, k)
+        assert np.allclose(got, exp), k

@@ -231,3 +231,8 @@ def test_zonal_broadcast_vs_distributed(spark):
     b = {key(r): (r["n_pixels"], r["sum"], r["min"], r["max"], r["mean"])
          for r in zonal_stats(spark, tiles, grid, polys, distributed=True).collect()}
     assert a == b and len(a) == 14
+
+
+def test_resample_cubic_vs_oracle(spark):
+    df = entrymod.queries()["resample_cubic"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["resample_cubic"], SF_ORACLE, float_cols=("value",), atol=0.0)
