@@ -23,9 +23,14 @@ from pyspark.sql import functions as F
 from gdal_boots_spark.operators.spans import explode_spans
 from gdal_boots_spark.operators.spatial_join import pip_join_docs
 from gdal_boots_spark.sources.synth import (
+    POLY_SPAN_H,
+    POLY_SPAN_W,
     SQL_HAS_GEO,
+    SQL_HAS_POLY,
     SQL_LAT,
     SQL_LON,
+    SQL_PMINX,
+    SQL_PMINY,
     interleaved_docs,
     rect_polygons_df,
     rects_sql_values,
@@ -44,6 +49,25 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     polys = rect_polygons_df(spark)
     out = pip_join_docs(docs, polys)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), F.col("poly_id").alias("poly_id"))
+
+
+def q_pip_join_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship join with MIXED-geometry geo spans: Point spans via the
+    codegen PIP fast path, rectangular Polygon spans (d % 10 == 3,
+    synth.SQL_PMINX derivation) via decode -> cover -> GEOS-Intersects
+    refinement (pip_join_docs_any).  The oracle is analytic: half-open
+    containment for points, strict interval overlap for rects (corner
+    lattices guarantee no touching, so strict == GEOS-closed)."""
+    from gdal_boots_spark.operators.spatial_join import pip_join_docs_any
+
+    docs = interleaved_docs(spark, sf_dir, poly_spans=True)
+    polys = rect_polygons_df(spark)
+    out = pip_join_docs_any(docs, polys)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_pos").cast("long").alias("span_pos"),
+        F.col("poly_id").alias("poly_id"),
+    )
 
 
 def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,6 +487,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join": q_pip_join,
+        "pip_join_poly_spans": q_pip_join_poly,
         "cell_assign": q_cell_assign,
         "geo_extract": q_geo_extract,
         "span_counts": q_span_counts,
@@ -719,6 +744,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN {rects_sql_values('p')}
               ON g.x >= p.minx AND g.x < p.maxx
              AND g.y >= p.miny AND g.y < p.maxy
+        """,
+        "pip_join_poly_spans": f"""
+            WITH {_GEO_CTE},
+            pt AS (
+              SELECT g.doc_id AS doc_id, CAST(1 AS BIGINT) AS span_pos,
+                     CAST(p.poly_id AS BIGINT) AS poly_id
+              FROM geo g
+              JOIN {rects_sql_values('p')}
+                ON g.x >= p.minx AND g.x < p.maxx
+               AND g.y >= p.miny AND g.y < p.maxy
+            ),
+            ps AS (
+              SELECT doc_id, {SQL_PMINX} AS sminx, {SQL_PMINY} AS sminy
+              FROM documents WHERE {SQL_HAS_POLY}
+            ),
+            pl AS (
+              SELECT s.doc_id AS doc_id, CAST(1 AS BIGINT) AS span_pos,
+                     CAST(p.poly_id AS BIGINT) AS poly_id
+              FROM ps s
+              JOIN {rects_sql_values('p')}
+                ON s.sminx < p.maxx AND p.minx < s.sminx + {POLY_SPAN_W}
+               AND s.sminy < p.maxy AND p.miny < s.sminy + {POLY_SPAN_H}
+            )
+            SELECT * FROM pt UNION ALL SELECT * FROM pl
         """,
         "cell_assign": f"""
             WITH {_GEO_CTE}

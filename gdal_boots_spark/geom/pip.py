@@ -112,6 +112,15 @@ def polygons_intersect(pga: PackedGeometry, pgb: PackedGeometry) -> bool:
     # boundary crossing: orientation tests, vectorized (m x n)
     x1a, y1a, x2a, y2a = _ring_edges(pga.coords, pga.ring_offsets)
     x1b, y1b, x2b, y2b = _ring_edges(pgb.coords, pgb.ring_offsets)
+    return _any_segment_intersection((x1a, y1a, x2a, y2a), (x1b, y1b, x2b, y2b))
+
+
+def _any_segment_intersection(edges_a, edges_b) -> bool:
+    """True iff any segment of edges_a intersects any of edges_b —
+    proper crossing OR degenerate contact (collinear overlap,
+    endpoint-on-segment).  Vectorized (m x n)."""
+    x1a, y1a, x2a, y2a = edges_a
+    x1b, y1b, x2b, y2b = edges_b
     if x1a.size == 0 or x1b.size == 0:
         return False
 
@@ -149,3 +158,50 @@ def polygons_intersect(pga: PackedGeometry, pgb: PackedGeometry) -> bool:
         | ((d4 == 0) & on_seg(bx1, by1, bx2, by2, ax2, ay2))
     )
     return bool(touch.any())
+
+
+def _open_edges(coords: np.ndarray, ring_offsets: np.ndarray):
+    """Polyline edge arrays per part WITHOUT closing the ring (for
+    LineString/MultiLineString geometries)."""
+    c = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    x1s, y1s, x2s, y2s = [], [], [], []
+    for r in range(len(ring_offsets) - 1):
+        lo, hi = int(ring_offsets[r]), int(ring_offsets[r + 1])
+        if hi - lo < 2:
+            continue
+        seg = c[lo:hi]
+        x1s.append(seg[:-1, 0])
+        y1s.append(seg[:-1, 1])
+        x2s.append(seg[1:, 0])
+        y2s.append(seg[1:, 1])
+    if not x1s:
+        z = np.empty(0, dtype=np.float64)
+        return z, z, z, z
+    return (np.concatenate(x1s), np.concatenate(y1s), np.concatenate(x2s), np.concatenate(y2s))
+
+
+def geometry_intersects_polygon(pg: PackedGeometry, poly: PackedGeometry) -> bool:
+    """GEOS-Intersects of ANY geometry type against a Polygon/
+    MultiPolygon: Polygon sides dispatch to polygons_intersect;
+    LineStrings use open-edge crossing + vertex containment; Points use
+    the even-odd PIP (boundary-exact points resolve by the even-odd
+    rule — engine fixtures keep points off edges by construction)."""
+    if poly.gtype not in (3, 6):
+        raise ValueError("right side must be Polygon/MultiPolygon")
+    if pg.gtype in (3, 6):
+        return polygons_intersect(pg, poly)
+    c = pg.coords.reshape(-1, 2)
+    cb = poly.coords.reshape(-1, 2)
+    if len(c) == 0 or len(cb) == 0:
+        return False
+    if c[:, 0].max() < cb[:, 0].min() or cb[:, 0].max() < c[:, 0].min():
+        return False
+    if c[:, 1].max() < cb[:, 1].min() or cb[:, 1].max() < c[:, 1].min():
+        return False
+    if points_in_polygon(c[:, 0], c[:, 1], poly.coords, poly.ring_offsets).any():
+        return True
+    if pg.gtype in (1, 4):  # Point/MultiPoint: containment was the only test
+        return False
+    line_edges = _open_edges(pg.coords, pg.ring_offsets)
+    poly_edges = _ring_edges(poly.coords, poly.ring_offsets)
+    return _any_segment_intersection(line_edges, poly_edges)

@@ -133,9 +133,9 @@ def pip_join_docs(docs: DataFrame, polys: DataFrame, res: int | None = None) -> 
     from_json, which does not scale with cores; see its docstring) —
     the engine keeps the 10^12-doc hot path JVM-side and enters Python
     only inside the Arrow-batched ray-cast refinement (pandas UDF
-    surface, SURVEY §2.8).  Non-point geo spans fall out of the Point
-    fast path and are handled by the general geojson_decode_udf route
-    in the polygon-geometry operators.
+    surface, SURVEY §2.8).  Point spans only (the flagship hot path);
+    use pip_join_docs_any when documents also carry Polygon/LineString
+    geo spans.
     """
     from ..functions.geometry_fns import point_xy_native
 
@@ -145,6 +145,109 @@ def pip_join_docs(docs: DataFrame, polys: DataFrame, res: int | None = None) -> 
         F.col("x").isNotNull() & F.col("y").isNotNull()
     )
     return pip_join_points(pts, polys, res=res).select("doc_id", "span_pos", "poly_id", "x", "y")
+
+
+def pip_join_docs_any(docs: DataFrame, polys: DataFrame, res: int | None = None) -> DataFrame:
+    """Interleaved documents x polygons -> (doc_id, span_pos, poly_id)
+    for geo spans of ANY geometry type (crop/rasterize in the reference
+    accept any geometry, gdal.py:836-846).
+
+    Point spans take the codegen fast path (== pip_join_docs);
+    Polygon/LineString/Multi* spans go through geojson_decode_udf ->
+    native bbox cover explode -> broadcast cell join, deduped WITHOUT a
+    shuffle via the reporting-cell trick (a candidate survives only in
+    the cell containing the bbox-intersection lower-left corner), then
+    exact GEOS-Intersects refinement against the broadcast packed dims.
+    """
+    from ..functions.geometry_fns import cell_id_col, geojson_decode_udf, geom_bounds_udf, point_xy_native
+    from ..geom.pip import geometry_intersects_polygon
+
+    spark = docs.sparkSession
+    packed, bboxes = _collect_polys(polys)
+    if res is None:
+        res = _auto_res(bboxes)
+
+    geo = extract_geo_spans(docs)
+    x, y, is_point = point_xy_native(F.col("text"))
+
+    # --- Point spans: identical plan to pip_join_docs ---------------
+    pts = geo.where(is_point).select("doc_id", "span_pos", x.alias("x"), y.alias("y")).where(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    )
+    pt_pairs = pip_join_points(pts, polys, res=res).select("doc_id", "span_pos", "poly_id")
+
+    # --- non-Point spans: decode -> cover -> intersects --------------
+    cover_rows = []
+    for pid, (minx, miny, maxx, maxy) in bboxes.items():
+        for cid in cover_bbox(minx, miny, maxx, maxy, res).tolist():
+            cover_rows.append((cid, pid, float(minx), float(miny), float(maxx), float(maxy)))
+    cover_df = spark.createDataFrame(
+        cover_rows, "cell_id long, poly_id long, pminx double, pminy double, pmaxx double, pmaxy double"
+    )
+
+    g = geo.where(~is_point).select(
+        "doc_id", "span_pos", geojson_decode_udf(F.col("text")).alias("geom")
+    ).where(F.col("geom").isNotNull() & (F.size("geom.coords") > 0))
+    b = geom_bounds_udf(F.col("geom"))
+    g = g.select("doc_id", "span_pos", "geom", b.alias("b"))
+
+    n = 1 << res
+    def cpart(lon, lat):
+        ix = F.least(F.greatest(F.floor((lon + 180.0) / 360.0 * n), F.lit(0)), F.lit(n - 1)).cast("long")
+        iy = F.least(F.greatest(F.floor((lat + 90.0) / 180.0 * n), F.lit(0)), F.lit(n - 1)).cast("long")
+        return ix, iy
+
+    ix0, iy0 = cpart(F.col("b.minx"), F.col("b.miny"))
+    ix1, iy1 = cpart(F.col("b.maxx"), F.col("b.maxy"))
+    base = F.lit(res).cast("long") * F.lit(2**58)
+    covered = g.select(
+        "doc_id", "span_pos", "geom", "b",
+        F.explode(F.sequence(ix0, ix1)).alias("_ix"), iy0.alias("_iy0"), iy1.alias("_iy1"),
+    ).select(
+        "doc_id", "span_pos", "geom", "b", "_ix",
+        F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))).alias("_iy"),
+    ).select(
+        "doc_id", "span_pos", "geom", "b",
+        (base + F.col("_ix") * F.lit(2**29) + F.col("_iy")).alias("cell_id"),
+    )
+    cand = covered.join(F.broadcast(cover_df), "cell_id").where(
+        (F.col("b.minx") <= F.col("pmaxx")) & (F.col("pminx") <= F.col("b.maxx"))
+        & (F.col("b.miny") <= F.col("pmaxy")) & (F.col("pminy") <= F.col("b.maxy"))
+    )
+    # reporting cell: keep the pair only in the cell holding the
+    # bbox-intersection lower-left corner (dedup without a shuffle)
+    rix, riy = cpart(F.greatest(F.col("b.minx"), F.col("pminx")), F.greatest(F.col("b.miny"), F.col("pminy")))
+    cand = cand.where(F.col("cell_id") == base + rix * F.lit(2**29) + riy).select(
+        "doc_id", "span_pos", "poly_id", "geom"
+    )
+
+    bpolys = spark.sparkContext.broadcast(packed)
+
+    def refine(batches):
+        from ..geom.packed import PackedGeometry
+
+        polys_local = bpolys.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            for i, (_, row) in enumerate(pdf.iterrows()):
+                gg = row["geom"]
+                pg = PackedGeometry(
+                    gtype=int(gg["gtype"]),
+                    coords=np.asarray(gg["coords"], dtype=np.float64),
+                    ring_offsets=np.asarray(gg["ring_offsets"], dtype=np.int32),
+                    part_offsets=np.asarray(gg["part_offsets"], dtype=np.int32),
+                )
+                coords, ro = polys_local[int(row["poly_id"])]
+                poly = PackedGeometry(gtype=3, coords=coords, ring_offsets=ro, part_offsets=np.asarray([0], np.int32))
+                keep[i] = geometry_intersects_polygon(pg, poly)
+            out = pdf.loc[keep, ["doc_id", "span_pos", "poly_id"]]
+            if len(out):
+                yield out
+
+    poly_pairs = cand.mapInPandas(refine, schema="doc_id string, span_pos int, poly_id long")
+    return pt_pairs.unionByName(poly_pairs)
 
 
 def pip_join_points_shuffle(

@@ -75,6 +75,16 @@ SQL_LON = "26.0 + ((doc_id * 7919) % 3000) / 1000.0"
 SQL_LAT = "53.0 + ((doc_id * 104729) % 2000) / 1000.0"
 SQL_HAS_GEO = "doc_id % 10 IN (0, 1, 2)"
 
+# polygon-span derivation (interleaved_docs(poly_spans=True), d % 10 == 3):
+# corners have a 5th decimal of 3, so they can never coincide with the
+# RECTS corners (4 decimals ending in 5) or the point lattice
+# (3 decimals) — predicate comparisons always have >= 1e-5 margin,
+# which 1-ULP string-round-trip noise cannot flip.
+SQL_HAS_POLY = "doc_id % 10 = 3"
+SQL_PMINX = "26.00003 + ((doc_id * 3571) % 2700) / 1000.0"
+SQL_PMINY = "53.00003 + ((doc_id * 6763) % 1700) / 1000.0"
+POLY_SPAN_W, POLY_SPAN_H = 0.2, 0.15
+
 
 def _lon_col(d):
     return F.lit(26.0) + ((d * F.lit(7919)) % F.lit(3000)).cast("double") / F.lit(1000.0)
@@ -84,7 +94,9 @@ def _lat_col(d):
     return F.lit(53.0) + ((d * F.lit(104729)) % F.lit(2000)).cast("double") / F.lit(1000.0)
 
 
-def interleaved_docs(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+def interleaved_docs(
+    spark: SparkSession, sf_dir: str, replicate: int = 1, poly_spans: bool = False
+) -> DataFrame:
     """Flat documents parquet -> interleaved spans table
     (doc_id:string, spans:array<struct<kind,text,media_ref,offset>>)
     — the exact input_hint schema.  Built entirely with native Column
@@ -94,6 +106,10 @@ def interleaved_docs(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Da
     (doc_id' = doc_id*k + i, so every replica gets distinct
     geometry/media derivations) — used by bench/scaling runs to reach
     parallelism-relevant volume; correctness runs use replicate=1.
+
+    ``poly_spans=True`` additionally gives docs with d % 10 == 3 a geo
+    span carrying a rectangular *Polygon* (SQL_PMINX/SQL_PMINY
+    derivation) — the non-Point-geometry face of the flagship join.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if replicate > 1:
@@ -107,6 +123,17 @@ def interleaved_docs(spark: SparkSession, sf_dir: str, replicate: int = 1) -> Da
     media_ref = F.format_string("r0/0/%d/%d", (d / 8).cast("long") % 8, d % 8)
     has_geo = (d % 10).isin(*GEO_MOD)
     has_media = (d % 10).isin(*MEDIA_MOD)
+    if poly_spans:
+        pminx = F.lit(26.00003) + ((d * F.lit(3571)) % F.lit(2700)).cast("double") / F.lit(1000.0)
+        pminy = F.lit(53.00003) + ((d * F.lit(6763)) % F.lit(1700)).cast("double") / F.lit(1000.0)
+        pmaxx, pmaxy = pminx + F.lit(POLY_SPAN_W), pminy + F.lit(POLY_SPAN_H)
+        poly_text = F.format_string(
+            '{"type":"Polygon","coordinates":[[[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f]]]}',
+            pminx, pminy, pmaxx, pminy, pmaxx, pmaxy, pminx, pmaxy, pminx, pminy,
+        )
+        has_poly = d % 10 == F.lit(3)
+        geo_text = F.when(has_geo, geo_text).when(has_poly, poly_text)
+        has_geo = has_geo | has_poly
 
     def span(kind, text, mref, off):
         return F.struct(

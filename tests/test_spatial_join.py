@@ -236,3 +236,10 @@ def test_zonal_broadcast_vs_distributed(spark):
 def test_resample_cubic_vs_oracle(spark):
     df = entrymod.queries()["resample_cubic"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["resample_cubic"], SF_ORACLE, float_cols=("value",), atol=0.0)
+
+
+def test_pip_join_poly_spans_vs_oracle(spark):
+    """Mixed Point + Polygon geo spans through pip_join_docs_any
+    (VERDICT r1 item 4: non-Point spans must not silently drop)."""
+    df = entrymod.queries()["pip_join_poly_spans"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["pip_join_poly_spans"], SF_ORACLE)
