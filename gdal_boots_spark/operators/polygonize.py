@@ -10,9 +10,11 @@ Engine shape (the two-stage plan of SURVEY §2.7):
      border runs on each tile side);
   2. adjacency join: border runs meet across a shared tile line when
      value matches and row/col intervals overlap -> merge pairs;
-  3. union-find over merge pairs (driver-side: the graph has one node
-     per *border-touching component*, not per pixel; an iterative
-     Spark connected-components pass is the swap-in for planet scale);
+  3. connected components over merge pairs — driver union-find for
+     small merge graphs (one node per *border-touching component*, not
+     per pixel), or an iterative min-label-propagation +
+     pointer-jumping Spark pass (O(log diameter) rounds) when the
+     merge graph exceeds ``cc_threshold`` (planet-scale rasters);
   4. groupBy(global component): concat edges, cancel seam pairs, trace
      rings, emit Polygon (shell + holes) in world coordinates.
 
@@ -103,10 +105,52 @@ def _per_tile(grid: RasterGrid, exclude):
     return fn
 
 
+def _cc_distributed(pairs: DataFrame) -> DataFrame:
+    """Connected components over (x, y) merge pairs -> (comp, gid) with
+    gid = lexicographic-min member of each component (the same root the
+    driver union-find picks, so outputs are path-identical).
+
+    Min-label propagation with pointer jumping: each round does one
+    1-hop min over the edge set and one label-of-label shortcut, which
+    converges in O(log diameter) rounds — a planet-scale seam graph
+    (10^8 border components, long tile-chain diameters) stays tractable
+    where single-step propagation would need O(diameter) rounds.
+    """
+    edges = pairs.select(F.col("x").alias("u"), F.col("y").alias("v")).unionByName(
+        pairs.select(F.col("y").alias("u"), F.col("x").alias("v"))
+    ).persist()
+    labels = edges.select(F.col("u").alias("comp")).distinct().select(
+        "comp", F.col("comp").alias("gid")
+    ).localCheckpoint(eager=True)
+    while True:
+        # 1-hop: candidate label for v = label of each neighbor u
+        hop = edges.join(labels.withColumnRenamed("comp", "u"), "u").select(
+            F.col("v").alias("comp"), "gid"
+        )
+        l2 = labels.unionByName(hop).groupBy("comp").agg(F.min("gid").alias("gid"))
+        # pointer jump: gid <- gid(gid)
+        l3 = l2.alias("a").join(
+            l2.select(F.col("comp").alias("gid"), F.col("gid").alias("gid2")).alias("b"), "gid", "left"
+        ).select("comp", F.coalesce("gid2", "gid").alias("gid")).localCheckpoint(eager=True)
+        n_changed = (
+            l3.alias("n").join(labels.alias("o"), "comp").where(F.col("n.gid") != F.col("o.gid")).count()
+        )
+        labels = l3
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def polygonize(
-    spark: SparkSession, tiles: DataFrame, grid: RasterGrid, exclude=None, band: int = 0
+    spark: SparkSession, tiles: DataFrame, grid: RasterGrid, exclude=None, band: int = 0,
+    cc_threshold: int = 200_000, distributed_cc: bool | None = None,
 ) -> DataFrame:
-    """-> (comp_id string, value double, n_pixels long, geojson string)."""
+    """-> (comp_id string, value double, n_pixels long, geojson string).
+
+    ``distributed_cc``: None = auto (driver union-find while the merge
+    graph has <= cc_threshold pairs, Spark CC beyond), True/False to
+    force a path.  Outputs are identical either way (tested)."""
     src = tiles.where(F.col("band") == band).select("tile_x", "tile_y", "width", "height", "dtype", "data")
     raw = src.mapInPandas(_per_tile(grid, exclude), schema="kind string, payload string, edges binary").persist()
 
@@ -127,7 +171,7 @@ def polygonize(
 
     a = borders.alias("a")
     b = borders.alias("b")
-    pairs = (
+    pairs_df = (
         a.join(
             b,
             (F.col("a.axis") == F.col("b.axis"))
@@ -139,32 +183,46 @@ def polygonize(
         )
         .select(F.col("a.comp").alias("x"), F.col("b.comp").alias("y"))
         .distinct()
-        .collect()
+        .persist()
     )
+    if distributed_cc is None:
+        use_dist = pairs_df.count() > cc_threshold
+    else:
+        use_dist = distributed_cc
 
-    # driver union-find over border-touching components
-    parent: dict[str, str] = {}
+    if use_dist:
+        labels = _cc_distributed(pairs_df)
+        merged = comps.join(labels.withColumnRenamed("gid", "_gid"), "comp", "left").withColumn(
+            "gid", F.coalesce("_gid", "comp")
+        ).drop("_gid")
+    else:
+        # driver union-find over border-touching components
+        pairs = pairs_df.collect()
+        parent: dict[str, str] = {}
 
-    def find(u):
-        parent.setdefault(u, u)
-        while parent[u] != u:
-            parent[u] = parent[parent[u]]
-            u = parent[u]
-        return u
+        def find(u):
+            parent.setdefault(u, u)
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
 
-    for r in pairs:
-        ru, rv = find(r["x"]), find(r["y"])
-        if ru != rv:
-            parent[max(ru, rv)] = min(ru, rv)
-    mapping = {u: find(u) for u in list(parent)}
-    bmap = spark.sparkContext.broadcast(mapping)
+        for r in pairs:
+            ru, rv = find(r["x"]), find(r["y"])
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        mapping = {u: find(u) for u in list(parent)}
+        bmap = spark.sparkContext.broadcast(mapping)
 
-    @F.pandas_udf("string")
-    def gid_of(comp):
-        import pandas as pd
+        @F.pandas_udf("string")
+        def gid_of(comp):
+            import pandas as pd
 
-        m = bmap.value
-        return pd.Series([m.get(c, c) for c in comp])
+            m = bmap.value
+            return pd.Series([m.get(c, c) for c in comp])
+
+        merged = comps.withColumn("gid", gid_of(F.col("comp")))
+    pairs_df.unpersist()
 
     g = grid
     a_, b_, c_, d_, e_, f_ = g.transform
@@ -172,6 +230,10 @@ def polygonize(
     def assemble(key, pdf):
         import pandas as pd
 
+        # concat in comp-key order: edge order feeds ring tracing, so a
+        # deterministic order makes the emitted GeoJSON reproducible
+        # under any parallelism / CC path
+        pdf = pdf.sort_values("comp")
         edges = np.concatenate(
             [np.frombuffer(x, dtype=np.int64).reshape(-1, 4) for x in pdf["edges"]]
         )
@@ -217,7 +279,6 @@ def polygonize(
             ]
         )
 
-    merged = comps.withColumn("gid", gid_of(F.col("comp")))
     out = merged.groupBy("gid").applyInPandas(
         assemble, schema="comp_id string, value double, n_pixels long, geojson string"
     )

@@ -89,3 +89,30 @@ def test_polygonize_world_transform(spark):
     ys = [p[1] for p in ring]
     assert (min(xs), max(xs)) == (10.5, 11.5)  # cols 1..3 at res 0.5
     assert (min(ys), max(ys)) == (18.5, 19.5)  # rows 1..3, y-flip
+
+
+def test_polygonize_distributed_cc_matches_driver(spark):
+    """A merge graph spanning >= 100 border components (16 stripe rows
+    x 16 tile columns -> 256 border comps in 16 chains): the Spark CC
+    path (min-label propagation + pointer jumping) must produce exactly
+    the driver union-find's components (VERDICT r1 item 5)."""
+    import numpy as np
+
+    from gdal_boots_spark.operators.polygonize import polygonize
+    from gdal_boots_spark.sources.tiles import RasterGrid, array_to_tiles
+
+    h, w = 16, 256
+    arr = np.repeat(np.arange(1, h + 1, dtype=np.int32)[:, None], w, axis=1)
+    grid = RasterGrid("cc", 4326, (0.01, 0.0, 0.0, 0.0, -0.01, 10.0), w, h, 16, 16, 1, "int32")
+    tiles = array_to_tiles(spark, arr, grid)
+
+    def snap(df):
+        return sorted(
+            (r["comp_id"], r["value"], r["n_pixels"], r["geojson"]) for r in df.collect()
+        )
+
+    got_driver = snap(polygonize(spark, tiles, grid, exclude=0, distributed_cc=False))
+    got_dist = snap(polygonize(spark, tiles, grid, exclude=0, distributed_cc=True))
+    assert got_driver == got_dist
+    assert len(got_dist) == h
+    assert all(n == w for _, _, n, _ in got_dist)
