@@ -386,6 +386,34 @@ def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bbox_overlap_join(left, right, res=10).select("lid", "rid")
 
 
+def q_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact polygon-intersects join (GEOS Intersects semantics incl.
+    touching): orders-derived rect polygons x part-derived rect
+    polygons.  The two corner lattices are offset (3-decimal vs
+    4th-decimal-4) so no pair can touch exactly and the oracle's strict
+    interval overlap equals the engine predicate with >= 1e-4 margin
+    (ULP-safe through the GeoJSON round-trip)."""
+    from gdal_boots_spark.operators.bbox_join import intersects_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    ok, pk = F.col("o_orderkey"), F.col("p_partkey")
+
+    def rect_gj(minx, miny, w, h):
+        return F.format_string(
+            '{"type":"Polygon","coordinates":[[[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f]]]}',
+            minx, miny, minx + w, miny, minx + w, miny + h, minx, miny + h, minx, miny,
+        )
+
+    lminx = F.lit(26.0) + ((ok * 271) % 2800).cast("double") / 1000.0
+    lminy = F.lit(53.0) + ((ok * 577) % 1800).cast("double") / 1000.0
+    left = orders.select(ok.alias("poly_id"), rect_gj(lminx, lminy, F.lit(0.04), F.lit(0.04)).alias("geojson"))
+    rminx = F.lit(26.0004) + ((pk * 383) % 2800).cast("double") / 1000.0
+    rminy = F.lit(53.0004) + ((pk * 769) % 1800).cast("double") / 1000.0
+    right = part.select(pk.alias("poly_id"), rect_gj(rminx, rminy, F.lit(0.05), F.lit(0.05)).alias("geojson"))
+    return intersects_join(left, right, res=10)
+
+
 def q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics (classic raster x vector, Raptor-style): ramp
     raster at res 0.01 aggregated per polygon-dim rect; every aggregate
@@ -500,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject": q_reproject,
         "salted_join": q_salted_join,
         "bbox_join": q_bbox_join,
+        "intersects_join": q_intersects_join,
         "zonal_stats": q_zonal,
         "event_windows": q_event_windows,
         "crs_3857": q_crs_3857,
@@ -896,6 +925,23 @@ def oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE l.lminx <= r.rminx + 0.05 AND r.rminx <= l.lminx + 0.04
               AND l.lminy <= r.rminy + 0.05 AND r.rminy <= l.lminy + 0.04
+        """,
+        "intersects_join": """
+            WITH l AS (
+              SELECT o_orderkey AS lid,
+                     26.0 + CAST((o_orderkey * 271) % 2800 AS DOUBLE) / 1000.0 AS minx,
+                     53.0 + CAST((o_orderkey * 577) % 1800 AS DOUBLE) / 1000.0 AS miny
+              FROM orders
+            ), r AS (
+              SELECT p_partkey AS rid,
+                     26.0004 + CAST((p_partkey * 383) % 2800 AS DOUBLE) / 1000.0 AS minx,
+                     53.0004 + CAST((p_partkey * 769) % 1800 AS DOUBLE) / 1000.0 AS miny
+              FROM part
+            )
+            SELECT l.lid AS lid, r.rid AS rid
+            FROM l, r
+            WHERE l.minx < r.minx + 0.05 AND r.minx < l.minx + 0.04
+              AND l.miny < r.miny + 0.05 AND r.miny < l.miny + 0.04
         """,
         "salted_join": """
             SELECT l.l_suppkey AS l_suppkey, s.s_nationkey AS s_nationkey,

@@ -67,17 +67,17 @@ def intersects_join(left: DataFrame, right: DataFrame, res: int = 10) -> DataFra
     right(rid, geojson) -> (lid, rid) for every intersecting pair.
 
     bbox-overlap candidates (cell-bucketed, dedup-free) refined by the
-    exact predicate (geom.pip.polygons_intersect: boundary crossing or
-    mutual vertex containment).  Geometries ride the candidate rows as
-    GeoJSON strings; decode happens once per pair inside the Arrow
-    batch.  For dimension x dimension workloads; point x polygon goes
-    through pip_join_*, bbox-only through bbox_overlap_join.
+    exact GEOS-Intersects predicate (geom.pip.polygons_intersect —
+    boundary crossing, containment, AND degenerate touching).
+    Geometries ride the candidate rows as GeoJSON strings; within each
+    Arrow batch every distinct lid/rid geometry is decoded ONCE (a
+    geometry touching 1000 candidates parses once, not 1000x) and
+    pairs are processed grouped by lid.  For dimension x dimension
+    workloads; point x polygon goes through pip_join_*, bbox-only
+    through bbox_overlap_join.
     """
     from ..functions.geometry_fns import geojson_decode_udf, geom_bounds_udf
-    from ..geom.packed import PackedGeometry
-    from ..geom.pip import polygons_intersect
     import numpy as np
-    import json as _json
 
     def side(df, ident, prefix):
         g = df.select(F.col(ident), F.col("geojson").alias(f"{prefix}gj"))
@@ -94,17 +94,48 @@ def intersects_join(left: DataFrame, right: DataFrame, res: int = 10) -> DataFra
     cand = bbox_overlap_join(l, r, res=res)
 
     def refine(batches):
-        import pandas as pd
-
         from ..geom.packed import from_geojson
+        from ..geom.pip import polygons_intersect
 
         for pdf in batches:
-            keep = []
-            for _, row in pdf.iterrows():
-                try:
-                    keep.append(polygons_intersect(from_geojson(row["lgj"]), from_geojson(row["rgj"])))
-                except (ValueError, KeyError):
-                    keep.append(False)
-            yield pdf.loc[np.asarray(keep, dtype=bool), ["lid", "rid"]]
+            n = len(pdf)
+            if n == 0:
+                continue
+            lids = pdf["lid"].to_numpy()
+            rids = pdf["rid"].to_numpy()
+            lgj = pdf["lgj"].to_numpy()
+            rgj = pdf["rgj"].to_numpy()
+            lcache: dict = {}
+            rcache: dict = {}
+            keep = np.zeros(n, dtype=bool)
+            order = np.argsort(lids, kind="stable")
+            uniq_l = np.unique(lids)
+            bounds = np.searchsorted(lids[order], uniq_l)
+            for grp, lid in zip(np.split(order, bounds[1:]), uniq_l):
+                if len(grp) == 0:
+                    continue
+                lpg = lcache.get(lid)
+                if lpg is None:
+                    try:
+                        lpg = from_geojson(lgj[grp[0]])
+                    except (ValueError, KeyError):
+                        lpg = False
+                    lcache[lid] = lpg
+                if lpg is False:
+                    continue
+                for i in grp:
+                    rid = rids[i]
+                    rpg = rcache.get(rid)
+                    if rpg is None:
+                        try:
+                            rpg = from_geojson(rgj[i])
+                        except (ValueError, KeyError):
+                            rpg = False
+                        rcache[rid] = rpg
+                    if rpg is not False:
+                        keep[i] = polygons_intersect(lpg, rpg)
+            out = pdf.loc[keep, ["lid", "rid"]]
+            if len(out):
+                yield out
 
     return cand.mapInPandas(refine, schema="lid long, rid long")

@@ -243,3 +243,8 @@ def test_pip_join_poly_spans_vs_oracle(spark):
     (VERDICT r1 item 4: non-Point spans must not silently drop)."""
     df = entrymod.queries()["pip_join_poly_spans"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["pip_join_poly_spans"], SF_ORACLE)
+
+
+def test_intersects_join_vs_oracle(spark):
+    df = entrymod.queries()["intersects_join"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["intersects_join"], SF_ORACLE)
