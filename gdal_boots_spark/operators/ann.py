@@ -48,6 +48,7 @@ def cosine_topk(
         import pandas as pd
 
         bids, bmat, bnorms = b.value
+        nb = len(bids)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -55,10 +56,18 @@ def cosine_topk(
             qn = np.linalg.norm(q, axis=1)
             qn[qn == 0] = 1.0
             cos = (q @ bmat.T) / (qn[:, None] * bnorms[None, :])
-            # top-k with deterministic (cos desc, bid asc) order
+            # batch-wide partition to the k-th score, keep every
+            # boundary TIE, then one small lexsort per query over ~k
+            # rows (was: a full base-sized lexsort per query row).
+            # Ties at the k-th score must all enter the sort or the
+            # deterministic (cos desc, bid asc) rule breaks on
+            # duplicate embeddings.
+            kcap = min(kk, nb)
+            kth = np.partition(cos, nb - kcap, axis=1)[:, nb - kcap]
             out_q, out_b, out_c, out_r = [], [], [], []
             for i in range(cos.shape[0]):
-                order = np.lexsort((bids, -cos[i]))[:kk]
+                cand = np.nonzero(cos[i] >= kth[i])[0]
+                order = cand[np.lexsort((bids[cand], -cos[i][cand]))][:kcap]
                 out_q.extend([pdf["_qid"].iloc[i]] * len(order))
                 out_b.extend(bids[order])
                 out_c.extend(cos[i][order])
@@ -124,10 +133,8 @@ def ann_lsh_topk(
     qb = qd.mapInPandas(bucketize("qid"), schema=f"qid long, _vec {vec_spark_type}, table int, bucket long")
     bb = bd.mapInPandas(bucketize("bid"), schema=f"bid long, _vec {vec_spark_type}, table int, bucket long")
 
-    cand = (
-        qb.join(bb.withColumnRenamed("_vec", "_bvec"), ["table", "bucket"])
-        .select("qid", "_vec", "bid", "_bvec")
-        .dropDuplicates(["qid", "bid"])
+    cand = qb.join(bb.withColumnRenamed("_vec", "_bvec"), ["table", "bucket"]).select(
+        "qid", "_vec", "bid", "_bvec"
     )
 
     def rerank(batches):
@@ -145,7 +152,14 @@ def ann_lsh_topk(
             cos = (q * bv).sum(axis=1) / qn / bn
             yield pd.DataFrame({"qid": pdf["qid"].to_numpy(), "bid": pdf["bid"].to_numpy(), "cos": cos})
 
-    scored = cand.mapInPandas(rerank, schema="qid long, bid long, cos double")
+    # score BEFORE the dedup exchange: a pair found in several tables is
+    # re-scored map-side (cheap dot product) so only narrow
+    # (qid, bid, cos) rows — never the embedding payloads — cross the
+    # dropDuplicates shuffle.  cos is bitwise-identical across tables
+    # (same pair, same arithmetic), so dedup keeps one arbitrary copy.
+    scored = cand.mapInPandas(rerank, schema="qid long, bid long, cos double").dropDuplicates(
+        ["qid", "bid"]
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "bid")

@@ -61,6 +61,7 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     docs: DataFrame, n_hashes: int = 16, bands: int = 8, shingle_n: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """MinHash-LSH banding -> candidate near-dup pairs (a < b), distinct.
 
@@ -68,6 +69,15 @@ def lsh_candidate_pairs(
     bucket key, self-join within buckets.  At 10^12 docs the bucket key
     (band_id, band_sig) is the natural partitioner; hot buckets are
     exactly the near-dup clusters the pipeline wants.
+
+    ``max_bucket`` caps the self-join blow-up of DEGENERATE buckets
+    (boilerplate-heavy corpora: one bucket with 10^6 members would emit
+    ~10^12 pairs): buckets above the cap keep only a deterministic
+    sample of ``max_bucket`` members (ordered by a portable hash of
+    doc_id, so the sample is stable under any parallelism).  A
+    transitive-closure dedup downstream still links the cluster through
+    the sampled members; the cap bounds pair output at
+    O(buckets * max_bucket^2).  ``None`` disables the cap.
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, n_hashes, shingle_n, id_col, text_col).where(F.col("sig").isNotNull())
@@ -87,6 +97,13 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_sig")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_sig").orderBy(md5_long(F.col("doc_id").cast("string")), "doc_id")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

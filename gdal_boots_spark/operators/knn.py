@@ -4,15 +4,17 @@
 Algorithm (ring expansion over the cell index, SURVEY §2.9):
 
     r = 0, remaining = all queries
-    repeat:
-        ring(r) shell cells of each remaining query  (exact Chebyshev
-            shell — inner cells were joined in earlier rounds, so no
-            candidate is ever produced twice)
+    repeat with r growing GEOMETRICALLY (r <- max(2r, r+1)):
+        annulus(r_prev, r] cells of each remaining query (exact
+            Chebyshev annulus — inner cells were joined in earlier
+            rounds, so no candidate is ever produced twice; geometric
+            growth makes the driver-synchronous round count
+            O(log domain) instead of O(domain))
         ⋈ base points on cell_id        (hash join; broadcast shells)
         accumulate candidates
         a query FINISHES when it holds >= k candidates whose k-th
-        smallest distance <= r * min(cell_w, cell_h) — nothing outside
-        the explored (2r+1)x(2r+1) block can be closer
+        smallest distance < r * min(cell_w, cell_h) — nothing outside
+        the explored (2r+1)x(2r+1) block can be closer or tie-win
     top-k per query: row_number over (dist, base_id)  — deterministic
         tie-break, reproducible under any parallelism
 
@@ -48,9 +50,12 @@ def _auto_res(n_base: int, bbox, k: int) -> int:
     return res
 
 
-def _ring_cells_expr(res: int, r: int):
-    """Array of cell ids at exact Chebyshev distance r from the point's
-    cell — built natively: two sequence/transform combinations, no UDF."""
+def _annulus_cells_expr(res: int, r_in: int, r_out: int):
+    """Array of cell ids with Chebyshev distance in (r_in, r_out] from
+    the point's cell — built natively (nested sequence/transform +
+    null-filter, no UDF).  r_in = -1 gives the full (2*r_out+1)^2
+    block; geometric ring growth explores annuli so each cell is
+    produced exactly once across rounds."""
     n = 1 << res
     ix = F.least(F.greatest(F.floor((F.col("x") + 180.0) / 360.0 * n), F.lit(0)), F.lit(n - 1)).cast("long")
     iy = F.least(F.greatest(F.floor((F.col("y") + 90.0) / 180.0 * n), F.lit(0)), F.lit(n - 1)).cast("long")
@@ -59,17 +64,18 @@ def _ring_cells_expr(res: int, r: int):
     def cid(jx, jy):
         return base + ((jx % n + n) % n) * F.lit(2**29) + jy
 
-    if r == 0:
-        return F.array(cid(ix, iy))
-    js = F.sequence(F.lit(-r), F.lit(r))
-    top = F.transform(js, lambda dx: cid(ix + dx, iy + r))
-    bot = F.transform(js, lambda dx: cid(ix + dx, iy - r))
-    side_js = F.sequence(F.lit(-(r - 1)), F.lit(r - 1))  # r>=1 here; r=1 -> [0]
-    left = F.transform(side_js, lambda dy: cid(ix - r, iy + dy))
-    right = F.transform(side_js, lambda dy: cid(ix + r, iy + dy))
-    cells = F.concat(top, bot, left, right)
-    # drop out-of-domain iy rows (ix wraps, iy clamps away)
-    return F.filter(cells, lambda c: ((c - base) % F.lit(2**29) >= 0) & ((c - base) % F.lit(2**29) < n))
+    ds = F.sequence(F.lit(-r_out), F.lit(r_out))
+
+    def row_of(dx):
+        def one(dy):
+            cheb = F.greatest(F.abs(dx), F.abs(dy))
+            ok = (cheb > r_in) & (iy + dy >= 0) & (iy + dy < n)
+            return F.when(ok, cid(ix + dx, iy + dy))
+
+        return F.transform(ds, one)
+
+    cells = F.flatten(F.transform(ds, row_of))
+    return F.filter(cells, lambda c: c.isNotNull())
 
 
 def knn_join(
@@ -123,10 +129,13 @@ def knn_join(
     acc: DataFrame | None = None  # candidates of still-UNFINISHED queries only
     finished: list[DataFrame] = []  # frozen top-k of finished queries
     w = Window.partitionBy("qid").orderBy("dist", "bid")
-    r = 0
-    while r <= hard_stop:
+    # geometric radius growth (r <- max(2r, r+1)): round count is
+    # O(log(domain)) instead of O(domain) — each round is a driver
+    # barrier, so sparse data no longer pays 50 synchronous rounds
+    r_prev, r = -1, 0
+    while r_prev < hard_stop:
         shells = remaining.select(
-            "qid", "x", "y", F.explode(_ring_cells_expr(res, r)).alias("cell_id")
+            "qid", "x", "y", F.explode(_annulus_cells_expr(res, r_prev, r)).alias("cell_id")
         )
         cand = shells.join(basec, "cell_id").select(
             "qid",
@@ -157,7 +166,7 @@ def knn_join(
         # candidates can never re-enter the top-k, so dropping them is
         # safe and bounds the accumulator at k_eff rows per open query)
         acc = ranked.join(done_ids, "qid", "left_anti").select("qid", "bid", "dist")
-        r += 1
+        r_prev, r = r, min(max(2 * r, r + 1), hard_stop)
 
     out = finished[0]
     for f in finished[1:]:

@@ -101,3 +101,42 @@ def test_media_decode_stub_raises_without_pillow(spark):
         pass
     with pytest.raises(NotImplementedError):
         _decode_image(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A degenerate corpus (10k identical docs -> one bucket) must not
+    go quadratic: with max_bucket=100 the pair count is bounded by
+    bands * C(100, 2), and the sample is deterministic."""
+    from gdal_boots_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated across the corpus body").alias("text"),
+    )
+    pairs = lsh_candidate_pairs(docs, n_hashes=16, bands=8, max_bucket=100)
+    n = pairs.count()
+    assert 0 < n <= 100 * 99 // 2  # identical sigs -> same sample in every band
+    # deterministic under re-run
+    assert pairs.count() == n
+
+
+def test_ann_dedup_exchange_carries_no_vectors(spark):
+    """The (qid,bid) dedup must happen AFTER map-side rerank so the
+    embedding payloads never cross that shuffle (VERDICT r1 item 10)."""
+    import numpy as np
+
+    from gdal_boots_spark.operators.ann import ann_lsh_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ann_lsh_topk(emb.where(F.col("vec_id") < 10), emb, k=3, bits=3, n_tables=4)
+    lp = out._jdf.queryExecution().analyzed().toString()
+    didx = lp.index("Deduplicate")
+    child_line = lp[didx:].split("\n")[1]
+    # the dedup input is the rerank map node: its OUTPUT attribute list
+    # (the [...] after the function) must be the narrow (qid, bid, cos)
+    assert "MapInPandas" in child_line
+    out_attrs = child_line.rsplit(", [", 1)[1].split("]", 1)[0]
+    assert "_bvec" not in out_attrs and "_vec" not in out_attrs and "cos#" in out_attrs
+    assert out.count() > 0
