@@ -444,6 +444,139 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("w.start").alias("w_start"), "event_type", "n", "v")
 
 
+def q_fast_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fast_warp window slice (gdal.py:739-817): offset bbox snapped
+    outward to the pixel grid (floor/ceil), pure slice of an 80x60 ramp
+    raster at res 0.25 — the snap arithmetic and kept values are
+    closed-form for the oracle (goldens test_raster.py:309-365)."""
+    from gdal_boots_spark.operators.stats import tiles_to_pixels
+    from gdal_boots_spark.operators.warp import fast_warp
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid(
+        raster_id="fw", epsg=4326, transform=(0.25, 0.0, 0.0, 0.0, -0.25, 15.0),
+        width=80, height=60, tile_w=16, tile_h=16, bands=1, dtype="int32",
+    )
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    out_tiles, og = fast_warp(tiles, grid, (3.2, 4.2, 12.7, 11.7), clip=True)
+    return tiles_to_pixels(out_tiles, og.tile_w, og.tile_h).select("row", "col", "value")
+
+
+def q_write_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write window write (__setitem__ scalar broadcast,
+    gdal.py:392-472): burn 777 into band 0 pixels [5,20)x[3,17) of a
+    2-band ramp raster; emit the full pixel table."""
+    from gdal_boots_spark.operators.raster_ops import write_window
+    from gdal_boots_spark.operators.stats import tiles_to_pixels
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid(
+        raster_id="ww", epsg=4326, transform=(0.25, 0.0, 0.0, 0.0, -0.25, 7.5),
+        width=50, height=30, tile_w=16, tile_h=16, bands=2, dtype="int32",
+    )
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    out = write_window(tiles, grid, (5, 3, 20, 17), 777, band=0)
+    return tiles_to_pixels(out, grid.tile_w, grid.tile_h).select("band", "row", "col", "value")
+
+
+def q_make_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_valid through the Spark UDF surface on the reference's
+    repair goldens (test_geometry.py:184-247): emit rotation-invariant
+    summaries (type, ring count, point count, envelope) per fixture;
+    the oracle is the goldens' literal summaries."""
+    import json as _json
+
+    from gdal_boots_spark.functions.geometry_fns import (
+        geojson_decode_udf,
+        geom_bounds_udf,
+        make_valid_geojson_udf,
+    )
+    from gdal_boots_spark.sources.synth import BOWTIE_POLYGON
+
+    self_touch = {
+        "type": "Polygon",
+        "coordinates": [[
+            [26.531982, 54.204223], [26.740722, 53.855766], [28.168945, 53.448806],
+            [28.372192, 54.007768], [26.779174, 53.402982], [28.883056, 53.176411],
+            [28.943481, 54.188155], [26.531982, 54.204223],
+        ]],
+    }
+    square = {"type": "Polygon", "coordinates": [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]]]}
+    rows = [(1, _json.dumps(BOWTIE_POLYGON)), (2, _json.dumps(self_touch)), (3, _json.dumps(square))]
+    df = spark.createDataFrame(rows, "fid long, geojson string")
+    rep = df.select("fid", make_valid_geojson_udf(F.col("geojson")).alias("rj"))
+    g = rep.withColumn("geom", geojson_decode_udf(F.col("rj")))
+    b = geom_bounds_udf(F.col("geom"))
+    return g.select(
+        "fid",
+        F.col("geom.gtype").cast("long").alias("gtype"),
+        (F.size("geom.ring_offsets") - 1).cast("long").alias("n_rings"),
+        (F.size("geom.coords") / 2).cast("long").alias("n_points"),
+        F.round(b["minx"], 6).alias("bminx"), F.round(b["miny"], 6).alias("bminy"),
+        F.round(b["maxx"], 6).alias("bmaxx"), F.round(b["maxy"], 6).alias("bmaxy"),
+    )
+
+
+def q_to_epsg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-column vectorized vector CRS transform (vector_to_epsg —
+    the reference loops one osr call per feature, gdal.py:1316-1325):
+    polygon dim 4326 -> 3857, envelopes rounded to cm."""
+    from gdal_boots_spark.functions.geometry_fns import geojson_decode_udf, geom_bounds_udf
+    from gdal_boots_spark.operators.reproject import vector_to_epsg
+
+    polys = rect_polygons_df(spark).withColumn("geometry", geojson_decode_udf(F.col("geojson")))
+    t = vector_to_epsg(polys, 4326, 3857, "geometry")
+    b = geom_bounds_udf(F.col("geometry"))
+    return t.select(
+        "poly_id",
+        F.round(b["minx"], 2).alias("mminx"), F.round(b["miny"], 2).alias("mminy"),
+        F.round(b["maxx"], 2).alias("mmaxx"), F.round(b["maxy"], 2).alias("mmaxy"),
+    )
+
+
+def q_tile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile crc32 + byte-length probe (is_valid analogue,
+    gdal.py:537-544) over a generated ramp raster; the oracle
+    recomputes every tile blob independently (NumPy + zlib on the
+    analytic ramp) and compares as literals."""
+    from gdal_boots_spark.operators.stats import tile_checksum
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid(
+        raster_id="ck", epsg=4326, transform=(0.25, 0.0, 0.0, 0.0, -0.25, 6.0),
+        width=40, height=24, tile_w=16, tile_h=16, bands=1, dtype="int32",
+    )
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    return tile_checksum(tiles)
+
+
+def _tile_checksum_oracle_sql() -> str:
+    """Independent recomputation of q_tile_checksum's expected rows:
+    the ramp is analytic, so each tile blob is rebuilt from the formula
+    (NumPy int32 row-major bytes) and hashed with zlib.crc32 here — no
+    engine code involved."""
+    import zlib
+
+    import numpy as np
+
+    W, H, tw, th = 40, 24, 16, 16
+    rows = []
+    for ty in range(-(-H // th)):
+        for tx in range(-(-W // tw)):
+            h, w = min(th, H - ty * th), min(tw, W - tx * tw)
+            arr = (
+                np.arange(ty * th, ty * th + h, dtype=np.int64)[:, None] * W
+                + np.arange(tx * tw, tx * tw + w, dtype=np.int64)[None, :] + 1
+            ).astype(np.int32)
+            crc = zlib.crc32(arr.tobytes()) & 0xFFFFFFFF
+            rows.append(f"('ck/0/{ty}/{tx}', {crc}, {arr.nbytes})")
+    vals = ", ".join(rows)
+    return f"""
+        SELECT tile_key, CAST(crc32 AS BIGINT) AS crc32, CAST(n_bytes AS BIGINT) AS n_bytes
+        FROM (VALUES {vals}) t(tile_key, crc32, n_bytes)
+    """
+
+
 # --- training-data pipeline queries (dedup / similarity / text) ----------
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,6 +665,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal,
         "event_windows": q_event_windows,
         "crs_3857": q_crs_3857,
+        "fast_warp": q_fast_warp,
+        "write_window": q_write_window,
+        "make_valid": q_make_valid,
+        "to_epsg": q_to_epsg,
+        "tile_checksum": q_tile_checksum,
         "resample_avg": q_resample_avg,
         "resample_cubic": q_resample_cubic,
         "knn": q_knn,
@@ -885,6 +1023,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "reproject": _reproject_oracle_sql(),
         "resample_cubic": _resample_cubic_oracle_sql(),
+        "tile_checksum": _tile_checksum_oracle_sql(),
+        "fast_warp": """
+            WITH params AS (
+              SELECT CAST(FLOOR(3.2 / 0.25) AS BIGINT) AS c0, CAST(CEIL(12.7 / 0.25) AS BIGINT) AS c1,
+                     CAST(FLOOR((15.0 - 11.7) / 0.25) AS BIGINT) AS r0, CAST(CEIL((15.0 - 4.2) / 0.25) AS BIGINT) AS r1
+            )
+            SELECT cy.range AS row, cx.range AS col,
+                   CAST((p.r0 + cy.range) * 80 + (p.c0 + cx.range) + 1 AS DOUBLE) AS value
+            FROM params p, range(80) cx, range(60) cy
+            WHERE p.c0 + cx.range < p.c1 AND p.r0 + cy.range < p.r1
+        """,
+        "write_window": """
+            SELECT b.band AS band, cy.range AS row, cx.range AS col,
+                   CAST(CASE WHEN b.band = 0 AND cx.range >= 5 AND cx.range < 20
+                              AND cy.range >= 3 AND cy.range < 17
+                             THEN 777
+                             ELSE cy.range * 50 + cx.range + 1 + b.band * 1500 END AS DOUBLE) AS value
+            FROM range(50) cx, range(30) cy, (VALUES (0), (1)) b(band)
+        """,
+        "make_valid": """
+            SELECT CAST(fid AS BIGINT) AS fid, CAST(gtype AS BIGINT) AS gtype, CAST(n_rings AS BIGINT) AS n_rings,
+                   CAST(n_points AS BIGINT) AS n_points,
+                   CAST(bminx AS DOUBLE) AS bminx, CAST(bminy AS DOUBLE) AS bminy,
+                   CAST(bmaxx AS DOUBLE) AS bmaxx, CAST(bmaxy AS DOUBLE) AS bmaxy
+            FROM (VALUES
+              (1, 6, 2,  8, 26.768188, 53.504384, 28.388671, 54.278054),
+              (2, 3, 2, 11, 26.531982, 53.176411, 28.943481, 54.204223),
+              (3, 3, 1,  5,  0.0,       0.0,       4.0,       4.0)
+            ) t(fid, gtype, n_rings, n_points, bminx, bminy, bmaxx, bmaxy)
+        """,
+        "to_epsg": f"""
+            SELECT CAST(poly_id AS BIGINT) AS poly_id,
+                   ROUND(6378137.0 * (CAST(minx AS DOUBLE) * (PI() / 180.0)), 2) AS mminx,
+                   ROUND(6378137.0 * LN(TAN(PI() / 4.0 + (CAST(miny AS DOUBLE) * (PI() / 180.0)) / 2.0)), 2) AS mminy,
+                   ROUND(6378137.0 * (CAST(maxx AS DOUBLE) * (PI() / 180.0)), 2) AS mmaxx,
+                   ROUND(6378137.0 * LN(TAN(PI() / 4.0 + (CAST(maxy AS DOUBLE) * (PI() / 180.0)) / 2.0)), 2) AS mmaxy
+            FROM {rects_sql_values('p')}
+        """,
         "event_windows": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 6) AS v

@@ -248,3 +248,11 @@ def test_pip_join_poly_spans_vs_oracle(spark):
 def test_intersects_join_vs_oracle(spark):
     df = entrymod.queries()["intersects_join"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["intersects_join"], SF_ORACLE)
+
+
+@pytest.mark.parametrize("name", ["fast_warp", "write_window", "make_valid", "to_epsg", "tile_checksum"])
+def test_r2_surface_queries_vs_oracle(spark, name):
+    """Driver-oracle coverage for the formerly pytest-only surface
+    (VERDICT r1 item 7)."""
+    df = entrymod.queries()[name](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE)
