@@ -92,37 +92,37 @@ def pip_join_points(
     cand = pts.join(F.broadcast(cover_df), "cell_id").drop("cell_id")
 
     bpolys = spark.sparkContext.broadcast(packed)
-    out_schema = cand.schema
 
-    def refine(batches):
-        # mapInArrow, not mapInPandas: candidate batches stay Arrow
-        # RecordBatches, so id/string columns never materialize as
-        # Python objects — x/y/poly_id come out as zero-copy NumPy and
-        # the keep-mask filter happens in Arrow compute.
-        import pyarrow as pa
-        import pyarrow.compute as pc
+    # Refinement as a BOOLEAN pandas UDF inside a WHERE, not a
+    # mapInArrow over whole rows: Spark's ArrowEvalPython projects ONLY
+    # (x, y, poly_id) into Python and gets one byte back per row, so
+    # id/string payload columns never cross the Arrow boundary in
+    # either direction and the JVM applies the filter in codegen.
+    # Measured on the 20M-doc flagship: ~2x faster end-to-end than the
+    # round-trip refine and the refine increment scales with cores like
+    # the pure-JVM stages (BENCH/BASELINE.md).
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def pip_ok(px, py, pid):
+        import pandas as pd
 
         polys_local = bpolys.value
-        for batch in batches:
-            n = batch.num_rows
-            if n == 0:
+        pxv = px.to_numpy(np.float64)
+        pyv = py.to_numpy(np.float64)
+        pidv = pid.to_numpy(np.int64)
+        keep = np.zeros(len(pxv), dtype=bool)
+        order = np.argsort(pidv, kind="stable")
+        uniq = np.unique(pidv)
+        bounds = np.searchsorted(pidv[order], uniq)
+        for s, p in zip(np.split(order, bounds[1:]), uniq):
+            if len(s) == 0:
                 continue
-            px = batch.column(x_col).to_numpy(zero_copy_only=False)
-            py = batch.column(y_col).to_numpy(zero_copy_only=False)
-            pids = batch.column("poly_id").to_numpy(zero_copy_only=False)
-            keep = np.zeros(n, dtype=bool)
-            order = np.argsort(pids, kind="stable")
-            bounds = np.searchsorted(pids[order], np.unique(pids))
-            for s, pid in zip(np.split(order, bounds[1:]), np.unique(pids)):
-                if len(s) == 0:
-                    continue
-                coords, ro = polys_local[int(pid)]
-                keep[s] = points_in_polygon(px[s], py[s], coords, ro)
-            out = pa.Table.from_batches([batch]).filter(pa.array(keep))
-            if out.num_rows:
-                yield from out.combine_chunks().to_batches()
+            coords, ro = polys_local[int(p)]
+            keep[s] = points_in_polygon(pxv[s], pyv[s], coords, ro)
+        return pd.Series(keep)
 
-    return cand.mapInArrow(refine, schema=out_schema)
+    return cand.where(pip_ok(F.col(x_col), F.col(y_col), F.col("poly_id")))
 
 
 def pip_join_docs(docs: DataFrame, polys: DataFrame, res: int | None = None) -> DataFrame:

@@ -20,8 +20,11 @@ ENGINE_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # one Arrow batch per UDF call: big enough to amortize the JVM<->Python
-    # hop, small enough to keep per-batch numpy temporaries in cache
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # hop and batch-boundary bookkeeping (measured on the flagship:
+    # 65536 cuts both JVM scan time and refine increment vs 10000; the
+    # PIP kernel chunks internally to stay cache-resident, so large
+    # Arrow batches don't hurt the numpy side)
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.session.timeZone": "UTC",
