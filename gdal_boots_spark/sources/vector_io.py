@@ -105,3 +105,75 @@ def write_ndjson(df: DataFrame, path: str, mode: str = "error") -> None:
         ).alias("value")
     )
     lines.write.mode(mode).text(path)
+
+
+class VectorDataset:
+    """Multi-layer vector dataset: a catalog of NAMED layers, each a
+    features DataFrame (reference ``VectorDataset`` is a container of
+    named ``Layer`` objects — gdal.py:1174-1341, iterated/searched by
+    name, written layer-by-layer in to_file gdal.py:1259; 5-layer GPKG
+    fixture test_vector.py:35-60).
+
+    Persistence is a directory with one NDJSON subdir per layer
+    (layer name == subdir name) — the splittable scale format; GPKG/OSM
+    containers are out of scope without GDAL (documented in SURVEY §2.1).
+    """
+
+    def __init__(self, layers: dict[str, DataFrame] | None = None):
+        self._layers: dict[str, DataFrame] = dict(layers or {})
+
+    def __repr__(self) -> str:  # reference __repr__ lists layer names
+        return f"<VectorDataset {','.join(self._layers)}>"
+
+    @property
+    def layer_names(self) -> list[str]:
+        return list(self._layers)
+
+    def __len__(self) -> int:
+        return len(self._layers)
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self._layers[name]
+
+    def first(self) -> DataFrame:
+        """reference ``layers.first()`` (gdal.py:621, 701)."""
+        return next(iter(self._layers.values()))
+
+    def add_layer(self, name: str, df: DataFrame, overwrite: bool = False) -> None:
+        """Duplicate layer names error unless overwrite (the reference
+        add_layer creates-or-fails at the OGR level)."""
+        if name in self._layers and not overwrite:
+            raise ValueError(f"layer {name!r} exists")
+        self._layers[name] = df
+
+    def to_epsg(self, src_epsg: int, dst_epsg) -> "VectorDataset":
+        """Transform EVERY layer (reference to_epsg loops layers,
+        gdal.py:1302-1311) — vectorized per layer, no per-feature osr."""
+        from ..functions.geometry_fns import geojson_decode_udf, geojson_encode_udf
+        from ..operators.reproject import vector_to_epsg
+
+        out = {}
+        for name, df in self._layers.items():
+            g = df.withColumn("_geom", geojson_decode_udf(F.col("geojson")))
+            t = vector_to_epsg(g, src_epsg, dst_epsg, "_geom")
+            out[name] = t.withColumn("geojson", geojson_encode_udf()(F.col("_geom"))).drop("_geom")
+        return VectorDataset(out)
+
+    def to_path(self, path: str, overwrite: bool = False) -> None:
+        """Directory-of-layers write with the reference's to_file
+        overwrite semantics (error when exists, gdal.py:1250-1256)."""
+        if os.path.exists(path):
+            if not overwrite:
+                raise FileExistsError(path)
+            import shutil
+
+            shutil.rmtree(path)
+        for name, df in self._layers.items():
+            write_ndjson(df, os.path.join(path, name))
+
+    @classmethod
+    def from_path(cls, spark: SparkSession, path: str) -> "VectorDataset":
+        names = sorted(
+            d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d)) and not d.startswith(("_", "."))
+        )
+        return cls({n: read_ndjson(spark, os.path.join(path, n)) for n in names})

@@ -200,3 +200,36 @@ def test_png_export_rejects_wide_dtypes(spark):
     tiles = generate_tiles(spark, grid, ramp_fill)
     with pytest.raises(Exception, match="uint8/uint16"):
         tiles_to_png(tiles).collect()
+
+
+def test_vector_dataset_multilayer_roundtrip(spark, tmp_path):
+    """5-layer catalog round-trip (reference 5-layer GPKG fixture,
+    test_vector.py:35-60): names, counts, features survive; duplicate
+    add_layer and existing-path write error like the reference."""
+    from gdal_boots_spark.sources.vector_io import VectorDataset
+
+    def mk(i):
+        rows = [
+            (j, "Point", f'{{"type":"Point","coordinates":[{26 + i}.5,{53 + (j % 3)}.25]}}', f'{{"layer":{i}}}')
+            for j in range(3 + i)
+        ]
+        return spark.createDataFrame(rows, "fid long, gtype string, geojson string, props_json string")
+
+    vds = VectorDataset({f"layer_{i}": mk(i) for i in range(5)})
+    assert len(vds) == 5 and vds.layer_names == [f"layer_{i}" for i in range(5)]
+    with pytest.raises(ValueError):
+        vds.add_layer("layer_0", mk(0))
+    p = str(tmp_path / "vds")
+    vds.to_path(p)
+    with pytest.raises(FileExistsError):
+        vds.to_path(p)
+    back = VectorDataset.from_path(spark, p)
+    assert back.layer_names == vds.layer_names
+    for n in vds.layer_names:
+        a = {(r["fid"], r["gtype"], r["geojson"]) for r in vds[n].collect()}
+        b = {(r["fid"], r["gtype"], r["geojson"]) for r in back[n].collect()}
+        assert a == b and len(a) > 0
+    # whole-catalog CRS transform keeps layer structure
+    t = vds.to_epsg(4326, 3857)
+    assert t.layer_names == vds.layer_names
+    assert '"type":"Point"' in t.first().first()["geojson"]
