@@ -615,6 +615,20 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries_df, emb, k=5).select("qid", "bid", F.col("rank").cast("long").alias("rnk"))
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN (the scale path of similarity search).  The random
+    hyperplanes are not SQL-expressible, so there is NO oracle_sql entry
+    — the driver records the weaker rows-only check; exactness-adjacent
+    quality (recall >= 0.7 vs brute force) is pytest-asserted
+    (tests/test_pipeline_ops.py)."""
+    from gdal_boots_spark.operators.ann import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    out = ann_lsh_topk(queries_df, emb, k=5, bits=4, n_tables=8)
+    return out.select("qid", "bid", F.col("rank").cast("long").alias("rnk"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.functions.text_fns import quality_features, quality_score
 
@@ -678,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,

@@ -113,10 +113,15 @@ def interleaved_docs(
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if replicate > 1:
+        # repartition the SEED before the crossJoin: the sf parquet is a
+        # single file/partition, and a broadcast nested-loop crossJoin
+        # inherits the left side's partitioning — without this the whole
+        # replicated table is generated by ONE task
+        n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
         reps = spark.range(replicate).select(F.col("id").alias("_rep"))
-        docs = docs.crossJoin(reps).select(
+        docs = docs.repartition(n_parts).crossJoin(reps).select(
             (F.col("doc_id") * replicate + F.col("_rep")).alias("doc_id"), "text"
-        ).repartition(max(spark.sparkContext.defaultParallelism * 2, 8))
+        )
     d = F.col("doc_id")
     lon, lat = _lon_col(d), _lat_col(d)
     geo_text = F.format_string('{"type":"Point","coordinates":[%.6f,%.6f]}', lon, lat)
