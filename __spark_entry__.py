@@ -629,6 +629,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "bid", F.col("rank").cast("long").alias("rnk"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF similarity search (deterministic spherical coarse quantizer;
+    the brief's 'IVF or LSH-bucketed variant' — engine ships both).
+    Centroids are not SQL-expressible, so NO oracle_sql entry: the
+    driver records rows-only; recall >= 0.7 vs brute force is
+    pytest-asserted (tests/test_pipeline_ops.py)."""
+    from gdal_boots_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0)
+    out = ivf_topk(queries_df, emb, k=5, n_cells=16, n_probe=8)
+    return out.select("qid", "bid", F.col("rank").cast("long").alias("rnk"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.functions.text_fns import quality_features, quality_score
 
@@ -693,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,

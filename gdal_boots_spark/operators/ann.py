@@ -1,6 +1,8 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths, per the build brief:
+Three paths, per the build brief ("brute-force cosine top-k as the
+baseline; an IVF or LSH-bucketed variant as the scale path" — both
+bucketed variants are provided):
 
 * ``cosine_topk`` — brute-force baseline: the base matrix is collected
   (it is the dimension side — at 100 TB you shard it or flip the roles)
@@ -11,6 +13,9 @@ Two paths, per the build brief:
   bucket union over ``n_tables`` tables.  Approximate; recall grows
   with tables/bits tradeoff.  Rows-only correctness check (planes are
   not SQL-expressible), with a recall test against the brute-force path.
+* ``ivf_topk`` — inverted-file variant: deterministic spherical coarse
+  quantizer, base partitioned by nearest cell, queries probe n_probe
+  cells; one equi-join, zero dedup shuffles.  Recall test vs exact.
 """
 
 from __future__ import annotations
@@ -160,6 +165,99 @@ def ann_lsh_topk(
     scored = cand.mapInPandas(rerank, schema="qid long, bid long, cos double").dropDuplicates(
         ["qid", "bid"]
     )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "bid")
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _ivf_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed * 1_000_003 + dim)
+    c = rng.standard_normal((n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_topk(
+    query: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate cosine top-k — the second scale path of
+    similarity search alongside sign-LSH (build brief: "IVF or
+    LSH-bucketed variant").
+
+    Coarse quantizer: deterministic seeded spherical centroids
+    (data-independent, so both sides bucketize map-side with ONE
+    matmul per Arrow batch against the broadcast centroid matrix).
+    Base vectors land in exactly their nearest cell; queries probe
+    their ``n_probe`` nearest cells.  Candidates come from the
+    (cell) hash join, scored map-side, top-k per query by window.
+
+    Shuffle inventory: one equi-join on the int cell key + the narrow
+    (qid, bid, cos) window — NO dedup exchange at all (a base vector
+    lives in one cell and a query probes distinct cells, so a pair can
+    appear at most once).  Recall grows with n_probe/n_cells.
+    """
+    dim = len(base.select(vec_col).first()[0])
+    C = _ivf_centroids(dim, n_cells, seed)
+    spark = base.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(id_name, probe):
+        def fn(batches):
+            import pandas as pd
+
+            cm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array(list(pdf["_vec"]), dtype=np.float64)
+                n = np.linalg.norm(v, axis=1)
+                n[n == 0] = 1.0
+                sims = (v / n[:, None]) @ cm.T
+                if probe == 1:
+                    cells = np.argmax(sims, axis=1)[:, None]
+                else:
+                    cells = np.argsort(-sims, axis=1)[:, :probe]
+                nrep = cells.shape[1]
+                yield pd.DataFrame(
+                    {
+                        id_name: np.repeat(pdf[id_name].to_numpy(), nrep),
+                        "_vec": [v for v in pdf["_vec"] for _ in range(nrep)],
+                        "cell": cells.ravel().astype(np.int32),
+                    }
+                )
+
+        return fn
+
+    vec_t = dict(base.dtypes)[vec_col]
+    qd = query.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_vec"))
+    bd = base.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("_vec"))
+    qb = qd.mapInPandas(assign("qid", n_probe), schema=f"qid long, _vec {vec_t}, cell int")
+    bb = bd.mapInPandas(assign("bid", 1), schema=f"bid long, _vec {vec_t}, cell int")
+    cand = qb.join(bb.withColumnRenamed("_vec", "_bvec"), "cell").select("qid", "_vec", "bid", "_bvec")
+
+    def rerank(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(list(pdf["_vec"]), dtype=np.float64)
+            bv = np.array(list(pdf["_bvec"]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            bn = np.linalg.norm(bv, axis=1)
+            qn[qn == 0] = 1.0
+            bn[bn == 0] = 1.0
+            cos = (q * bv).sum(axis=1) / qn / bn
+            yield pd.DataFrame({"qid": pdf["qid"].to_numpy(), "bid": pdf["bid"].to_numpy(), "cos": cos})
+
+    scored = cand.mapInPandas(rerank, schema="qid long, bid long, cos double")
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "bid")

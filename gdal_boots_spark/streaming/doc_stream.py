@@ -86,3 +86,63 @@ def stream_cell_counts(
             F.count("*").alias("n_docs")
         )
     return _geo_cells(docs, res).groupBy("cell_id").agg(F.count("*").alias("n_docs"))
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    event_time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each normalized-text
+    hash within the watermark horizon passes, later duplicates drop.
+
+    dropDuplicatesWithinWatermark keys the dedup state on the 60-bit
+    text hash and EXPIRES state older than the watermark — bounded
+    state at 10^12-doc ingest (a plain dropDuplicates would grow state
+    forever).  Same hash as the batch operator (operators/dedup), so a
+    batch backfill and the stream agree on survivors.
+    """
+    from ..functions.text_fns import md5_long, normalize_text
+
+    docs = spark.readStream.schema(
+        "doc_id string, text string, " + f"{event_time_col} timestamp"
+    ).parquet(input_dir)
+    h = docs.select(
+        "doc_id", event_time_col, md5_long(normalize_text(F.col("text"))).alias("text_hash")
+    )
+    return h.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(["text_hash"])
+
+
+def stream_cell_running_stats(spark: SparkSession, input_dir: str, res: int = 8) -> DataFrame:
+    """CUSTOM stateful operator (applyInPandasWithState): per-cell
+    running document totals that survive restarts via the checkpointed
+    state store — the pattern for engine-side stateful ops Structured
+    Streaming lacks natively (north_star: per-partition metrics with
+    resumability).
+
+    State per cell = one long; each micro-batch's groups update it and
+    emit the new total (update semantics).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    docs = spark.readStream.schema(
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    ).parquet(input_dir)
+    cells = _geo_cells(docs, res)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n_new = sum(len(p) for p in pdfs)
+        total = (state.get[0] if state.exists else 0) + n_new
+        state.update((total,))
+        yield pd.DataFrame({"cell_id": [key[0]], "n_docs_total": [total]})
+
+    return cells.groupBy("cell_id").applyInPandasWithState(
+        update,
+        outputStructType="cell_id long, n_docs_total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -140,3 +140,43 @@ def test_ann_dedup_exchange_carries_no_vectors(spark):
     out_attrs = child_line.rsplit(", [", 1)[1].split("]", 1)[0]
     assert "_bvec" not in out_attrs and "_vec" not in out_attrs and "cos#" in out_attrs
     assert out.count() > 0
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF (16 cells, 8 probes) recall@5 >= 0.7 against exact cosine on
+    the sf0.001 embeddings (measured 0.82 on this fixture)."""
+    from gdal_boots_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/../sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    exact = {(r["qid"], r["bid"]) for r in cosine_topk(q, emb, k=5).collect()}
+    approx = {(r["qid"], r["bid"]) for r in ivf_topk(q, emb, k=5, n_cells=16, n_probe=8).collect()}
+    assert len(exact & approx) / len(exact) >= 0.7
+
+
+def test_media_resize_and_png_thumbnails(spark):
+    """Real resize via the engine's kernels + real PNG thumbnails
+    (decode -> resize -> normalize -> encode, no Pillow)."""
+    from gdal_boots_spark.sources.media import media_resize, media_thumbnails_png, resize_array
+    from gdal_boots_spark.sources.png import decode_png
+    from gdal_boots_spark.sources.synth import interleaved_docs
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid("r0", 4326, (0.01, 0.0, 26.0, 0.0, -0.01, 55.0), 8 * 16, 8 * 16, 16, 16, 1, "int32")
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    docs = interleaved_docs(spark, "/root/testdata/sf0.001")
+
+    out = media_resize(docs, tiles, out_w=4, out_h=4, kernel="bilinear").collect()
+    assert len(out) > 0
+    r = out[0]
+    assert (r["width"], r["height"]) == (4, 4) and len(r["data"]) == 4 * 4 * 4
+    src = np.frombuffer(
+        tiles.where(F.col("tile_key") == r["media_ref"]).first()["data"], dtype=np.int32
+    ).reshape(16, 16)
+    exp = resize_array(src, 4, 4, "bilinear")
+    got = np.frombuffer(r["data"], dtype=np.int32).reshape(4, 4)
+    assert np.array_equal(got, exp)
+
+    th = media_thumbnails_png(docs, tiles, out_w=4, out_h=4).collect()
+    img = decode_png(bytes(th[0]["png"]))
+    assert img.shape == (4, 4) and img.dtype == np.uint8
