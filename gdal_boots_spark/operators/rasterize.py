@@ -151,6 +151,8 @@ def rasterize(
         return burned
 
     zeros = generate_tiles(spark, g, lambda b, ty, tx, h, w, gg: np.zeros((h, w), np.uint8))
+    # broadcast the key side: the anti-join must not shuffle the zero
+    # tiles' pixel payloads just to subtract a handful of keys
     touched_keys = burned.select("tile_key")
-    empty = zeros.join(touched_keys, "tile_key", "left_anti")
+    empty = zeros.join(F.broadcast(touched_keys), "tile_key", "left_anti")
     return burned.unionByName(empty)

@@ -66,6 +66,49 @@ def main():
             cap(out),
         ))
 
+    from gdal_boots_spark.operators.cover import contribs_distributed
+    from gdal_boots_spark.sources.synth import rect_polygons_df
+
+    g3 = RasterGrid("pc", 4326, (0.01, 0.0, 26.0, 0.0, -0.01, 55.0), 300, 200, 64, 64, 1, "uint8")
+    sections.append((
+        "Distributed polygon cover (rasterize/zonal scale path)",
+        "No driver collect: one ArrowEvalPython decode, then envelope/"
+        "inverse-affine/tile-range explode entirely in codegen Column math — "
+        "ready to shuffle on (tile_x, tile_y) with the packed coords riding "
+        "the rows.",
+        cap(contribs_distributed(rect_polygons_df(spark), g3)),
+    ))
+
+    from gdal_boots_spark.operators.bbox_join import bbox_overlap_join
+
+    l = spark.range(100).select(
+        F.col("id").alias("lid"), (26.0 + F.col("id") / 50.0).alias("lminx"), F.lit(53.0).alias("lminy"),
+        (26.1 + F.col("id") / 50.0).alias("lmaxx"), F.lit(53.1).alias("lmaxy"),
+    )
+    r = spark.range(100).select(
+        F.col("id").alias("rid"), (26.05 + F.col("id") / 50.0).alias("rminx"), F.lit(53.05).alias("rminy"),
+        (26.15 + F.col("id") / 50.0).alias("rmaxx"), F.lit(53.15).alias("rmaxy"),
+    )
+    sections.append((
+        "BBox-overlap range join (dedup-free)",
+        "Native sequence-explode cell cover on BOTH sides, one hash join on "
+        "cell_id, exact interval predicate + reporting-cell filter — note "
+        "there is NO distinct/dedup Exchange anywhere in the plan.",
+        cap(bbox_overlap_join(l, r, res=10)),
+    ))
+
+    from gdal_boots_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sections.append((
+        "IVF similarity search (scale path)",
+        "Map-side centroid assignment on both sides (one matmul per Arrow "
+        "batch), ONE equi-join on the int cell key, map-side rerank, then "
+        "only narrow (qid, bid, cos) rows reach the window top-k — vectors "
+        "never cross a dedup exchange (a pair can appear at most once).",
+        cap(ivf_topk(emb.where(F.col("vec_id") % 50 == 0), emb, k=5, n_cells=16, n_probe=8)),
+    ))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — captured physical plans of the key operators\n\n")
         f.write("Regenerate with `python scripts/gen_plans.py`.\n")
