@@ -131,8 +131,11 @@ def knn_join(
     w = Window.partitionBy("qid").orderBy("dist", "bid")
     # geometric radius growth (r <- max(2r, r+1)): round count is
     # O(log(domain)) instead of O(domain) — each round is a driver
-    # barrier, so sparse data no longer pays 50 synchronous rounds
-    r_prev, r = -1, 0
+    # barrier, so sparse data no longer pays 50 synchronous rounds.
+    # Start with the full radius-1 block (9 cells): cells hold ~max(k,8)
+    # points on average, so radius 0 almost never finishes a query and
+    # its round is a wasted barrier.
+    r_prev, r = -1, min(1, hard_stop)
     while r_prev < hard_stop:
         shells = remaining.select(
             "qid", "x", "y", F.explode(_annulus_cells_expr(res, r_prev, r)).alias("cell_id")
