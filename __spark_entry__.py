@@ -577,6 +577,31 @@ def _tile_checksum_oracle_sql() -> str:
     """
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal media columns end-to-end: media spans joined to the
+    tile store (media_ref == tile_key), Arrow-batched decode + feature
+    extraction.  The features are moments/quantiles of analytic ramp
+    tiles, so DuckDB reproduces every element (AVG/STDDEV_POP/
+    quantile_cont over the regenerated 256-pixel lattice per tile)."""
+    from gdal_boots_spark.sources.media import media_features
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid(
+        raster_id="r0", epsg=4326, transform=(0.01, 0.0, 26.0, 0.0, -0.01, 55.0),
+        width=128, height=128, tile_w=16, tile_h=16, bands=1, dtype="int32",
+    )
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    docs = interleaved_docs(spark, sf_dir)
+    out = media_features(docs, tiles)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_pos").cast("long").alias("span_pos"),
+        "media_ref",
+        "n_bytes",
+        *[F.round(F.col("feat")[i], 6).alias(f"f{i}") for i in range(8)],
+    )
+
+
 # --- training-data pipeline queries (dedup / similarity / text) ----------
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "media_features": q_media_features,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1054,6 +1080,32 @@ def oracle_sql() -> dict[str, str]:
         "reproject": _reproject_oracle_sql(),
         "resample_cubic": _resample_cubic_oracle_sql(),
         "tile_checksum": _tile_checksum_oracle_sql(),
+        "media_features": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(CAST(FLOOR(doc_id / 8) AS BIGINT) % 8 AS BIGINT) AS ty,
+                     CAST(doc_id % 8 AS BIGINT) AS tx
+              FROM documents WHERE doc_id % 10 IN (8, 9)
+            ), px AS (
+              SELECT m.doc_id, m.ty, m.tx,
+                     CAST((m.ty * 16 + i.range) * 128 + (m.tx * 16 + j.range) + 1 AS DOUBLE) AS v
+              FROM m, range(16) i, range(16) j
+            ), agg AS (
+              SELECT doc_id, ty, tx,
+                     AVG(v) AS mean, STDDEV_POP(v) AS std, MIN(v) AS mn, MAX(v) AS mx,
+                     quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS med,
+                     quantile_cont(v, 0.75) AS q3, COUNT(*) AS n
+              FROM px GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, CAST(1 AS BIGINT) AS span_pos,
+                   'r0/0/' || ty || '/' || tx AS media_ref,
+                   CAST(1024 AS BIGINT) AS n_bytes,
+                   ROUND(mean, 6) AS f0, ROUND(std, 6) AS f1,
+                   ROUND(mn, 6) AS f2, ROUND(mx, 6) AS f3,
+                   ROUND(q1, 6) AS f4, ROUND(med, 6) AS f5,
+                   ROUND(q3, 6) AS f6, CAST(n AS DOUBLE) AS f7
+            FROM agg
+        """,
         "fast_warp": """
             WITH params AS (
               SELECT CAST(FLOOR(3.2 / 0.25) AS BIGINT) AS c0, CAST(CEIL(12.7 / 0.25) AS BIGINT) AS c1,

@@ -180,3 +180,14 @@ def test_media_resize_and_png_thumbnails(spark):
     th = media_thumbnails_png(docs, tiles, out_w=4, out_h=4).collect()
     img = decode_png(bytes(th[0]["png"]))
     assert img.shape == (4, 4) and img.dtype == np.uint8
+
+
+def test_media_features_vs_oracle(spark):
+    import __spark_entry__ as entrymod
+    from tests.conftest import compare_to_oracle
+
+    df = entrymod.queries()["media_features"](spark, SF_ORACLE)
+    compare_to_oracle(
+        df, entrymod.oracle_sql()["media_features"], SF_ORACLE,
+        float_cols=tuple(f"f{i}" for i in range(8)), atol=0.0,
+    )
