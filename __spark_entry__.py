@@ -602,6 +602,48 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize (decode -> engine bilinear kernel -> pixels): 16x16
+    float64 ramp tiles to 4x4.  At an exact x4 factor every bilinear
+    weight is exactly 0.5 and the ramp is affine, so each output pixel
+    is closed-form dyadic arithmetic — the oracle is bit-exact."""
+    import pandas as _pd
+
+    from gdal_boots_spark.sources.media import media_resize
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid(
+        raster_id="r0", epsg=4326, transform=(0.01, 0.0, 26.0, 0.0, -0.01, 55.0),
+        width=128, height=128, tile_w=16, tile_h=16, bands=1, dtype="float64",
+    )
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    docs = interleaved_docs(spark, sf_dir)
+    resized = media_resize(docs, tiles, out_w=4, out_h=4, kernel="bilinear")
+
+    def explode_px(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            outs = []
+            for _, r in pdf.iterrows():
+                arr = _np.frombuffer(r["data"], dtype=_np.float64).reshape(4, 4)
+                jj, ii = _np.meshgrid(_np.arange(4), _np.arange(4))
+                outs.append(
+                    _pd.DataFrame(
+                        {
+                            "doc_id": int(r["doc_id"]),
+                            "i": ii.ravel().astype("int64"),
+                            "j": jj.ravel().astype("int64"),
+                            "value": arr.ravel(),
+                        }
+                    )
+                )
+            if outs:
+                yield _pd.concat(outs, ignore_index=True)
+
+    return resized.mapInPandas(explode_px, schema="doc_id long, i long, j long, value double")
+
+
 # --- training-data pipeline queries (dedup / similarity / text) ----------
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1105,6 +1148,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(q1, 6) AS f4, ROUND(med, 6) AS f5,
                    ROUND(q3, 6) AS f6, CAST(n AS DOUBLE) AS f7
             FROM agg
+        """,
+        "media_resize": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(CAST(FLOOR(doc_id / 8) AS BIGINT) % 8 AS BIGINT) AS ty,
+                     CAST(doc_id % 8 AS BIGINT) AS tx
+              FROM documents WHERE doc_id % 10 IN (8, 9)
+            )
+            SELECT doc_id, i.range AS i, j.range AS j,
+                   CAST((m.ty * 16 + 4 * i.range + 1.5) * 128
+                        + (m.tx * 16 + 4 * j.range + 1.5) + 1 AS DOUBLE) AS value
+            FROM m, range(4) i, range(4) j
         """,
         "fast_warp": """
             WITH params AS (

@@ -191,3 +191,11 @@ def test_media_features_vs_oracle(spark):
         df, entrymod.oracle_sql()["media_features"], SF_ORACLE,
         float_cols=tuple(f"f{i}" for i in range(8)), atol=0.0,
     )
+
+
+def test_media_resize_vs_oracle(spark):
+    import __spark_entry__ as entrymod
+    from tests.conftest import compare_to_oracle
+
+    df = entrymod.queries()["media_resize"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["media_resize"], SF_ORACLE, float_cols=("value",), atol=0.0)
