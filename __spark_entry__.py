@@ -221,6 +221,29 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "bid", F.col("rank").cast("long").alias("rnk"))
 
 
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-within join (fixed radius companion of kNN): one cell
+    block explode + one equi-join + exact distance filter, no dedup
+    shuffle.  Oracle is the definitional cross join."""
+    from gdal_boots_spark.operators.knn import radius_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    ck, sk = F.col("c_custkey"), F.col("s_suppkey")
+    base = cust.select(
+        ck.alias("bid"),
+        (F.lit(26.0) + ((ck * 7919) % 3000).cast("double") / 1000.0).alias("x"),
+        (F.lit(53.0) + ((ck * 104729) % 2000).cast("double") / 1000.0).alias("y"),
+    )
+    query = supp.select(
+        sk.alias("qid"),
+        (F.lit(26.0) + ((sk * 4409) % 3000).cast("double") / 1000.0).alias("x"),
+        (F.lit(53.0) + ((sk * 9973) % 2000).cast("double") / 1000.0).alias("y"),
+    )
+    out = radius_join(query, base, radius=0.05)
+    return out.select("qid", "bid", F.round("dist", 9).alias("dist"))
+
+
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster->vector (to_vector, gdal.py:609-623): burn the 12 DISJOINT
     grid rectangles (poly_id < 100) at res 0.01, polygonize with
@@ -768,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_avg": q_resample_avg,
         "resample_cubic": q_resample_cubic,
         "knn": q_knn,
+        "radius_join": q_radius_join,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1085,6 +1109,23 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT qid, bid, rnk FROM r WHERE rnk <= 3
+        """,
+        "radius_join": """
+            WITH q AS (
+              SELECT s_suppkey AS qid,
+                     26.0 + CAST((s_suppkey * 4409) % 3000 AS DOUBLE) / 1000.0 AS x,
+                     53.0 + CAST((s_suppkey * 9973) % 2000 AS DOUBLE) / 1000.0 AS y
+              FROM supplier
+            ), b AS (
+              SELECT c_custkey AS bid,
+                     26.0 + CAST((c_custkey * 7919) % 3000 AS DOUBLE) / 1000.0 AS x,
+                     53.0 + CAST((c_custkey * 104729) % 2000 AS DOUBLE) / 1000.0 AS y
+              FROM customer
+            )
+            SELECT q.qid, b.bid,
+                   ROUND(SQRT((q.x - b.x) * (q.x - b.x) + (q.y - b.y) * (q.y - b.y)), 9) AS dist
+            FROM q CROSS JOIN b
+            WHERE SQRT((q.x - b.x) * (q.x - b.x) + (q.y - b.y) * (q.y - b.y)) <= 0.05
         """,
         "resample_avg": """
             SELECT i.range AS row, j.range AS col,

@@ -180,3 +180,50 @@ def knn_join(
         )
     basec.unpersist()
     return out.select("qid", "bid", "dist", "rank")
+
+
+def radius_join(
+    query: DataFrame,
+    base: DataFrame,
+    radius: float,
+    res: int | None = None,
+    q_id: str = "qid",
+    b_id: str = "bid",
+) -> DataFrame:
+    """Distance-within join: query(qid,x,y) x base(bid,x,y) ->
+    (qid, bid, dist) for every pair with planar dist <= radius.
+
+    One-shot companion to knn_join (fixed radius instead of fixed k):
+    each query explodes to the cell block covering its radius disk
+    (native annulus expr with r_in=-1), ONE equi-join on cell_id, exact
+    distance refinement — no dedup shuffle (a base point lives in one
+    cell and the block lists distinct cells, so a pair appears at most
+    once).  Fully SQL-expressible, so the driver oracle is exact.
+    """
+    if res is None:
+        # cell edge ~ radius: the block is 3x3-ish; finer cells blow up
+        # the explode, coarser ones the candidate count
+        res = int(np.clip(np.floor(np.log2(360.0 / max(radius, 1e-9))), 0, MAX_RES))
+    n = 1 << res
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+    r_cells = int(np.ceil(radius / min(cell_w, cell_h)))
+
+    basec = base.select(
+        F.col(b_id).alias("bid"), F.col("x").alias("bx"), F.col("y").alias("by"),
+        cell_id_col(F.col("x"), F.col("y"), res).alias("cell_id"),
+    )
+    blocks = query.select(
+        F.col(q_id).alias("qid"), "x", "y",
+        F.explode(_annulus_cells_expr(res, -1, r_cells)).alias("cell_id"),
+    )
+    # dist spelled as dx*dx + dy*dy (not **2 -> POWER): bit-identical to
+    # the oracle's SQL expression, so the <= radius boundary can never
+    # disagree by a ULP
+    dx = F.col("x") - F.col("bx")
+    dy = F.col("y") - F.col("by")
+    dist = F.sqrt(dx * dx + dy * dy)
+    return (
+        blocks.join(basec, "cell_id")
+        .select("qid", "bid", dist.alias("dist"))
+        .where(F.col("dist") <= radius)
+    )

@@ -44,3 +44,34 @@ def test_knn_k_larger_than_base(spark):
     rows = knn_join(query, base, k=10).collect()
     assert len(rows) == 3  # all of the base, never more
     assert sorted(r["bid"] for r in rows) == [0, 1, 2]
+
+
+def test_radius_join_vs_oracle(spark):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE, compare_to_oracle
+
+    df = entrymod.queries()["radius_join"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["radius_join"], SF_ORACLE, float_cols=("dist",), atol=0.0)
+
+
+def test_radius_join_bruteforce_random(spark):
+    """Exactness on random points at several radii (incl. radius larger
+    than a cell and queries outside the base extent)."""
+    import numpy as np
+
+    from gdal_boots_spark.operators.knn import radius_join
+
+    rng = np.random.default_rng(11)
+    b = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform([26, 53], [29, 55], (300, 2)))]
+    q = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform([25.5, 52.5], [29.5, 55.5], (60, 2)))]
+    base = spark.createDataFrame(b, "bid long, x double, y double")
+    query = spark.createDataFrame(q, "qid long, x double, y double")
+    for radius in (0.02, 0.3, 1.5):
+        got = {(r["qid"], r["bid"]) for r in radius_join(query, base, radius).collect()}
+        exp = {
+            (qi, bi)
+            for qi, qx, qy in q
+            for bi, bx, by in b
+            if np.sqrt((qx - bx) * (qx - bx) + (qy - by) * (qy - by)) <= radius
+        }
+        assert got == exp, radius
