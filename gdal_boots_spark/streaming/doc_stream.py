@@ -146,3 +146,38 @@ def stream_cell_running_stats(spark: SparkSession, input_dir: str, res: int = 8)
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_pip_join(
+    spark: SparkSession,
+    input_dir: str,
+    polys: DataFrame,
+    checkpoint_dir: str,
+    output_dir: str,
+    res: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """The FLAGSHIP spatial join as a structured stream: continuous
+    interleaved-doc ingest -> span extraction -> cell index ->
+    broadcast cover join -> boolean-pandas-UDF ray-cast filter.
+
+    The batch plan is map-only (zero fact-side shuffles), so the exact
+    same operator code (pip_join_docs) runs under readStream unchanged
+    — append mode, no state, restart-safe via the sink checkpoint.
+    The polygon side is a batch dimension table (stream-static join).
+    """
+    from ..operators.spatial_join import pip_join_docs
+
+    docs = spark.readStream.schema(
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    ).parquet(input_dir)
+    out = pip_join_docs(docs, polys, res=res).select("doc_id", "span_pos", "poly_id")
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -157,3 +157,27 @@ def test_stream_cell_running_stats_stateful_resume(spark, tmp_path):
     for cid, n in second.items():
         assert n == 2 * first[cid], (cid, n, first.get(cid))
     assert set(second) == set(first)
+
+
+def test_stream_pip_join_matches_batch(spark, tmp_path):
+    """The flagship join drained as a stream == the batch flagship
+    (same operator code, stream-static broadcast join, map-only)."""
+    from gdal_boots_spark.operators.spatial_join import pip_join_docs
+    from gdal_boots_spark.sources.synth import interleaved_docs, rect_polygons_df
+    from gdal_boots_spark.streaming.doc_stream import stream_pip_join
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    docs = interleaved_docs(spark, SF_SMOKE)
+    docs.write.parquet(indir)
+    polys = rect_polygons_df(spark)
+
+    q = stream_pip_join(spark, indir, polys, ckpt, outdir)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(outdir).collect()))
+    exp = sorted(
+        map(tuple, pip_join_docs(docs, polys).select("doc_id", "span_pos", "poly_id").collect())
+    )
+    assert got == exp and len(exp) > 0
