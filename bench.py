@@ -53,9 +53,13 @@ def run_bench() -> dict:
         for name in HEADLINE:
             if name not in qs:
                 continue
-            t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).count()
-            times[name] = round(time.perf_counter() - t0, 4)
+            best = None
+            for _ in range(2):  # best-of-2: halves co-tenant noise
+                t0 = time.perf_counter()
+                qs[name](spark, SF_DIR).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 4)
 
     # flagship at parallelism-relevant volume: the interleaved table is
     # MATERIALIZED to parquet once (it is the stored input table of the
