@@ -70,6 +70,28 @@ def q_pip_join_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pip_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big-polygon-side flagship variant: NO driver collect — the
+    polygon side decodes + cover-explodes distributed, candidates come
+    from a SALTED shuffle hash join on cell_id (north_rule: 'skew is
+    handled explicitly with salted repartitioning on hot cells'), and
+    the ray-cast refinement reads each polygon's packed coords from the
+    candidate rows.  Output is identical to pip_join, so it shares the
+    same analytic oracle."""
+    from gdal_boots_spark.functions.geometry_fns import point_xy_native
+    from gdal_boots_spark.operators.spatial_join import extract_geo_spans, pip_join_points_shuffle
+
+    docs = interleaved_docs(spark, sf_dir)
+    polys = rect_polygons_df(spark)
+    geo = extract_geo_spans(docs)
+    x, y, is_point = point_xy_native(F.col("text"))
+    pts = geo.where(is_point).select("doc_id", x.alias("x"), y.alias("y")).where(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    )
+    out = pip_join_points_shuffle(pts, polys, salt=4, hot_threshold=50)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), F.col("poly_id").alias("poly_id"))
+
+
 def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile/cell assignment of every geo span at resolution 8."""
     from gdal_boots_spark.functions.geometry_fns import cell_id_col, point_xy_native
@@ -766,6 +788,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join": q_pip_join,
+        "pip_join_shuffle": q_pip_join_shuffle,
         "pip_join_poly_spans": q_pip_join_poly,
         "cell_assign": q_cell_assign,
         "geo_extract": q_geo_extract,
@@ -1028,6 +1051,14 @@ def oracle_sql() -> dict[str, str]:
     }
     return dedup_text_oracles | {
         "pip_join": f"""
+            WITH {_GEO_CTE}
+            SELECT g.doc_id AS doc_id, CAST(p.poly_id AS BIGINT) AS poly_id
+            FROM geo g
+            JOIN {rects_sql_values('p')}
+              ON g.x >= p.minx AND g.x < p.maxx
+             AND g.y >= p.miny AND g.y < p.maxy
+        """,
+        "pip_join_shuffle": f"""
             WITH {_GEO_CTE}
             SELECT g.doc_id AS doc_id, CAST(p.poly_id AS BIGINT) AS poly_id
             FROM geo g

@@ -256,3 +256,9 @@ def test_r2_surface_queries_vs_oracle(spark, name):
     (VERDICT r1 item 7)."""
     df = entrymod.queries()[name](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE)
+
+
+def test_pip_join_shuffle_vs_oracle(spark):
+    """The salted no-collect flagship variant is driver-oracle exact."""
+    df = entrymod.queries()["pip_join_shuffle"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["pip_join_shuffle"], SF_ORACLE)
