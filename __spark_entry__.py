@@ -384,6 +384,31 @@ def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles_to_pixels(out, og.tile_w, og.tile_h).select("row", "col", "value")
 
 
+def q_warp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one-call warp (gdal.py:653-737) as the engine
+    composition: mosaic(extra ds, last-wins) -> bbox window slice
+    (snap) -> average resample (x2).  Every arm is closed-form over the
+    two analytic ramps, so the composed pixel table has an exact SQL
+    oracle."""
+    from gdal_boots_spark.operators.stats import tiles_to_pixels
+    from gdal_boots_spark.operators.warp_facade import warp
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    g1 = RasterGrid("w1", 4326, (0.25, 0.0, 0.0, 0.0, -0.25, 10.0), 32, 24, 16, 16, 1, "int32")
+    g2 = RasterGrid("w2", 4326, (0.25, 0.0, 2.0, 0.0, -0.25, 9.0), 32, 24, 16, 16, 1, "int32")
+    t1 = generate_tiles(spark, g1, ramp_fill)
+
+    def fill2(band, ty, tx, h, w, g):
+        return ramp_fill(band, ty, tx, h, w, g) + 100000
+
+    t2 = generate_tiles(spark, g2, fill2)
+    out_tiles, og = warp(
+        spark, t1, g1, bbox=(1.3, 4.2, 8.7, 8.9), resampling="average",
+        extra=[(t2, g2)], resolution=(0.5, 0.5),
+    )
+    return tiles_to_pixels(out_tiles, og.tile_w, og.tile_h).select("row", "col", "value")
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit skew handling (north_rule): lineitem (heavily reusing
     supplier keys) joined to supplier through the hot-key salted join;
@@ -800,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_hist": q_crop_hist,
         "mosaic": q_mosaic,
         "reproject": q_reproject,
+        "warp_pipeline": q_warp_pipeline,
         "salted_join": q_salted_join,
         "bbox_join": q_bbox_join,
         "intersects_join": q_intersects_join,
@@ -1193,6 +1219,27 @@ def oracle_sql() -> dict[str, str]:
             FROM px
         """,
         "reproject": _reproject_oracle_sql(),
+        "warp_pipeline": """
+            WITH src AS (
+              SELECT cy.range AS row, cx.range AS col,
+                     CAST(CASE
+                       WHEN cy.range >= 4 AND cy.range < 28 AND cx.range >= 8 AND cx.range < 40
+                         THEN (cy.range - 4) * 32 + (cx.range - 8) + 1 + 100000
+                       WHEN cy.range < 24 AND cx.range < 32
+                         THEN cy.range * 32 + cx.range + 1
+                       ELSE 0 END AS DOUBLE) AS v
+              FROM range(40) cx, range(28) cy
+            ), win AS (
+              -- snap of bbox (1.3, 4.2, 8.7, 8.9) on the merged grid:
+              -- cols [floor(1.3/.25), ceil(8.7/.25)) = [5, 35),
+              -- rows [floor((10-8.9)/.25), ceil((10-4.2)/.25)) = [4, 24)
+              SELECT row - 4 AS r, col - 5 AS c, v
+              FROM src WHERE col >= 5 AND col < 35 AND row >= 4 AND row < 24
+            )
+            SELECT CAST(FLOOR(r / 2) AS BIGINT) AS row, CAST(FLOOR(c / 2) AS BIGINT) AS col,
+                   AVG(v) AS value
+            FROM win GROUP BY 1, 2
+        """,
         "resample_cubic": _resample_cubic_oracle_sql(),
         "tile_checksum": _tile_checksum_oracle_sql(),
         "media_features": """

@@ -262,3 +262,9 @@ def test_pip_join_shuffle_vs_oracle(spark):
     """The salted no-collect flagship variant is driver-oracle exact."""
     df = entrymod.queries()["pip_join_shuffle"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["pip_join_shuffle"], SF_ORACLE)
+
+
+def test_warp_pipeline_vs_oracle(spark):
+    """Composed warp facade (mosaic -> window -> average resample)."""
+    df = entrymod.queries()["warp_pipeline"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["warp_pipeline"], SF_ORACLE, float_cols=("value",), atol=0.0)
