@@ -744,6 +744,31 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_topk(docs, k=20)
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup family, semantic face):
+    exact broadcast-matrix pairs with cos >= 0.4 (the fixture
+    embeddings are random, so 0.4 is the 'near-dup' tail — tens of
+    pairs at these SFs).  Oracle: definitional cross join."""
+    from gdal_boots_spark.operators.dedup import embedding_neardup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_neardup(emb, threshold=0.4)
+    return out.select("a", "b", F.round("cos", 9).alias("cos"))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace AND BPE-ish regex segmentation
+    (brief checklist) — both pure codegen columns."""
+    from gdal_boots_spark.functions.text_fns import bpe_token_count, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.operators.ann import cosine_topk
 
@@ -845,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "token_stats": q_token_stats,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1016,6 +1043,23 @@ def oracle_sql() -> dict[str, str]:
               FROM inter i JOIN sizes na ON na.doc_id = i.a JOIN sizes nb ON nb.doc_id = i.b
             )
             SELECT a, b, jaccard FROM jac ORDER BY jaccard DESC, a, b LIMIT 20
+        """,
+        "embedding_neardup": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+            ), sc AS (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     list_dot_product(a.e, b.e)
+                       / (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))) AS cos
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+            )
+            SELECT a, b, ROUND(cos, 9) AS cos FROM sc WHERE cos >= 0.4
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS n_bpe_tokens
+            FROM documents
         """,
         "ann_cosine": """
             WITH q AS (

@@ -102,3 +102,20 @@ def lang_scores(col) -> Column:
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_n = F.when(cond, n).otherwise(best_n)
     return best_lang
+
+
+# BPE-ish sub-word segmentation: alpha runs | digit runs | non-space
+# symbol runs — the GPT-2-pretokenizer shape reduced to character
+# classes that mean the same thing in Java regex (Spark) and RE2
+# (DuckDB), so the count has an exact SQL oracle.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_tokens(col) -> Column:
+    """Sub-word-ish token array (brief: 'token counting (whitespace +
+    a BPE-ish regex)'); pure codegen regexp_extract_all."""
+    return F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col) -> Column:
+    return F.size(bpe_tokens(col))

@@ -172,3 +172,50 @@ def ngram_jaccard_topk(
         (F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard"),
     )
     return jac.orderBy(F.desc("jaccard"), "a", "b").limit(k)
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos) for every
+    a < b with cosine >= threshold — the semantic face of the dedup
+    family (brief: 'embedding-cosine near-dup').
+
+    Dimension-side exact baseline: the base matrix broadcasts (like
+    ann.cosine_topk) and each Arrow batch does one matmul, emitting
+    only pairs over the threshold with a < b (each unordered pair is
+    produced exactly once: by the batch holding its smaller id).  At
+    10^12 rows swap the candidate generator for ann.ann_lsh_topk /
+    ann.ivf_topk buckets and keep this exact filter as the verifier.
+    """
+    import numpy as np
+
+    from .ann import _collect_base
+
+    spark = emb.sparkSession
+    ids, mat, norms = _collect_base(emb, id_col, vec_col)
+    b = spark.sparkContext.broadcast((ids, mat, norms))
+    t = float(threshold)
+
+    def pairs(batches):
+        import pandas as pd
+
+        bids, bmat, bnorms = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(list(pdf["_vec"]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            qid = pdf["_qid"].to_numpy(np.int64)
+            cos = (q @ bmat.T) / (qn[:, None] * bnorms[None, :])
+            keep = (cos >= t) & (qid[:, None] < bids[None, :])
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                yield pd.DataFrame({"a": qid[ii], "b": bids[jj], "cos": cos[ii, jj]})
+
+    qd = emb.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_vec"))
+    return qd.mapInPandas(pairs, schema="a long, b long, cos double")

@@ -199,3 +199,12 @@ def test_media_resize_vs_oracle(spark):
 
     df = entrymod.queries()["media_resize"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["media_resize"], SF_ORACLE, float_cols=("value",), atol=0.0)
+
+
+@pytest.mark.parametrize("name", ["embedding_neardup", "token_stats"])
+def test_r2_pipeline_queries_vs_oracle(spark, name):
+    import __spark_entry__ as entrymod
+    from tests.conftest import compare_to_oracle
+
+    df = entrymod.queries()[name](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE)
