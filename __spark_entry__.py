@@ -744,6 +744,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_topk(docs, k=20)
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3: pigeonhole
+    byte-band bucket join (no-false-negative) + exact bit_count filter
+    — exact AND complete, so the oracle is the definitional cross
+    join over the same simhash formula."""
+    from gdal_boots_spark.operators.dedup import simhash_neardup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_neardup(docs, max_hamming=3, bits=32)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (dedup family, semantic face):
     exact broadcast-matrix pairs with cos >= 0.4 (the fixture
@@ -870,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "token_stats": q_token_stats,
         "ann_cosine": q_ann_cosine,
@@ -1028,6 +1040,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum([CASE WHEN votes[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
                              for j in generate_series(0, 31)]) AS BIGINT) AS simhash
             FROM v
+        """,
+        "simhash_neardup": f"""
+            WITH {text_ctes},
+            h AS (SELECT doc_id, list_transform(w, t -> {md5.format(x='t')}) AS hs FROM d),
+            v AS (
+              SELECT doc_id,
+                     [list_sum(list_transform(hs, x -> ((x >> j) & 1) * 2 - 1)) for j in generate_series(0, 31)] AS votes
+              FROM h
+            ),
+            s AS (
+              SELECT doc_id,
+                     CAST(list_sum([CASE WHEN votes[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+                               for j in generate_series(0, 31)]) AS BIGINT) AS simhash
+              FROM v
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+            FROM s x JOIN s y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
         """,
         "ngram_jaccard": f"""
             WITH {text_ctes}, {shingle_cte},

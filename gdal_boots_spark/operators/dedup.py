@@ -219,3 +219,58 @@ def embedding_neardup(
 
     qd = emb.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_vec"))
     return qd.mapInPandas(pairs, schema="a long, b long, cos double")
+
+
+def simhash_neardup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (a, b, hamming) for every a < b
+    with Hamming(simhash_a, simhash_b) <= max_hamming — EXACT and
+    complete by the pigeonhole principle: the 32-bit hash splits into
+    max_hamming + 1 byte-ish bands, and any pair within the Hamming
+    ball must agree on at least one whole band, so the band-bucket
+    equi-join is a no-false-negative candidate generator and the
+    bit_count filter is the exact predicate.
+
+    Shuffles: one on (band, band_bits) + the pair distinct.  All
+    codegen (bit ops), fully SQL-expressible -> exact driver oracle.
+    """
+    n_bands = max_hamming + 1
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into max_hamming + 1 bands")
+    band_w = bits // n_bands
+    sh = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * band_w)
+                        .bitwiseAND(F.lit((1 << band_w) - 1))
+                        .alias("band_bits"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.band_bits")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ["band", "band_bits"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -208,3 +208,25 @@ def test_r2_pipeline_queries_vs_oracle(spark, name):
 
     df = entrymod.queries()[name](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE)
+
+
+def test_simhash_neardup_vs_oracle_and_bruteforce(spark):
+    """Pigeonhole banding is complete: engine pairs == brute-force
+    Hamming ball over the same simhashes, and == the driver oracle."""
+    import __spark_entry__ as entrymod
+    from gdal_boots_spark.operators.dedup import simhash_neardup
+    from tests.conftest import compare_to_oracle
+
+    df = entrymod.queries()["simhash_neardup"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["simhash_neardup"], SF_ORACLE)
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/../sf0.001/documents.parquet")
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
+    exp = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got = {(r["a"], r["b"]) for r in simhash_neardup(docs, max_hamming=3).collect()}
+    assert got == exp
