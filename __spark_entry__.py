@@ -714,6 +714,22 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.mapInPandas(explode_px, schema="doc_id long, i long, j long, value double")
 
 
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup: minute partials -> hour ->
+    day, each level re-aggregating the previous level's partials (one
+    O(events) shuffle total).  Emitted at the DAY level; the oracle
+    aggregates raw events directly per day, so the comparison proves
+    the cascade is lossless."""
+    from gdal_boots_spark.operators.rollup import event_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = event_rollup(ev, ("1 minute", "1 hour", "1 day"))["1 day"]
+    return day.select(
+        "w_start", "event_type", "n",
+        F.round("v", 6).alias("v"), F.round("vmin", 9).alias("vmin"), F.round("vmax", 9).alias("vmax"),
+    )
+
+
 # --- training-data pipeline queries (dedup / similarity / text) ----------
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersects_join": q_intersects_join,
         "zonal_stats": q_zonal,
         "event_windows": q_event_windows,
+        "event_rollup": q_event_rollup,
         "crs_3857": q_crs_3857,
         "fast_warp": q_fast_warp,
         "write_window": q_write_window,
@@ -1395,6 +1412,12 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 6) AS v
+            FROM events GROUP BY 1, 2
+        """,
+        "event_rollup": """
+            SELECT time_bucket(INTERVAL '1 day', ts) AS w_start, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 6) AS v,
+                   ROUND(MIN(value), 9) AS vmin, ROUND(MAX(value), 9) AS vmax
             FROM events GROUP BY 1, 2
         """,
         "zonal_stats": f"""

@@ -268,3 +268,10 @@ def test_warp_pipeline_vs_oracle(spark):
     """Composed warp facade (mosaic -> window -> average resample)."""
     df = entrymod.queries()["warp_pipeline"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["warp_pipeline"], SF_ORACLE, float_cols=("value",), atol=0.0)
+
+
+def test_event_rollup_vs_oracle(spark):
+    """Cascading minute->hour->day rollup is lossless vs direct day agg."""
+    df = entrymod.queries()["event_rollup"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["event_rollup"], SF_ORACLE,
+                      float_cols=("v", "vmin", "vmax"), atol=1e-6)
