@@ -180,6 +180,38 @@ def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_histogram(tiles).select("value", "cnt")
 
 
+def q_rasterize_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_rasterize through the NO-COLLECT distributed cover path
+    (operators/cover.py) — same histogram oracle, different physical
+    plan (the polygon side never touches the driver)."""
+    from gdal_boots_spark.operators.rasterize import rasterize
+    from gdal_boots_spark.operators.stats import tile_histogram
+    from gdal_boots_spark.sources.tiles import RasterGrid
+
+    grid = RasterGrid(
+        raster_id="burnd", epsg=4326, transform=(0.01, 0.0, 26.0, 0.0, -0.01, 55.0),
+        width=300, height=200, tile_w=64, tile_h=64, bands=1, dtype="uint8",
+    )
+    tiles = rasterize(spark, rect_polygons_df(spark), grid, all_touched=False, dense=True, distributed=True)
+    return tile_histogram(tiles).select("value", "cnt")
+
+
+def q_zonal_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_zonal through the distributed cover path — same oracle."""
+    from gdal_boots_spark.operators.zonal import zonal_stats
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid(
+        raster_id="zsd", epsg=4326, transform=(0.01, 0.0, 26.0, 0.0, -0.01, 55.0),
+        width=300, height=200, tile_w=64, tile_h=64, bands=1, dtype="int32",
+    )
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    out = zonal_stats(spark, tiles, grid, rect_polygons_df(spark), distributed=True)
+    return out.select(
+        "poly_id", "n_pixels", "sum", "min", "max", F.round("mean", 9).alias("mean")
+    )
+
+
 def q_resample_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average-downsample (Resampling.average, gdal.py:196) of an
     analytic ramp raster, emitted as a pixel table.  Block means of the
@@ -872,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_counts": q_span_counts,
         "point_sampling": q_point_sampling,
         "rasterize_hist": q_rasterize,
+        "rasterize_hist_dist": q_rasterize_dist,
         "polygonize": q_polygonize,
         "geom_bounds": q_geom_bounds,
         "crop_hist": q_crop_hist,
@@ -882,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_join": q_bbox_join,
         "intersects_join": q_intersects_join,
         "zonal_stats": q_zonal,
+        "zonal_stats_dist": q_zonal_dist,
         "event_windows": q_event_windows,
         "event_rollup": q_event_rollup,
         "crs_3857": q_crs_3857,
@@ -1167,7 +1201,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {md5.format(x='norm')} AS fp, len(w) AS n_tokens FROM d
         """,
     }
-    return dedup_text_oracles | {
+    out = dedup_text_oracles | {
         "pip_join": f"""
             WITH {_GEO_CTE}
             SELECT g.doc_id AS doc_id, CAST(p.poly_id AS BIGINT) AS poly_id
@@ -1535,6 +1569,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    # the distributed-cover variants produce identical results through a
+    # different physical plan; they share the broadcast-path oracles
+    out["rasterize_hist_dist"] = out["rasterize_hist"]
+    out["zonal_stats_dist"] = out["zonal_stats"]
+    return out
 
 
 # --------------------------------------------------------------------------
