@@ -58,9 +58,13 @@ def zonal_stats(
 
             for pdf in batches:
                 out = []
+                cache: dict = {}  # decode each polygon once per batch
                 for _, r in pdf.iterrows():
-                    coords, ro = geom_arrays(r["geom"])
-                    rec = _pair_partial(r, coords, ro, g)
+                    pid = int(r["poly_id"])
+                    arrays = cache.get(pid)
+                    if arrays is None:
+                        arrays = cache[pid] = geom_arrays(r["geom"])
+                    rec = _pair_partial(r, arrays[0], arrays[1], g)
                     if rec is not None:
                         out.append(rec)
                 if out:
