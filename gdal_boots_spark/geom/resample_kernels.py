@@ -64,7 +64,11 @@ def bilinear(src: np.ndarray, sx0: float, sy0: float, scale_x: float, scale_y: f
     bot = s[y1[:, None], x0[None, :]] * (1 - wx)[None, :] + s[y1[:, None], x1[None, :]] * wx[None, :]
     out = top * (1 - wy)[:, None] + bot * wy[:, None]
     if np.issubdtype(src.dtype, np.integer):
-        return np.round(out).astype(src.dtype)
+        # conv kernels overshoot (negative lobes): clamp to the dtype
+        # range like GDAL instead of wrapping modulo 2^n (no-op for
+        # convex kernels such as bilinear)
+        info = np.iinfo(src.dtype)
+        return np.clip(np.round(out), info.min, info.max).astype(src.dtype)
     return out.astype(src.dtype)
 
 
@@ -134,7 +138,11 @@ def separable_conv(
     for t in range(Iy.shape[0]):
         out += tmp[Iy[t], :] * Wy[t][:, None]
     if np.issubdtype(src.dtype, np.integer):
-        return np.round(out).astype(src.dtype)
+        # conv kernels overshoot (negative lobes): clamp to the dtype
+        # range like GDAL instead of wrapping modulo 2^n (no-op for
+        # convex kernels such as bilinear)
+        info = np.iinfo(src.dtype)
+        return np.clip(np.round(out), info.min, info.max).astype(src.dtype)
     return out.astype(src.dtype)
 
 
@@ -160,21 +168,40 @@ def window_agg(
     by = _window_bounds(oy0, oh, scale_y, sy0, src.shape[0])
     b = src.astype(np.float64)
     cnt = np.maximum(by[1:] - by[:-1], 1)[:, None] * np.maximum(bx[1:] - bx[:-1], 1)[None, :]
+    # ufunc.reduceat returns arr[lo] (not the identity) for zero-width
+    # windows, and errors on an index == len: clip indices and mask the
+    # affected outputs to 0 afterwards.  Unreachable from resample()
+    # (buffers cover the footprint) but window_agg is a public kernel.
+    empty = ((by[1:] - by[:-1]) == 0)[:, None] | ((bx[1:] - bx[:-1]) == 0)[None, :]
 
     def reduce2(ufunc, arr):
-        rows = ufunc.reduceat(arr[by[0] : by[-1]], by[:-1] - by[0], axis=0)
-        return ufunc.reduceat(rows[:, bx[0] : bx[-1]], bx[:-1] - bx[0], axis=1)
+        sub = arr[by[0] : by[-1]]
+        if sub.shape[0] == 0:
+            return np.zeros((oh, ow), dtype=np.float64)
+        iy = np.minimum(by[:-1] - by[0], sub.shape[0] - 1)
+        rows = ufunc.reduceat(sub, iy, axis=0)
+        subc = rows[:, bx[0] : bx[-1]]
+        if subc.shape[1] == 0:
+            return np.zeros((oh, ow), dtype=np.float64)
+        ix = np.minimum(bx[:-1] - bx[0], subc.shape[1] - 1)
+        return ufunc.reduceat(subc, ix, axis=1)
+
+    def masked(o):
+        if empty.any():
+            o = o.copy()
+            o[empty] = 0.0
+        return o
 
     if kernel == "sum":
-        return reduce2(np.add, b)
+        return masked(reduce2(np.add, b))
     if kernel == "average":
-        return reduce2(np.add, b) / cnt
+        return masked(reduce2(np.add, b) / cnt)
     if kernel == "rms":
-        return np.sqrt(reduce2(np.add, b**2) / cnt)
+        return masked(np.sqrt(reduce2(np.add, b**2) / cnt))
     if kernel == "min":
-        out = reduce2(np.minimum, b)
+        out = masked(reduce2(np.minimum, b))
     elif kernel == "max":
-        out = reduce2(np.maximum, b)
+        out = masked(reduce2(np.maximum, b))
     elif kernel in ("median", "q1", "q3", "mode"):
         out = np.empty((oh, ow), dtype=np.float64)
         for i in range(oh):

@@ -61,7 +61,7 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     docs: DataFrame, n_hashes: int = 16, bands: int = 8, shingle_n: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH banding -> candidate near-dup pairs (a < b), distinct.
 
@@ -77,7 +77,9 @@ def lsh_candidate_pairs(
     doc_id, so the sample is stable under any parallelism).  A
     transitive-closure dedup downstream still links the cluster through
     the sampled members; the cap bounds pair output at
-    O(buckets * max_bucket^2).  ``None`` disables the cap.
+    O(buckets * max_bucket^2).  The default is ``None`` (complete
+    candidate generation, the exact-oracle contract) — the cap is
+    OPT-IN for boilerplate-heavy corpora at scale.
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, n_hashes, shingle_n, id_col, text_col).where(F.col("sig").isNotNull())

@@ -65,11 +65,21 @@ def _annulus_cells_expr(res: int, r_in: int, r_out: int):
         return base + ((jx % n + n) % n) * F.lit(2**29) + jy
 
     ds = F.sequence(F.lit(-r_out), F.lit(r_out))
+    # x wraps modulo n: when the block width 2*r_out+1 exceeds n, the
+    # same wrapped cell would appear at several dx (duplicating pairs
+    # within a block and re-emitting cells across rings).  Restrict dx
+    # to one n-wide window [-n//2, (n-1)//2] — each wrapped x-cell then
+    # maps to exactly one dx, so every cell id is produced at most once
+    # across all rounds.  Completeness holds: the window spans all n
+    # x-cells once r_out >= n//2, and y is clamped (not wrapped).
+    wide = 2 * r_out + 1 > n
 
     def row_of(dx):
         def one(dy):
             cheb = F.greatest(F.abs(dx), F.abs(dy))
             ok = (cheb > r_in) & (iy + dy >= 0) & (iy + dy < n)
+            if wide:
+                ok = ok & (dx >= -(n // 2)) & (dx <= (n - 1) // 2)
             return F.when(ok, cid(ix + dx, iy + dy))
 
         return F.transform(ds, one)

@@ -81,8 +81,14 @@ def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
     mangles it; get_json_object returns each sub-object's raw JSON text,
     which is exactly the engine's geojson/props_json column format)."""
     raw = spark.read.text(path)
+    # id-less (or non-numeric-id) features still need a usable key for
+    # downstream joins/keys and write_ndjson: fall back to a synthetic
+    # fid (unique, not stable across reads — same contract as OGR FIDs)
     return raw.select(
-        F.get_json_object("value", "$.id").cast("long").alias("fid"),
+        F.coalesce(
+            F.get_json_object("value", "$.id").cast("long"),
+            F.monotonically_increasing_id(),
+        ).alias("fid"),
         F.get_json_object("value", "$.geometry.type").alias("gtype"),
         F.get_json_object("value", "$.geometry").alias("geojson"),
         F.coalesce(F.get_json_object("value", "$.properties"), F.lit("{}")).alias("props_json"),

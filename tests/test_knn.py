@@ -66,12 +66,16 @@ def test_radius_join_bruteforce_random(spark):
     q = [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform([25.5, 52.5], [29.5, 55.5], (60, 2)))]
     base = spark.createDataFrame(b, "bid long, x double, y double")
     query = spark.createDataFrame(q, "qid long, x double, y double")
-    for radius in (0.02, 0.3, 1.5):
-        got = {(r["qid"], r["bid"]) for r in radius_join(query, base, radius).collect()}
-        exp = {
+    # sorted-LIST compare (not sets): a wrapped duplicate cell would
+    # emit the same (qid, bid) pair twice and a set compare masks it.
+    # radius 120 forces a coarse auto res (n <= 4) where the annulus
+    # block is wider than the wrap modulus — the regression case.
+    for radius in (0.02, 0.3, 1.5, 120.0):
+        got = sorted((r["qid"], r["bid"]) for r in radius_join(query, base, radius).collect())
+        exp = sorted(
             (qi, bi)
             for qi, qx, qy in q
             for bi, bx, by in b
             if np.sqrt((qx - bx) * (qx - bx) + (qy - by) * (qy - by)) <= radius
-        }
+        )
         assert got == exp, radius

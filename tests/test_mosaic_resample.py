@@ -225,3 +225,37 @@ def test_resample_conv_matches_dense(spark):
         got = tiles_to_array(out_tiles, og)
         exp = separable_conv(src, 0, 0, 16 / 5, 12 / 4, 4, 5, 0, 0, k)
         assert np.allclose(got, exp), k
+
+
+def test_conv_integer_clamp_no_wrap():
+    """Cubic/lanczos overshoot on sharp edges must CLAMP to the dtype
+    range (GDAL behavior), not wrap modulo 2^n (ADVICE r2)."""
+    from gdal_boots_spark.geom.resample_kernels import separable_conv
+
+    # hard step edge: 0 | 255 — negative lobes overshoot both sides
+    src = np.zeros((8, 8), dtype=np.uint8)
+    src[:, 4:] = 255
+    for k in ("cubic", "lanczos"):
+        out = separable_conv(src, 0, 0, 0.5, 0.5, 16, 16, 0, 0, k)
+        assert out.dtype == np.uint8
+        f = separable_conv(src.astype(np.float64), 0, 0, 0.5, 0.5, 16, 16, 0, 0, k)
+        assert f.min() < 0 and f.max() > 255  # the edge genuinely overshoots
+        exp = np.clip(np.round(f), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(out, exp)
+
+
+def test_window_agg_zero_width_windows():
+    """Zero-width clipped footprint windows yield 0, not a stray
+    arr[lo] value (ufunc.reduceat identity quirk; ADVICE r2)."""
+    from gdal_boots_spark.geom.resample_kernels import window_agg
+
+    src = np.arange(16, dtype=np.float64).reshape(4, 4) + 1.0
+    # output grid extends past the source: ox0/oy0 shifted so trailing
+    # output pixels' footprints clip to empty windows
+    for k in ("sum", "average", "min", "max", "rms", "median", "mode"):
+        out = window_agg(src, 0, 0, 2.0, 2.0, 4, 4, 0, 0, k)
+        assert out.shape == (4, 4)
+        # rows/cols 2..3 cover source rows/cols 4..8 -> clipped empty
+        assert np.all(out[2:, :] == 0), k
+        assert np.all(out[:, 2:] == 0), k
+        assert np.all(out[:2, :2] != 0), k
