@@ -837,11 +837,10 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH ANN (the scale path of similarity search).  The random
-    hyperplanes are not SQL-expressible, so there is NO oracle_sql entry
-    — the driver records the weaker rows-only check; exactness-adjacent
-    quality (recall >= 0.7 vs brute force) is pytest-asserted
-    (tests/test_pipeline_ops.py)."""
+    """Sign-LSH ANN (the scale path of similarity search).  The seeded
+    integer hyperplanes are emitted as VALUES literals in the EXACT
+    DuckDB oracle (_ann_lsh_oracle_sql); recall >= 0.7 vs brute force
+    is additionally pytest-asserted (tests/test_pipeline_ops.py)."""
     from gdal_boots_spark.operators.ann import ann_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -851,10 +850,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF similarity search (deterministic spherical coarse quantizer;
+    """IVF similarity search (deterministic integer coarse quantizer;
     the brief's 'IVF or LSH-bucketed variant' — engine ships both).
-    Centroids are not SQL-expressible, so NO oracle_sql entry: the
-    driver records rows-only; recall >= 0.7 vs brute force is
+    Centroids are emitted as VALUES literals in the EXACT DuckDB oracle
+    (_ann_ivf_oracle_sql); recall >= 0.7 vs brute force is additionally
     pytest-asserted (tests/test_pipeline_ops.py)."""
     from gdal_boots_spark.operators.ann import ivf_topk
 
@@ -1032,6 +1031,103 @@ def _resample_cubic_oracle_sql() -> str:
                      + (CASE WHEN col % 2 = 1 THEN {axis_sum('x0', 0.25, 31)}
                              ELSE {axis_sum('x0', 0.75, 31)} END) + 1.0, 6) AS value
         FROM b
+    """
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """Exact oracle for q_ann_lsh: the seeded INTEGER hyperplanes are
+    emitted as VALUES list literals; sign-bucketing, the (table, bucket)
+    candidate join, and the cosine rerank are plain SQL.  Integer
+    weights times float32-exact-in-double embeddings make every dot
+    product exactly representable in float64 regardless of summation
+    order (operators/ann.py module docstring), so the bucket sign test
+    cannot disagree between NumPy and DuckDB."""
+    from gdal_boots_spark.operators.ann import _plane_matrix
+
+    bits, n_tables, dim, k = 4, 8, 64, 5
+    rows = []
+    for t in range(n_tables):
+        P = _plane_matrix(dim, bits, t)  # (dim, bits), integer-valued
+        for bit in range(bits):
+            w = ", ".join(str(int(x)) for x in P[:, bit])
+            rows.append(f"({t}, {bit}, [{w}])")
+    values = ",\n          ".join(rows)
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+        ), planes(tbl, bit, w) AS (
+          VALUES {values}
+        ), d AS (
+          SELECT v.vec_id, p.tbl, p.bit,
+                 list_dot_product(v.e, list_transform(p.w, x -> CAST(x AS DOUBLE))) AS dp
+          FROM v CROSS JOIN planes p
+        ), bkt AS (
+          SELECT vec_id, tbl,
+                 SUM(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS bucket
+          FROM d GROUP BY vec_id, tbl
+        ), cand AS (
+          SELECT DISTINCT q.vec_id AS qid, b.vec_id AS bid
+          FROM bkt q JOIN bkt b ON q.tbl = b.tbl AND q.bucket = b.bucket
+          WHERE q.vec_id % 50 = 0
+        ), sc AS (
+          SELECT c.qid, c.bid,
+                 list_dot_product(qv.e, bv.e)
+                   / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(bv.e, bv.e))) AS cos
+          FROM cand c JOIN v qv ON qv.vec_id = c.qid JOIN v bv ON bv.vec_id = c.bid
+        ), r AS (
+          SELECT qid, bid,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, bid) AS BIGINT) AS rnk
+          FROM sc
+        )
+        SELECT qid, bid, rnk FROM r WHERE rnk <= {k}
+    """
+
+
+def _ann_ivf_oracle_sql() -> str:
+    """Exact oracle for q_ann_ivf: seeded INTEGER centroids as VALUES
+    literals; cosine cell assignment (base: nearest cell, query: top
+    n_probe cells, ties by cell index — ROW_NUMBER mirrors the stable
+    argsort), one equi-join on cell, cosine rerank, window top-k."""
+    from gdal_boots_spark.operators.ann import _ivf_centroids
+
+    n_cells, n_probe, dim, k, seed = 16, 8, 64, 5, 7
+    C = _ivf_centroids(dim, n_cells, seed)
+    rows = []
+    for c in range(n_cells):
+        w = ", ".join(str(int(x)) for x in C[c])
+        rows.append(f"({c}, [{w}])")
+    values = ",\n          ".join(rows)
+    cd = "list_transform(ct.c, x -> CAST(x AS DOUBLE))"
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+        ), cents(cell, c) AS (
+          VALUES {values}
+        ), sims AS (
+          SELECT v.vec_id, ct.cell,
+                 list_dot_product(v.e, {cd})
+                   / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product({cd}, {cd}))) AS sim
+          FROM v CROSS JOIN cents ct
+        ), ranked AS (
+          SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+          FROM sims
+        ), bcell AS (
+          SELECT vec_id AS bid, cell FROM ranked WHERE rn = 1
+        ), qcell AS (
+          SELECT vec_id AS qid, cell FROM ranked WHERE rn <= {n_probe} AND vec_id % 50 = 0
+        ), sc AS (
+          SELECT q.qid, b.bid,
+                 list_dot_product(qv.e, bv.e)
+                   / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(bv.e, bv.e))) AS cos
+          FROM qcell q JOIN bcell b ON q.cell = b.cell
+          JOIN v qv ON qv.vec_id = q.qid JOIN v bv ON bv.vec_id = b.bid
+        ), r AS (
+          SELECT qid, bid,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, bid) AS BIGINT) AS rnk
+          FROM sc
+        )
+        SELECT qid, bid, rnk FROM r WHERE rnk <= {k}
     """
 
 
@@ -1367,6 +1463,8 @@ def oracle_sql() -> dict[str, str]:
             FROM win GROUP BY 1, 2
         """,
         "resample_cubic": _resample_cubic_oracle_sql(),
+        "ann_lsh": _ann_lsh_oracle_sql(),
+        "ann_ivf": _ann_ivf_oracle_sql(),
         "tile_checksum": _tile_checksum_oracle_sql(),
         "media_features": """
             WITH m AS (

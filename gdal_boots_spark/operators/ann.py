@@ -9,13 +9,22 @@ bucketed variants are provided):
   and broadcast; each Arrow batch of queries does ONE NumPy matmul
   against it.  Exact, deterministic (score desc, bid asc).
 * ``ann_lsh_topk`` — the scale path: random-hyperplane LSH
-  (deterministic seeded planes) buckets both sides, exact rerank within
-  bucket union over ``n_tables`` tables.  Approximate; recall grows
-  with tables/bits tradeoff.  Rows-only correctness check (planes are
-  not SQL-expressible), with a recall test against the brute-force path.
-* ``ivf_topk`` — inverted-file variant: deterministic spherical coarse
-  quantizer, base partitioned by nearest cell, queries probe n_probe
-  cells; one equi-join, zero dedup shuffles.  Recall test vs exact.
+  (deterministic seeded INTEGER planes — compact SQL literals, so the
+  driver oracle reproduces the buckets exactly) buckets both sides
+  ids-only, exact rerank after re-attaching vectors once.  Approximate;
+  recall grows with tables/bits tradeoff; recall test vs brute force.
+* ``ivf_topk`` — inverted-file variant: deterministic seeded INTEGER
+  coarse quantizer, base partitioned by nearest cell, queries probe
+  n_probe cells; one equi-join, zero dedup shuffles.  Exact driver
+  oracle (centroids as SQL VALUES) + recall test vs exact.
+
+Why integer planes/centroids: ranking/sign decisions must agree between
+NumPy (pairwise/BLAS summation) and DuckDB (sequential SUM).  With
+integer weights |w|<=1000 and float32-exact-in-double embeddings, each
+product is exactly representable and the partial sums stay within the
+53-bit mantissa, so dot products are bit-identical in ANY summation
+order — the bucket sign test and cell argmax cannot disagree across
+engines.  (Gaussian doubles would round per-product and per-add.)
 """
 
 from __future__ import annotations
@@ -84,8 +93,11 @@ def cosine_topk(
 
 
 def _plane_matrix(dim: int, bits: int, table: int) -> np.ndarray:
+    """Seeded random hyperplanes with INTEGER weights in [-1000, 1000]
+    (uniform discrete — still isotropic enough for sign-LSH, and exactly
+    expressible as DuckDB VALUES literals for the driver oracle)."""
     rng = np.random.default_rng(1_000_003 * (table + 1) + dim)
-    return rng.standard_normal((dim, bits))
+    return rng.integers(-1000, 1001, size=(dim, bits)).astype(np.float64)
 
 
 def ann_lsh_topk(
@@ -99,9 +111,20 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: sign-LSH bucket join + exact rerank.
 
-    Physical shape at scale: both sides get (table, bucket) keys from a
-    pandas UDF (one matmul per batch), hash-join on the key, exact
-    cosine only within matching buckets, window top-k per query.
+    Physical shape at scale — embedding payloads NEVER ride a shuffle
+    multiplied by ``n_tables`` (round-2 verdict fix):
+
+    1. both sides bucketize IDS-ONLY: a pandas UDF (one matmul per
+       Arrow batch) emits narrow (id, table, bucket) rows;
+    2. hash-join on (table, bucket) -> (qid, bid) candidate pairs,
+       dropDuplicates on the narrow pair rows (no payloads at all);
+    3. vectors are re-attached ONCE: base vectors via a single
+       equi-join on bid (each base vector crosses the wire once, not
+       ``n_tables`` times), query vectors via a broadcast join (the
+       query side is the small side of an ANN lookup; flip roles or
+       shard if it is not);
+    4. exact cosine map-side in the same stage as the join output,
+       then the narrow (qid, bid, cos) window top-k.
     """
     dim = len(base.select(vec_col).first()[0])
     planes = [_plane_matrix(dim, bits, t) for t in range(n_tables)]
@@ -122,7 +145,6 @@ def ann_lsh_topk(
                         pd.DataFrame(
                             {
                                 qid_name: pdf[qid_name].to_numpy(),
-                                "_vec": list(pdf["_vec"]),
                                 "table": np.full(len(pdf), t, dtype=np.int32),
                                 "bucket": bucket,
                             }
@@ -132,14 +154,18 @@ def ann_lsh_topk(
 
         return fn
 
-    vec_spark_type = dict(base.dtypes)[vec_col]
     qd = query.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_vec"))
     bd = base.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("_vec"))
-    qb = qd.mapInPandas(bucketize("qid"), schema=f"qid long, _vec {vec_spark_type}, table int, bucket long")
-    bb = bd.mapInPandas(bucketize("bid"), schema=f"bid long, _vec {vec_spark_type}, table int, bucket long")
+    qb = qd.mapInPandas(bucketize("qid"), schema="qid long, table int, bucket long")
+    bb = bd.mapInPandas(bucketize("bid"), schema="bid long, table int, bucket long")
 
-    cand = qb.join(bb.withColumnRenamed("_vec", "_bvec"), ["table", "bucket"]).select(
-        "qid", "_vec", "bid", "_bvec"
+    pairs = (
+        qb.join(bb, ["table", "bucket"])
+        .select("qid", "bid")
+        .dropDuplicates(["qid", "bid"])
+    )
+    cand = pairs.join(bd.withColumnRenamed("_vec", "_bvec"), "bid").join(
+        F.broadcast(qd), "qid"
     )
 
     def rerank(batches):
@@ -154,17 +180,10 @@ def ann_lsh_topk(
             bn = np.linalg.norm(bv, axis=1)
             qn[qn == 0] = 1.0
             bn[bn == 0] = 1.0
-            cos = (q * bv).sum(axis=1) / qn / bn
+            cos = (q * bv).sum(axis=1) / (qn * bn)
             yield pd.DataFrame({"qid": pdf["qid"].to_numpy(), "bid": pdf["bid"].to_numpy(), "cos": cos})
 
-    # score BEFORE the dedup exchange: a pair found in several tables is
-    # re-scored map-side (cheap dot product) so only narrow
-    # (qid, bid, cos) rows — never the embedding payloads — cross the
-    # dropDuplicates shuffle.  cos is bitwise-identical across tables
-    # (same pair, same arithmetic), so dedup keeps one arbitrary copy.
-    scored = cand.mapInPandas(rerank, schema="qid long, bid long, cos double").dropDuplicates(
-        ["qid", "bid"]
-    )
+    scored = cand.mapInPandas(rerank, schema="qid long, bid long, cos double")
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "bid")
@@ -172,9 +191,10 @@ def ann_lsh_topk(
 
 
 def _ivf_centroids(dim: int, n_cells: int, seed: int) -> np.ndarray:
+    """Seeded INTEGER centroids in [-1000, 1000] (SQL-literal-exact; the
+    assignment normalizes by |c| so the scale is irrelevant)."""
     rng = np.random.default_rng(seed * 1_000_003 + dim)
-    c = rng.standard_normal((n_cells, dim))
-    return c / np.linalg.norm(c, axis=1, keepdims=True)
+    return rng.integers(-1000, 1001, size=(n_cells, dim)).astype(np.float64)
 
 
 def ivf_topk(
@@ -191,9 +211,9 @@ def ivf_topk(
     similarity search alongside sign-LSH (build brief: "IVF or
     LSH-bucketed variant").
 
-    Coarse quantizer: deterministic seeded spherical centroids
-    (data-independent, so both sides bucketize map-side with ONE
-    matmul per Arrow batch against the broadcast centroid matrix).
+    Coarse quantizer: deterministic seeded integer centroids, cosine
+    assignment (data-independent, so both sides bucketize map-side with
+    ONE matmul per Arrow batch against the broadcast centroid matrix).
     Base vectors land in exactly their nearest cell; queries probe
     their ``n_probe`` nearest cells.  Candidates come from the
     (cell) hash join, scored map-side, top-k per query by window.
@@ -205,25 +225,30 @@ def ivf_topk(
     """
     dim = len(base.select(vec_col).first()[0])
     C = _ivf_centroids(dim, n_cells, seed)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
     spark = base.sparkSession
-    bc = spark.sparkContext.broadcast(C)
+    bc = spark.sparkContext.broadcast((C, cn))
 
     def assign(id_name, probe):
         def fn(batches):
             import pandas as pd
 
-            cm = bc.value
+            cm, cnorm = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 v = np.array(list(pdf["_vec"]), dtype=np.float64)
                 n = np.linalg.norm(v, axis=1)
                 n[n == 0] = 1.0
-                sims = (v / n[:, None]) @ cm.T
+                # sim = dot / (|v| * |c|), same association as the
+                # DuckDB oracle; ties between cells break by cell index
+                # (argmax takes the first max; stable argsort likewise)
+                sims = (v @ cm.T) / (n[:, None] * cnorm[None, :])
                 if probe == 1:
                     cells = np.argmax(sims, axis=1)[:, None]
                 else:
-                    cells = np.argsort(-sims, axis=1)[:, :probe]
+                    cells = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
                 nrep = cells.shape[1]
                 yield pd.DataFrame(
                     {
@@ -254,7 +279,7 @@ def ivf_topk(
             bn = np.linalg.norm(bv, axis=1)
             qn[qn == 0] = 1.0
             bn[bn == 0] = 1.0
-            cos = (q * bv).sum(axis=1) / qn / bn
+            cos = (q * bv).sum(axis=1) / (qn * bn)
             yield pd.DataFrame({"qid": pdf["qid"].to_numpy(), "bid": pdf["bid"].to_numpy(), "cos": cos})
 
     scored = cand.mapInPandas(rerank, schema="qid long, bid long, cos double")

@@ -121,8 +121,10 @@ def test_lsh_hot_bucket_cap(spark):
 
 
 def test_ann_dedup_exchange_carries_no_vectors(spark):
-    """The (qid,bid) dedup must happen AFTER map-side rerank so the
-    embedding payloads never cross that shuffle (VERDICT r1 item 10)."""
+    """Candidate generation is IDS-ONLY (VERDICT r2 item 4): the
+    bucketize maps emit narrow (id, table, bucket) rows, the
+    (table, bucket) join and the (qid,bid) dedup therefore never see
+    embedding payloads — vectors are re-attached exactly once above."""
     import numpy as np
 
     from gdal_boots_spark.operators.ann import ann_lsh_topk
@@ -133,12 +135,23 @@ def test_ann_dedup_exchange_carries_no_vectors(spark):
     out = ann_lsh_topk(emb.where(F.col("vec_id") < 10), emb, k=3, bits=3, n_tables=4)
     lp = out._jdf.queryExecution().analyzed().toString()
     didx = lp.index("Deduplicate")
-    child_line = lp[didx:].split("\n")[1]
-    # the dedup input is the rerank map node: its OUTPUT attribute list
-    # (the [...] after the function) must be the narrow (qid, bid, cos)
-    assert "MapInPandas" in child_line
-    out_attrs = child_line.rsplit(", [", 1)[1].split("]", 1)[0]
-    assert "_bvec" not in out_attrs and "_vec" not in out_attrs and "cos#" in out_attrs
+    dedup_line, child_line = lp[didx:].split("\n")[:2]
+    # the dedup keys and its direct child are the narrow id pair
+    assert "_vec" not in dedup_line and "_bvec" not in dedup_line
+    assert "_vec" not in child_line and "_bvec" not in child_line
+    # every map node BELOW the dedup is a bucketizer whose OUTPUT list
+    # (the [...] after the function) must be payload-free — the vector
+    # enters the Python bucketizer but never leaves it
+    n_maps = 0
+    for line in lp[didx:].split("\n"):
+        if "MapInPandas" in line:
+            n_maps += 1
+            out_attrs = line.rsplit(", [", 1)[1].split("]", 1)[0]
+            assert "_vec" not in out_attrs and "_bvec" not in out_attrs
+            assert "bucket#" in out_attrs
+    assert n_maps == 2  # query-side + base-side bucketize
+    # the rerank map sits ABOVE the dedup (vectors attached once)
+    assert "MapInPandas" in lp[:didx]
     assert out.count() > 0
 
 
@@ -230,3 +243,23 @@ def test_simhash_neardup_vs_oracle_and_bruteforce(spark):
     }
     got = {(r["a"], r["b"]) for r in simhash_neardup(docs, max_hamming=3).collect()}
     assert got == exp
+
+
+def test_ann_lsh_vs_oracle(spark):
+    """Sign-LSH driver query == the exact DuckDB oracle (seeded integer
+    hyperplanes as VALUES literals; VERDICT r2 item 1)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE, compare_to_oracle
+
+    df = entrymod.queries()["ann_lsh"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["ann_lsh"], SF_ORACLE)
+
+
+def test_ann_ivf_vs_oracle(spark):
+    """IVF driver query == the exact DuckDB oracle (seeded integer
+    centroids as VALUES literals; VERDICT r2 item 1)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE, compare_to_oracle
+
+    df = entrymod.queries()["ann_ivf"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["ann_ivf"], SF_ORACLE)
