@@ -40,28 +40,31 @@ CONV_KERNELS = {"cubic": 2, "cubicspline": 2, "lanczos": 3}
 def nearest(src: np.ndarray, sx0: float, sy0: float, scale_x: float, scale_y: float, oh: int, ow: int, ox0: int, oy0: int):
     """Gather src (local buffer with origin at global src pixel
     (sx0, sy0)) into an (oh, ow) dst block whose global dst origin is
-    (ox0, oy0)."""
+    (ox0, oy0).  Accepts leading batch dims: (..., h, w) -> (..., oh, ow)
+    (media stacks resample a whole same-shape group in one call)."""
     js = np.arange(ox0, ox0 + ow, dtype=np.float64)
     is_ = np.arange(oy0, oy0 + oh, dtype=np.float64)
-    cx = np.clip(np.floor((js + 0.5) * scale_x) - sx0, 0, src.shape[1] - 1).astype(np.int64)
-    cy = np.clip(np.floor((is_ + 0.5) * scale_y) - sy0, 0, src.shape[0] - 1).astype(np.int64)
-    return src[cy[:, None], cx[None, :]]
+    cx = np.clip(np.floor((js + 0.5) * scale_x) - sx0, 0, src.shape[-1] - 1).astype(np.int64)
+    cy = np.clip(np.floor((is_ + 0.5) * scale_y) - sy0, 0, src.shape[-2] - 1).astype(np.int64)
+    return src[..., cy[:, None], cx[None, :]]
 
 
 def bilinear(src: np.ndarray, sx0: float, sy0: float, scale_x: float, scale_y: float, oh: int, ow: int, ox0: int, oy0: int):
+    """4-neighbour weighted, edge-clamped; accepts leading batch dims
+    like ``nearest``."""
     js = np.arange(ox0, ox0 + ow, dtype=np.float64)
     is_ = np.arange(oy0, oy0 + oh, dtype=np.float64)
     fx = (js + 0.5) * scale_x - 0.5 - sx0
     fy = (is_ + 0.5) * scale_y - 0.5 - sy0
-    x0 = np.clip(np.floor(fx), 0, src.shape[1] - 1).astype(np.int64)
-    y0 = np.clip(np.floor(fy), 0, src.shape[0] - 1).astype(np.int64)
-    x1 = np.clip(x0 + 1, 0, src.shape[1] - 1)
-    y1 = np.clip(y0 + 1, 0, src.shape[0] - 1)
+    x0 = np.clip(np.floor(fx), 0, src.shape[-1] - 1).astype(np.int64)
+    y0 = np.clip(np.floor(fy), 0, src.shape[-2] - 1).astype(np.int64)
+    x1 = np.clip(x0 + 1, 0, src.shape[-1] - 1)
+    y1 = np.clip(y0 + 1, 0, src.shape[-2] - 1)
     wx = np.clip(fx - x0, 0.0, 1.0)
     wy = np.clip(fy - y0, 0.0, 1.0)
     s = src.astype(np.float64)
-    top = s[y0[:, None], x0[None, :]] * (1 - wx)[None, :] + s[y0[:, None], x1[None, :]] * wx[None, :]
-    bot = s[y1[:, None], x0[None, :]] * (1 - wx)[None, :] + s[y1[:, None], x1[None, :]] * wx[None, :]
+    top = s[..., y0[:, None], x0[None, :]] * (1 - wx)[None, :] + s[..., y0[:, None], x1[None, :]] * wx[None, :]
+    bot = s[..., y1[:, None], x0[None, :]] * (1 - wx)[None, :] + s[..., y1[:, None], x1[None, :]] * wx[None, :]
     out = top * (1 - wy)[:, None] + bot * wy[:, None]
     if np.issubdtype(src.dtype, np.integer):
         # conv kernels overshoot (negative lobes): clamp to the dtype
@@ -126,17 +129,18 @@ def separable_conv(
     oh: int, ow: int, ox0: int, oy0: int, kernel: str,
 ):
     """Windowed separable convolution (cubic/cubicspline/lanczos) at any
-    scale: columns first (one gather+weighted-sum per tap), then rows."""
-    Ix, Wx = _axis_taps(ox0, ow, scale_x, sx0, src.shape[1], kernel)
-    Iy, Wy = _axis_taps(oy0, oh, scale_y, sy0, src.shape[0], kernel)
+    scale: columns first (one gather+weighted-sum per tap), then rows.
+    Accepts leading batch dims: (..., h, w) -> (..., oh, ow)."""
+    Ix, Wx = _axis_taps(ox0, ow, scale_x, sx0, src.shape[-1], kernel)
+    Iy, Wy = _axis_taps(oy0, oh, scale_y, sy0, src.shape[-2], kernel)
     s = src.astype(np.float64)
-    # tmp[y, j] = sum_t Wx[t, j] * src[y, Ix[t, j]]
-    tmp = np.zeros((src.shape[0], ow), dtype=np.float64)
+    # tmp[..., y, j] = sum_t Wx[t, j] * src[..., y, Ix[t, j]]
+    tmp = np.zeros(src.shape[:-1] + (ow,), dtype=np.float64)
     for t in range(Ix.shape[0]):
-        tmp += s[:, Ix[t]] * Wx[t][None, :]
-    out = np.zeros((oh, ow), dtype=np.float64)
+        tmp += s[..., Ix[t]] * Wx[t][None, :]
+    out = np.zeros(src.shape[:-2] + (oh, ow), dtype=np.float64)
     for t in range(Iy.shape[0]):
-        out += tmp[Iy[t], :] * Wy[t][:, None]
+        out += tmp[..., Iy[t], :] * Wy[t][:, None]
     if np.issubdtype(src.dtype, np.integer):
         # conv kernels overshoot (negative lobes): clamp to the dtype
         # range like GDAL instead of wrapping modulo 2^n (no-op for

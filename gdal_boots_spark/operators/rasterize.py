@@ -92,6 +92,7 @@ def rasterize(
             if not pdfs:
                 return
             allc = pd.concat(pdfs, ignore_index=True)
+            cache: dict = {}  # decode each polygon once per partition (zonal's pattern, commit 3874102)
             rows = []
             for ti, grp in allc.groupby("tile_index"):
                 ti = int(ti)
@@ -99,8 +100,12 @@ def rasterize(
                 h, w = g.tile_shape(tx, ty)
                 t = g.tile_transform(tx, ty)
                 out = np.zeros((h, w), dtype=np.uint8)
-                for _, r in grp.sort_values("poly_id").iterrows():
-                    coords, ro = geom_arrays(r["geom"])
+                grp = grp.sort_values("poly_id")
+                for pid, gg in zip(grp["poly_id"].to_numpy(), grp["geom"]):
+                    arrays = cache.get(int(pid))
+                    if arrays is None:
+                        arrays = cache[int(pid)] = geom_arrays(gg)
+                    coords, ro = arrays
                     rasterize_mask(coords, ro, t, h, w, all_touched=at, out=out, burn=bv)
                 if out.any():
                     rows.append(tile_row(ti, out))
