@@ -111,6 +111,35 @@ def is_valid(tiles: DataFrame) -> DataFrame:
     )
 
 
+# --- band descriptions (gdal.py:278-283) -----------------------------------
+
+def set_band_description(grid: RasterGrid, idx: int, description: str) -> RasterGrid:
+    """gdal.py:278-281 parity: store the description in the dataset
+    metadata (a falsy description is a no-op, exactly the reference's
+    guard).  Dataset-level state lives on the grid, not the tile rows —
+    a 10^9-tile table must not be rewritten to label a band."""
+    from dataclasses import replace
+
+    if not description:
+        return grid
+    meta = dict(grid.meta or {})
+    descs = list(meta.get("band_descriptions") or [])
+    if len(descs) < grid.bands:
+        descs += [""] * (grid.bands - len(descs))
+    descs[idx] = description
+    meta["band_descriptions"] = descs
+    return replace(grid, meta=meta)
+
+
+def get_band_description(grid: RasterGrid, idx: int) -> str:
+    """gdal.py:282-283 parity (GDAL GetDescription returns '' when
+    unset).  as_type/resample/warp copy descriptions for free: they
+    `replace()` the grid, which preserves meta — the same guarantee
+    the reference implements by hand in as_type (gdal.py:289-291)."""
+    descs = (grid.meta or {}).get("band_descriptions") or []
+    return descs[idx] if 0 <= idx < len(descs) else ""
+
+
 # --- metadata codec (gdal.py:230-239) -------------------------------------
 
 def meta_encode(meta: dict) -> dict[str, str]:

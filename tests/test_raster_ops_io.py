@@ -233,3 +233,81 @@ def test_vector_dataset_multilayer_roundtrip(spark, tmp_path):
     t = vds.to_epsg(4326, 3857)
     assert t.layer_names == vds.layer_names
     assert '"type":"Point"' in t.first().first()["geojson"]
+
+
+def test_band_descriptions_parity():
+    """gdal.py:278-283: set/get band descriptions; falsy set is a no-op;
+    unset bands read '' (GDAL GetDescription default); grid-replace ops
+    (as_type, resample) carry descriptions for free."""
+    from dataclasses import replace
+
+    from gdal_boots_spark.operators.raster_ops import get_band_description, set_band_description
+
+    grid = RasterGrid("bd", 4326, (1.0, 0.0, 0.0, 0.0, -1.0, 8.0), 8, 8, 8, 8, 3, "int32")
+    grid = set_band_description(grid, 0, "red")
+    grid = set_band_description(grid, 2, "nir")
+    grid = set_band_description(grid, 1, "")  # falsy -> no-op (gdal.py:279)
+    assert get_band_description(grid, 0) == "red"
+    assert get_band_description(grid, 1) == ""
+    assert get_band_description(grid, 2) == "nir"
+    # as_type semantics: replace(grid, dtype=...) preserves meta — the
+    # reference copies descriptions by hand (gdal.py:289-291)
+    cast = replace(grid, dtype="float64")
+    assert get_band_description(cast, 0) == "red" and get_band_description(cast, 2) == "nir"
+    # the 'json:' codec round-trips the list through the meta column
+    from gdal_boots_spark.operators.raster_ops import meta_decode, meta_encode
+
+    assert meta_decode(meta_encode(grid.meta))["band_descriptions"] == ["red", "", "nir"]
+
+
+def test_int8_dtype_supported(spark):
+    """DTYPE_TO_GDAL gains int8 on GDAL>=3.7 (gdal.py:58-71) — the
+    engine supports it unconditionally: generate -> cast -> checksum
+    round-trips, negative values preserved."""
+    from gdal_boots_spark.operators.raster_ops import as_type, is_valid
+
+    grid = RasterGrid("i8", 4326, (1.0, 0.0, 0.0, 0.0, -1.0, 16.0), 16, 16, 8, 8, 1, "int8")
+
+    def fill(b, ty, tx, h, w, g):
+        return (np.arange(h * w, dtype=np.int64).reshape(h, w) % 256 - 128).astype(np.int8)
+
+    tiles = generate_tiles(spark, grid, fill)
+    arr = tiles_to_array(tiles, grid)
+    assert arr.dtype == np.int8 and arr.min() < 0
+    ok = {r["tile_key"]: r["ok"] for r in is_valid(tiles).collect()}
+    assert all(ok.values()) and len(ok) == 4
+    up, ug = as_type(tiles, grid, "int16")
+    assert tiles_to_array(up, ug).dtype == np.int16
+    np.testing.assert_array_equal(tiles_to_array(up, ug), arr.astype(np.int16))
+    # full reference dtype matrix (incl. the GDAL>=3.7 int8 row)
+    for dt in ("uint8", "uint16", "uint32", "int8", "int16", "int32", "float32", "float64"):
+        c, cg = as_type(tiles, grid, dt)
+        assert tiles_to_array(c, cg).dtype == np.dtype(dt)
+
+
+def test_warp_resolution_ratio_golden(spark):
+    """Reference golden test_raster.py:299-302: warp(resolution=(100,100))
+    on a 10m raster -> transform (a, -e) == (100, 100) and shape ==
+    round(shape / 10) — here through the engine's warp facade."""
+    from gdal_boots_spark.operators.warp_facade import warp
+
+    grid = RasterGrid("wr", 32636, (10.0, 0.0, 500000.0, 0.0, -10.0, 6000000.0), 64, 48, 16, 16, 1, "int32")
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    out_tiles, og = warp(spark, tiles, grid, resolution=(100, 100), resampling="average")
+    assert (og.transform[0], -og.transform[4]) == (100.0, 100.0)
+    assert (og.height, og.width) == (round(48 / 10), round(64 / 10))
+    # pixel values follow the documented footprint rule (window_agg:
+    # source CENTERS in [j*scale, (j+1)*scale) -> index range
+    # [ceil(j*s - 0.5), ceil((j+1)*s - 0.5))) at the extent-preserving
+    # scales 64/6 x 48/5 — computed here independently from the ramp
+    arr = tiles_to_array(out_tiles, og)
+    W = 64
+    src = np.add.outer(np.arange(48) * W, np.arange(64)).astype(np.float64) + 1
+    sx, sy = 64 / 6, 48 / 5
+    bx = np.clip(np.ceil(np.arange(7) * sx - 0.5).astype(int), 0, 64)
+    by = np.clip(np.ceil(np.arange(6) * sy - 0.5).astype(int), 0, 48)
+    exp = np.empty((5, 6), np.float64)
+    for i in range(5):
+        for j in range(6):
+            exp[i, j] = src[by[i] : by[i + 1], bx[j] : bx[j + 1]].mean()
+    np.testing.assert_allclose(arr.astype(np.float64), exp, rtol=1e-12)
