@@ -109,6 +109,31 @@ def main():
         cap(ivf_topk(emb.where(F.col("vec_id") % 50 == 0), emb, k=5, n_cells=16, n_probe=8)),
     ))
 
+    from gdal_boots_spark.operators.ann import ann_lsh_topk
+
+    sections.append((
+        "Sign-LSH similarity search (ids-only bucket join)",
+        "Bucketize maps emit NARROW (id, table, bucket) rows — no `_vec` "
+        "attribute appears in the bucket-join exchanges or the (qid, bid) "
+        "dedup; base vectors re-attach via ONE equi-join on bid and query "
+        "vectors broadcast, so embedding payloads cross the wire exactly "
+        "once instead of riding the bucket shuffle x n_tables.",
+        cap(ann_lsh_topk(emb.where(F.col("vec_id") % 50 == 0), emb, k=5, bits=4, n_tables=8)),
+    ))
+
+    from gdal_boots_spark.operators.spatial_join import pip_join_docs_any
+    from gdal_boots_spark.sources.synth import interleaved_docs as _idocs
+
+    sections.append((
+        "Mixed-geometry flagship (poly spans: one decode pass)",
+        "Non-Point spans decode in ONE mapInArrow node (geometry + bbox as "
+        "concrete columns — scalar UDFs were duplicated by projection "
+        "collapse into stacked ArrowEvalPython stages), then native cover "
+        "explode, broadcast cell join, reporting-cell dedup (no shuffle), "
+        "and an Arrow-columnar grouped intersects refinement.",
+        cap(pip_join_docs_any(_idocs(spark, "/root/testdata/sf0.001", poly_spans=True), rect_polygons_df(spark))),
+    ))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — captured physical plans of the key operators\n\n")
         f.write("Regenerate with `python scripts/gen_plans.py`.\n")
