@@ -311,3 +311,65 @@ def test_warp_resolution_ratio_golden(spark):
         for j in range(6):
             exp[i, j] = src[by[i] : by[i + 1], bx[j] : bx[j + 1]].mean()
     np.testing.assert_allclose(arr.astype(np.float64), exp, rtol=1e-12)
+
+
+def test_gtiff_roundtrip_all_dtypes():
+    """REAL GeoTIFF container (gdal.py:526-535 to_file analogue): every
+    reference dtype x tiled/stripped x none/deflate round-trips
+    bit-exactly with georeferencing, EPSG and nodata preserved."""
+    from gdal_boots_spark.sources.gtiff import decode_gtiff, encode_gtiff
+
+    tr = (10.0, 0.0, 500000.0, 0.0, -10.0, 6000000.0)
+    for dt in ("uint8", "uint16", "uint32", "int8", "int16", "int32", "float32", "float64"):
+        arr = (np.arange(2 * 70 * 90).reshape(2, 70, 90) % 200 - 50).astype(dt)
+        for layout in (dict(blockxsize=64, blockysize=48), dict(blockxsize=None, blockysize=None)):
+            for comp in ("deflate", "none"):
+                blob = encode_gtiff(arr, tr, epsg=32636, nodata=-50.0, compress=comp, **layout)
+                back, tr2, epsg2, nd2 = decode_gtiff(blob)
+                np.testing.assert_array_equal(back, arr)
+                assert tr2 == tr and epsg2 == 32636 and nd2 == -50.0
+    # geographic CRS lands in GeographicTypeGeoKey
+    blob = encode_gtiff(np.zeros((1, 16, 16), np.uint8), (0.1, 0, 26.0, 0, -0.1, 55.0), epsg=4326)
+    assert decode_gtiff(blob)[2] == 4326
+
+
+def test_gtiff_zlevel_byte_size_golden():
+    """Reference byte-size golden (test_raster.py:90-113): higher zlevel
+    -> smaller file; zlevel only applies to deflate (options.py:88-92,
+    mirrored by GTiffLike.encode)."""
+    from gdal_boots_spark.sources.gtiff import encode_gtiff
+    from gdal_boots_spark.sources.options import GTiffLike
+
+    ramp = (np.arange(512 * 512) % 251).astype(np.uint8).reshape(1, 512, 512)
+    tr = (1.0, 0.0, 0.0, 0.0, -1.0, 512.0)
+    s1 = len(encode_gtiff(ramp, tr, zlevel=1))
+    s9 = len(encode_gtiff(ramp, tr, zlevel=9))
+    sn = len(encode_gtiff(ramp, tr, compress="none"))
+    assert s9 <= s1 < sn
+    # none-compress ignores zlevel entirely (same bytes either way)
+    a = encode_gtiff(ramp, tr, compress="none", zlevel=1)
+    b = encode_gtiff(ramp, tr, compress="none", zlevel=9)
+    assert a == b
+    assert "ZLEVEL" not in GTiffLike(compress="none").encode()
+
+
+def test_gtiff_spark_export_ingest_roundtrip(spark, tmp_path):
+    """write_gtiff (single-file to_file semantics) -> read_gtiff_tiles
+    (distributed binaryFile ingest) reproduces the original tile table's
+    pixels, grid and georeferencing."""
+    from gdal_boots_spark.sources.gtiff import read_gtiff_tiles, write_gtiff
+
+    grid = RasterGrid("gt", 32636, (10.0, 0.0, 500000.0, 0.0, -10.0, 6000000.0), 48, 32, 16, 16, 1, "int32")
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    path = str(tmp_path / "gt.tif")
+    write_gtiff(tiles, grid, path)
+    back = read_gtiff_tiles(spark, path, tile_w=16, tile_h=16)
+    rows = {r["tile_key"]: r for r in back.collect()}
+    orig = {r["tile_key"]: r for r in tiles.collect()}
+    assert set(rows) == set(orig)
+    for k in orig:
+        assert rows[k]["data"] == orig[k]["data"], k
+        assert rows[k]["epsg"] == 32636
+        assert list(rows[k]["transform"]) == list(orig[k]["transform"])
+    arr = tiles_to_array(back, grid)
+    np.testing.assert_array_equal(arr, tiles_to_array(tiles, grid))
