@@ -360,3 +360,13 @@ def test_lcc_snyder_golden_and_invariants():
     one = LambertConformalProj(lat_0=45, lon_0=0, lat_1=45)
     ox, oy = one.inverse(*one.forward(3.0, 47.0))
     assert abs(float(ox) - 3.0) < 1e-9 and abs(float(oy) - 47.0) < 1e-9
+
+
+def test_crs_lcc_vs_oracle(spark):
+    """Driver query crs_lcc == the Snyder-in-SQL DuckDB oracle (cm
+    rounding absorbs cross-engine libm ulps, the crs_3857 contract)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE, compare_to_oracle
+
+    df = entrymod.queries()["crs_lcc"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["crs_lcc"], SF_ORACLE)
