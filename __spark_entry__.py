@@ -887,6 +887,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "bid", F.col("rank").cast("long").alias("rnk"))
 
 
+def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure near-dup dedup: LSH pairs -> distributed
+    connected components (min-doc_id canonical) -> every doc assigned
+    to its group representative.  Oracle: the minhash_pairs SQL feeding
+    a recursive-CTE reachability closure."""
+    from gdal_boots_spark.operators.dedup import neardup_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return neardup_groups(docs, n_hashes=16, bands=8)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.functions.text_fns import quality_features, quality_score
 
@@ -954,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": q_radius_join,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
+        "neardup_groups": q_neardup_groups,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_neardup": q_simhash_neardup,
@@ -1244,6 +1256,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
             FROM banded x JOIN banded y ON x.band = y.band AND x.band_sig = y.band_sig
             WHERE x.doc_id < y.doc_id
+        """,
+        # transitive closure of the SAME pair SQL: recursive reachability,
+        # canonical = min reachable id (mirrors the engine's distributed CC)
+        "neardup_groups": f"""
+            WITH RECURSIVE {text_ctes}, {shingle_cte},
+            m AS (
+              SELECT doc_id,
+                     [list_min(list_transform(sh, s2 -> {md5.format(x="CAST(j AS VARCHAR) || ':' || s2")}))
+                      for j in generate_series(0, 15)] AS sig
+              FROM s
+            ),
+            banded AS (
+              SELECT doc_id, b.band,
+                     CAST(sig[2 * b.band + 1] AS VARCHAR) || ',' || CAST(sig[2 * b.band + 2] AS VARCHAR) AS band_sig
+              FROM m, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) b(band)
+            ),
+            pr AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM banded x JOIN banded y ON x.band = y.band AND x.band_sig = y.band_sig
+              WHERE x.doc_id < y.doc_id
+            ),
+            eg AS (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b AS u, a AS v FROM pr),
+            reach(doc, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT re.doc, e.v FROM reach re JOIN eg e ON e.u = re.r
+            ),
+            canon AS (SELECT doc AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY doc)
+            SELECT doc_id, canonical_id,
+                   CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS group_size
+            FROM canon
         """,
         "simhash": f"""
             WITH {text_ctes},

@@ -276,3 +276,36 @@ def simhash_neardup(
         )
         .distinct()
     )
+
+
+def neardup_groups(
+    docs: DataFrame, n_hashes: int = 16, bands: int = 8, shingle_n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Transitive-closure near-dup grouping -> (doc_id, canonical_id,
+    group_size): the "transitive-closure dedup downstream" that turns
+    LSH candidate PAIRS into usable dedup decisions (keep one doc per
+    group).  canonical_id = min doc_id of the connected component;
+    docs in no pair map to themselves.
+
+    Scale shape: pairs come from the bucketed LSH join (never
+    all-pairs); components via min-label propagation + pointer jumping
+    (polygonize._cc_distributed — O(log diameter) rounds); the final
+    assignment is ONE left join on doc_id + a window count.  All
+    shuffles are on narrow (id, id) rows.
+    """
+    from pyspark.sql import Window as _W
+
+    from .polygonize import _cc_distributed
+
+    pairs = lsh_candidate_pairs(
+        docs, n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+        id_col=id_col, text_col=text_col, max_bucket=max_bucket,
+    )
+    labels = _cc_distributed(pairs.select(F.col("a").alias("x"), F.col("b").alias("y")))
+    out = docs.select(F.col(id_col).alias("doc_id")).join(
+        labels.withColumnRenamed("comp", "doc_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("gid", F.col("doc_id")).alias("canonical_id"))
+    w = _W.partitionBy("canonical_id")
+    return out.withColumn("group_size", F.count("*").over(w).cast("long"))

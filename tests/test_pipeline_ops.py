@@ -263,3 +263,35 @@ def test_ann_ivf_vs_oracle(spark):
 
     df = entrymod.queries()["ann_ivf"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["ann_ivf"], SF_ORACLE)
+
+
+def test_neardup_groups_vs_oracle(spark):
+    """Transitive-closure near-dup grouping == recursive-CTE closure of
+    the same LSH pair SQL (canonical = min id of the component)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE, compare_to_oracle
+
+    df = entrymod.queries()["neardup_groups"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["neardup_groups"], SF_ORACLE)
+
+
+def test_neardup_groups_planted_chain(spark):
+    """A near-dup CHAIN (a~b, b~c, never a~c in one bucket) must land in
+    ONE group via transitive closure — the property pairs alone lack."""
+    from gdal_boots_spark.operators.dedup import lsh_candidate_pairs, neardup_groups
+
+    base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("dog", "cat")),
+            (3, base.replace("dog", "cat").replace("quick", "slow")),
+            (9, "completely unrelated text about spark shuffles and arrow batches in engines"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["canonical_id"], r["group_size"]) for r in neardup_groups(docs).collect()}
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert rows[1] == (1, 3) and rows[2] == (1, 3) and rows[3] == (1, 3)
+    assert rows[9] == (9, 1)  # singleton maps to itself
