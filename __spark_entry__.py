@@ -898,6 +898,42 @@ def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_groups(docs, n_hashes=16, bands=8)
 
 
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like media: a 6-frame tile store (band
+    axis = frame axis), keep every 2nd frame.  The sampling is a
+    decode-free codegen filter at the tile scan + the media_ref hash
+    join; the query then emits a decoded per-frame pixel sum so the
+    oracle (closed form over the analytic ramp) verifies the BLOBS of
+    exactly the sampled frames, not just their keys."""
+    from gdal_boots_spark.sources.media import media_frame_sample
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid(
+        raster_id="r0", epsg=4326, transform=(0.01, 0.0, 26.0, 0.0, -0.01, 55.0),
+        width=128, height=128, tile_w=16, tile_h=16, bands=6, dtype="int32",
+    )
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    docs = interleaved_docs(spark, sf_dir)
+    out = media_frame_sample(docs, tiles, every=2)
+
+    def sums(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ps = [int(_np.frombuffer(d, dtype=_np.dtype(dt)).sum()) for d, dt in zip(pdf["data"], pdf["dtype"])]
+            out_pdf = pdf[["doc_id", "span_pos", "media_ref", "frame"]].copy()
+            out_pdf["pixel_sum"] = ps
+            yield out_pdf
+
+    res = out.mapInPandas(sums, schema="doc_id string, span_pos int, media_ref string, frame long, pixel_sum long")
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_pos").cast("long").alias("span_pos"),
+        "media_ref", "frame", "pixel_sum",
+    )
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.functions.text_fns import quality_features, quality_score
 
@@ -975,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
         "media_resize": q_media_resize,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1579,6 +1616,24 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
         "tile_checksum": _tile_checksum_oracle_sql(),
+        "media_frame_sample": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(CAST(FLOOR(doc_id / 8) AS BIGINT) % 8 AS BIGINT) AS ty,
+                     CAST(doc_id % 8 AS BIGINT) AS tx
+              FROM documents WHERE doc_id % 10 IN (8, 9)
+            ), px AS (
+              SELECT m.doc_id, m.ty, m.tx, f.frame,
+                     CAST(f.frame AS BIGINT) * 16384
+                       + (m.ty * 16 + i.range) * 128 + (m.tx * 16 + j.range) + 1 AS v
+              FROM m, (VALUES (0),(2),(4)) f(frame), range(16) i, range(16) j
+            )
+            SELECT doc_id, CAST(1 AS BIGINT) AS span_pos,
+                   'r0/0/' || ty || '/' || tx AS media_ref,
+                   CAST(frame AS BIGINT) AS frame,
+                   CAST(SUM(v) AS BIGINT) AS pixel_sum
+            FROM px GROUP BY doc_id, ty, tx, frame
+        """,
         "media_features": """
             WITH m AS (
               SELECT doc_id,

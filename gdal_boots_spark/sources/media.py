@@ -206,3 +206,32 @@ def media_thumbnails_png(
             )
 
     return resized.mapInPandas(enc, schema="doc_id string, span_pos int, media_ref string, png binary")
+
+
+def media_frame_sample(docs: DataFrame, tiles: DataFrame, every: int = 2, offset: int = 0) -> DataFrame:
+    """Frame sampling for video-like media — the brief's decode /
+    feature-extract / resize / FRAME-SAMPLE stage.  The tile store's
+    BAND axis is the frame axis (an opaque multi-frame blob with typed
+    metadata); keep frames with (frame - offset) % every == 0.
+
+    Decode-free and pure relational: media_ref parses to the
+    (raster, ty, tx) address with native string ops, the frame filter
+    is a codegen predicate applied AT THE TILE SCAN (sampled-out frames
+    never leave the scan), and the join is the same hash-join shape as
+    media_features — opaque frame blobs cross the wire once, only for
+    sampled frames.
+    -> (doc_id, span_pos, media_ref, frame, width, height, dtype, data)
+    """
+    spans = extract_media_spans(docs)
+    p = F.split(F.col("media_ref"), "/")
+    s = spans.select(
+        "doc_id", "span_pos", "media_ref",
+        p[0].alias("_rid"), p[2].cast("int").alias("_ty"), p[3].cast("int").alias("_tx"),
+    )
+    t = tiles.where(((F.col("band") - offset) % every) == 0).select(
+        F.col("raster_id").alias("_rid"), F.col("tile_y").alias("_ty"), F.col("tile_x").alias("_tx"),
+        F.col("band").cast("long").alias("frame"), "width", "height", "dtype", "data",
+    )
+    return s.join(t, ["_rid", "_ty", "_tx"]).select(
+        "doc_id", "span_pos", "media_ref", "frame", "width", "height", "dtype", "data"
+    )

@@ -295,3 +295,36 @@ def test_neardup_groups_planted_chain(spark):
     assert (1, 2) in pairs and (2, 3) in pairs
     assert rows[1] == (1, 3) and rows[2] == (1, 3) and rows[3] == (1, 3)
     assert rows[9] == (9, 1)  # singleton maps to itself
+
+
+def test_media_frame_sample_vs_oracle(spark):
+    """Frame sampling (brief: decode/feature-extract/resize/FRAME-SAMPLE)
+    == the closed-form ramp oracle; verifies the sampled frames' BLOBS
+    via decoded pixel sums, not just their keys."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE, compare_to_oracle
+
+    df = entrymod.queries()["media_frame_sample"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["media_frame_sample"], SF_ORACLE)
+
+
+def test_media_frame_sample_filter_pushed_to_scan(spark):
+    """The frame filter must be a codegen predicate at the tile side —
+    sampled-out frames never reach the join or Python."""
+    from gdal_boots_spark.sources.media import media_frame_sample
+    from gdal_boots_spark.sources.synth import interleaved_docs
+    from gdal_boots_spark.sources.tiles import RasterGrid, generate_tiles, ramp_fill
+
+    grid = RasterGrid("r0", 4326, (0.01, 0.0, 26.0, 0.0, -0.01, 55.0), 8 * 16, 8 * 16, 16, 16, 6, "int32")
+    tiles = generate_tiles(spark, grid, ramp_fill)
+    docs = interleaved_docs(spark, "/root/testdata/sf0.001")
+    out = media_frame_sample(docs, tiles, every=3, offset=1)
+    frames = {r["frame"] for r in out.select("frame").distinct().collect()}
+    assert frames == {1, 4}
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the ONLY Python node is the synthetic tile GENERATOR feeding the
+    # store — the sampling operator itself adds no UDF/decode, and the
+    # frame predicate sits below the join on the tile side
+    assert plan.count("MapInPandas") == 1 and "pythonUDF" not in plan
+    didx = plan.index("Join")
+    assert "band#" in plan[didx:] and "Filter" in plan[didx:]
