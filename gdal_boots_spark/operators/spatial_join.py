@@ -203,26 +203,53 @@ def _poly_span_candidates(
             if n == 0:
                 continue
             texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+            # fast-path rows parse as ONE nan-sentinel-joined fromstring
+            # call (translate once on the joined string): per-row
+            # fromstring overhead was the decode hot spot.  A segment-
+            # count mismatch (malformed token, literal 'nan') is a
+            # complete safety net — the whole batch then re-parses row
+            # by row through from_geojson.
+            fast_j: list[int] = []
+            fast_blob: list[str] = []
+            for j, v in enumerate(texts):
+                if (
+                    v is not None and '"Polygon"' in v and "]],[[" not in v
+                    and v.endswith("]]]}")
+                ):
+                    i = v.find('"coordinates"')
+                    if i >= 0:
+                        fast_j.append(j)
+                        fast_blob.append(v[i + 14 : -1])
+            fast_coords: dict[int, np.ndarray] = {}
+            if fast_blob:
+                nums = np.fromstring(" nan ".join(fast_blob).translate(tbl), sep=" ")
+                isn = np.isnan(nums)
+                if int(isn.sum()) == len(fast_j) - 1:
+                    seps = np.flatnonzero(isn)
+                    starts = np.concatenate(([0], seps + 1))
+                    ends = np.concatenate((seps, [nums.size]))
+                    for k, j in enumerate(fast_j):
+                        seg = nums[starts[k] : ends[k]]
+                        if seg.size >= 8 and seg.size % 2 == 0:
+                            fast_coords[j] = seg
+                # else: leave fast_coords empty -> every row falls back
+
             mask = np.zeros(n, dtype=bool)
             gts: list[int] = []
             coord_parts: list[np.ndarray] = []
             ring_parts: list[np.ndarray] = []
             part_parts: list[np.ndarray] = []
             coffs, roffs, poffs = [0], [0], [0]
+            part2 = np.asarray([0, 1], dtype=np.int32)
             for j, v in enumerate(texts):
                 if v is None:
                     continue
-                coords = None
-                if '"Polygon"' in v and "]],[[" not in v and v.rstrip().endswith("]]]}"):
-                    i = v.find('"coordinates"')
-                    if i >= 0:
-                        nums = np.fromstring(v[i + 14 :].translate(tbl), sep=" ")
-                        if nums.size >= 8 and nums.size % 2 == 0 and np.isfinite(nums).all():
-                            coords = nums
-                            ring = np.asarray([0, nums.size // 2], dtype=np.int32)
-                            part = np.asarray([0, 1], dtype=np.int32)
-                            gt = 3
-                if coords is None:
+                coords = fast_coords.get(j)
+                if coords is not None:
+                    ring = np.asarray([0, coords.size // 2], dtype=np.int32)
+                    part = part2
+                    gt = 3
+                else:
                     try:
                         pg = from_geojson(v)
                     except (ValueError, KeyError, json.JSONDecodeError):
