@@ -150,7 +150,13 @@ def run_bench() -> dict:
         pbest = dt if pbest is None else min(pbest, dt)
     times["pandas_control"] = round(pbest, 4)
 
-    total = round(sum(v for k, v in times.items() if k not in ("cpu_control", "pandas_control")), 4)
+    # value = the same headline set every round (controls and the
+    # poly-path DIAGNOSTIC entry excluded so round-over-round totals
+    # stay comparable; pip_join_poly_xl is reported in queries + the
+    # per-candidate fields)
+    total = round(
+        sum(v for k, v in times.items() if k not in ("cpu_control", "pandas_control", "pip_join_poly_xl")), 4
+    )
     flagship = times.get("pip_join_xl", total) or 1e-9
     # sec per 1M candidates on each refinement path; the ratio is the
     # judge's "poly-span within ~2x of the Point path per candidate row"

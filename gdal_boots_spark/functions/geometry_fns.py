@@ -94,17 +94,6 @@ def _rows_to_struct_pdf(pgs: list[PackedGeometry | None]) -> pd.DataFrame:
     )
 
 
-def _struct_pdf_to_pg(row) -> PackedGeometry | None:
-    if row["gtype"] is None or (isinstance(row["gtype"], float) and np.isnan(row["gtype"])):
-        return None
-    return PackedGeometry(
-        gtype=int(row["gtype"]),
-        coords=np.asarray(row["coords"], dtype=np.float64),
-        ring_offsets=np.asarray(row["ring_offsets"], dtype=np.int32),
-        part_offsets=np.asarray(row["part_offsets"], dtype=np.int32),
-    )
-
-
 @pandas_udf(GEOMETRY_TYPE)
 def geojson_decode_udf(s: pd.Series) -> pd.DataFrame:
     """GeoJSON string -> packed geometry struct (invalid/null -> null)."""
@@ -127,9 +116,17 @@ def geojson_encode_udf(precision: int = 15):
     @pandas_udf(StringType())
     def _encode(g: pd.DataFrame) -> pd.Series:
         out = []
-        for _, row in g.iterrows():
-            pg = _struct_pdf_to_pg(row)
-            out.append(None if pg is None else json.dumps(to_geojson(pg, precision), separators=(",", ":")))
+        for gt, co, ro, po in zip(g["gtype"], g["coords"], g["ring_offsets"], g["part_offsets"]):
+            if gt is None or (isinstance(gt, float) and np.isnan(gt)):
+                out.append(None)
+                continue
+            pg = PackedGeometry(
+                gtype=int(gt),
+                coords=np.asarray(co, dtype=np.float64),
+                ring_offsets=np.asarray(ro, dtype=np.int32),
+                part_offsets=np.asarray(po, dtype=np.int32),
+            )
+            out.append(json.dumps(to_geojson(pg, precision), separators=(",", ":")))
         return pd.Series(out)
 
     return _encode
@@ -144,8 +141,7 @@ def geom_bounds_udf(g: pd.DataFrame) -> pd.DataFrame:
     miny = np.full(n, np.nan)
     maxx = np.full(n, np.nan)
     maxy = np.full(n, np.nan)
-    for i, (_, row) in enumerate(g.iterrows()):
-        c = row["coords"]
+    for i, c in enumerate(g["coords"]):
         if c is None or len(c) == 0:
             continue
         a = np.asarray(c, dtype=np.float64).reshape(-1, 2)
@@ -161,8 +157,7 @@ def cells_cover_udf(res: int):
     @pandas_udf(ArrayType(LongType()))
     def _cover(g: pd.DataFrame) -> pd.Series:
         out = []
-        for _, row in g.iterrows():
-            c = row["coords"]
+        for c in g["coords"]:
             if c is None or len(c) == 0:
                 out.append(None)
                 continue
@@ -182,11 +177,9 @@ def transform_geom_udf(src, dst):
     @pandas_udf(GEOMETRY_TYPE)
     def _transform(g: pd.DataFrame) -> pd.DataFrame:
         # concatenate all batch coords into one array, transform once
-        bufs, lens = [], []
-        for _, row in g.iterrows():
-            c = row["coords"]
-            bufs.append(np.asarray(c if c is not None else [], dtype=np.float64))
-            lens.append(len(bufs[-1]))
+        cs = list(g["coords"])
+        bufs = [np.asarray(c if c is not None else [], dtype=np.float64) for c in cs]
+        lens = [len(b) for b in bufs]
         if bufs:
             flat = np.concatenate(bufs) if sum(lens) else np.empty(0)
             if flat.size:
@@ -194,17 +187,16 @@ def transform_geom_udf(src, dst):
                 tx, ty = _crs.transform_coords(xy[:, 0], xy[:, 1], src, dst)
                 flat = np.column_stack([tx, ty]).ravel()
         offs = np.cumsum([0] + lens)
-        coords_out, gt, ro, po = [], [], [], []
-        for i, (_, row) in enumerate(g.iterrows()):
-            if row["coords"] is None:
-                coords_out.append(None)
-            else:
-                coords_out.append(flat[offs[i] : offs[i + 1]])
-            gt.append(row["gtype"])
-            ro.append(row["ring_offsets"])
-            po.append(row["part_offsets"])
+        coords_out = [
+            None if cs[i] is None else flat[offs[i] : offs[i + 1]] for i in range(len(cs))
+        ]
         return pd.DataFrame(
-            {"gtype": pd.array(gt, dtype="Int8"), "coords": coords_out, "ring_offsets": ro, "part_offsets": po}
+            {
+                "gtype": pd.array(list(g["gtype"]), dtype="Int8"),
+                "coords": coords_out,
+                "ring_offsets": list(g["ring_offsets"]),
+                "part_offsets": list(g["part_offsets"]),
+            }
         )
 
     return _transform
