@@ -148,3 +148,72 @@ def test_snap_contains_bbox_property(resv, minx, miny, w, h):
     assert sminx <= minx + 1e-9 and smaxx >= maxx - 1e-9
     assert sminy <= miny + 1e-9 and smaxy >= maxy - 1e-9
     assert c1 > c0 and r1 > r0
+
+
+@given(
+    dt=st.sampled_from(["uint8", "uint16", "int16", "int32", "float32", "float64"]),
+    h=st.integers(1, 70),
+    w=st.integers(1, 70),
+    bands=st.integers(1, 3),
+    comp=st.sampled_from(["none", "deflate"]),
+    tiled=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gtiff_roundtrip_property(dt, h, w, bands, comp, tiled, seed):
+    """Any dtype/shape/band-count/layout/compression round-trips through
+    the GeoTIFF codec bit-exactly with georeferencing preserved."""
+    from gdal_boots_spark.sources.gtiff import decode_gtiff, encode_gtiff
+
+    rng = np.random.default_rng(seed)
+    if dt.startswith("float"):
+        arr = rng.standard_normal((bands, h, w)).astype(dt)
+    else:
+        info = np.iinfo(np.dtype(dt))
+        arr = rng.integers(info.min, info.max, (bands, h, w), endpoint=True).astype(dt)
+    tr = (0.5, 0.0, -10.0, 0.0, -0.25, 42.0)
+    kw = dict(blockxsize=32, blockysize=16) if tiled else dict(blockxsize=None, blockysize=None)
+    blob = encode_gtiff(arr, tr, epsg=3857, nodata=None, compress=comp, **kw)
+    back, tr2, epsg2, nd2 = decode_gtiff(blob)
+    np.testing.assert_array_equal(back, arr)
+    assert tr2 == tr and epsg2 == 3857 and nd2 is None
+
+
+@given(
+    lon=st.floats(-60.0, 80.0, allow_nan=False),
+    la=st.floats(5.0, 75.0, allow_nan=False),
+)
+@settings(max_examples=80, deadline=None)
+def test_crs_lcc_inverse_property(lon, la):
+    """LCC forward∘inverse == identity across the projection's valid
+    band (well away from the pole opposite the cone)."""
+    x, y = transform_coords(
+        np.array([lon]), np.array([la]), 4326,
+        "+proj=lcc +lat_0=40 +lon_0=10 +lat_1=35 +lat_2=55 +x_0=2000000 +y_0=1000000 +ellps=WGS84",
+    )
+    bl, bb = transform_coords(
+        x, y, "+proj=lcc +lat_0=40 +lon_0=10 +lat_1=35 +lat_2=55 +x_0=2000000 +y_0=1000000 +ellps=WGS84", 4326
+    )
+    assert abs(float(bl) - lon) < 1e-8 and abs(float(bb) - la) < 1e-8
+
+
+@given(
+    res=st.integers(0, 4),
+    r_out=st.integers(0, 40),
+    r_in=st.integers(-1, 39),
+)
+@settings(max_examples=60, deadline=None)
+def test_annulus_cells_unique_property(res, r_out, r_in, spark):
+    """The annulus cell array never contains duplicates, for ANY res and
+    radius — including blocks wider than the wrap modulus (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from gdal_boots_spark.operators.knn import _annulus_cells_expr
+
+    if r_in >= r_out:
+        r_in = -1
+    df = spark.createDataFrame([(27.3, 53.9), (-179.99, 84.0)], "x double, y double")
+    rows = df.select(_annulus_cells_expr(res, r_in, r_out).alias("cells")).collect()
+    for r in rows:
+        cells = list(r["cells"])
+        assert len(cells) == len(set(cells)), (res, r_in, r_out)
