@@ -934,6 +934,26 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_ref", "frame", "pixel_sum",
     )
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (brief: "as-of join, range join, hypertable rollup"):
+    every purchase event matched to the user's most recent signup at or
+    before it — union-tag + ONE window, no range-condition join.  The
+    oracle replays the identical (ts, side, id) carry-forward window in
+    DuckDB (last_value IGNORE NULLS)."""
+    from gdal_boots_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "signup").select("event_id", "user_id", "ts", "value")
+    out = asof_join(left, right, on="user_id", ts_col="ts", id_col="event_id", payload=("event_id", "value"))
+    return out.select(
+        F.col("event_id").alias("lid"),
+        "user_id",
+        F.col("r_event_id").alias("rid"),
+        F.col("r_value").alias("r_value"),
+        F.unix_micros(F.col("r_ts").cast("timestamp")).alias("r_ts_us"),
+    )
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.functions.text_fns import quality_features, quality_score
 
@@ -988,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_dist": q_zonal_dist,
         "event_windows": q_event_windows,
         "event_rollup": q_event_rollup,
+        "asof_join": q_asof_join,
         "crs_3857": q_crs_3857,
         "crs_lcc": q_crs_lcc,
         "fast_warp": q_fast_warp,
@@ -1797,6 +1818,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(6378137.0 * (xr * (PI() / 180.0)), 2) AS mx,
                    ROUND(6378137.0 * LN(TAN(PI() / 4.0 + (yr * (PI() / 180.0)) / 2.0)), 2) AS my
             FROM r
+        """,
+        "asof_join": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ), r AS (
+              SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'signup'
+            ), u AS (
+              SELECT user_id, ts, 1 AS side, event_id AS oid, event_id AS lid,
+                     NULL::BIGINT AS rid0, NULL::DOUBLE AS rvalue0, NULL::TIMESTAMP AS rts0
+              FROM l
+              UNION ALL
+              SELECT user_id, ts, 0, event_id, NULL, event_id, value, ts FROM r
+            ), w AS (
+              SELECT user_id, side, lid,
+                     last_value(rid0 IGNORE NULLS) OVER win AS rid,
+                     last_value(rvalue0 IGNORE NULLS) OVER win AS r_value,
+                     last_value(rts0 IGNORE NULLS) OVER win AS rts
+              FROM u
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, oid ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT lid, user_id, rid, r_value, epoch_us(rts) AS r_ts_us FROM w WHERE side = 1
         """,
         "crs_lcc": _crs_lcc_oracle_sql(),
         "polygonize": f"""

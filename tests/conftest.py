@@ -44,7 +44,11 @@ def compare_to_oracle(spark_df, sql: str, sf_dir: str, float_cols=(), atol=1e-9)
         if c in float_cols:
             import numpy as np
 
-            assert np.allclose(got[c].to_numpy(float), exp[c].to_numpy(float), atol=atol), c
+            # equal_nan: left-outer queries legitimately emit nulls and
+            # both engines must agree on their positions
+            assert np.allclose(
+                got[c].to_numpy(float), exp[c].to_numpy(float), atol=atol, equal_nan=True
+            ), c
         else:
             pd.testing.assert_series_equal(
                 got[c], exp[c], check_dtype=False, check_names=False, obj=c

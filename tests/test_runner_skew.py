@@ -101,3 +101,62 @@ def test_features_table_and_packaging(spark, tmp_path):
     names = zipfile.ZipFile(out).namelist()
     assert "gdal_boots_spark/__init__.py" in names
     assert any(n.startswith("gdal_boots_spark/operators/") for n in names)
+
+
+def test_asof_join_matches_merge_asof(spark):
+    """asof_join == pandas.merge_asof (backward, by key) on random
+    event streams — an independent reference implementation."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_boots_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(5)
+    n_l, n_r = 400, 150
+    lp = pd.DataFrame({
+        "event_id": np.arange(n_l),
+        "user_id": rng.integers(0, 12, n_l),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n_l), unit="s"),
+    })
+    rp = pd.DataFrame({
+        "event_id": np.arange(10_000, 10_000 + n_r),
+        "user_id": rng.integers(0, 12, n_r),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n_r), unit="s"),
+        "value": rng.standard_normal(n_r).round(6),
+    })
+    left = spark.createDataFrame(lp)
+    right = spark.createDataFrame(rp)
+    got = asof_join(left, right, on="user_id", ts_col="ts", id_col="event_id",
+                    payload=("event_id", "value")).toPandas()
+    exp = pd.merge_asof(
+        lp.sort_values(["ts", "event_id"]), rp.sort_values(["ts", "event_id"]),
+        on="ts", by="user_id", direction="backward", suffixes=("", "_r"),
+    )
+    g = got.set_index("event_id").sort_index()
+    x = exp.set_index("event_id").sort_index()
+    # merge_asof with duplicate right ts keeps the LAST sorted row —
+    # the same max-right-id tie-break asof_join uses
+    assert (g["r_event_id"].fillna(-1) == x["event_id_r"].fillna(-1)).all()
+    assert np.allclose(g["r_value"].fillna(0), x["value"].fillna(0))
+
+    # tolerance semantics (pandas parity): stale matches null out
+    tol = 50_000.0
+    got_t = asof_join(left, right, on="user_id", ts_col="ts", id_col="event_id",
+                      payload=("event_id", "value"), tolerance=tol).toPandas()
+    exp_t = pd.merge_asof(
+        lp.sort_values(["ts", "event_id"]), rp.sort_values(["ts", "event_id"]),
+        on="ts", by="user_id", direction="backward", suffixes=("", "_r"),
+        tolerance=pd.Timedelta(seconds=tol),
+    )
+    gt = got_t.set_index("event_id").sort_index()
+    xt = exp_t.set_index("event_id").sort_index()
+    assert (gt["r_event_id"].fillna(-1) == xt["event_id_r"].fillna(-1)).all()
+
+
+def test_asof_join_vs_oracle(spark):
+    """Driver query asof_join == the DuckDB carry-forward window oracle."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE, compare_to_oracle
+
+    df = entrymod.queries()["asof_join"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["asof_join"], SF_ORACLE, float_cols=("r_value",), atol=0.0)
