@@ -954,6 +954,23 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("r_ts").cast("timestamp")).alias("r_ts_us"),
     )
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (the brief's "novel sketch"): distinct users
+    per event_type as a k=32 minimum-values sketch.  The portable md5
+    hash makes the sketch CONTENT itself oracle-checkable — n_kept, the
+    k-th hash, the estimate AND the full sketch (csv) are all exact."""
+    from gdal_boots_spark.operators.sketch import kmv_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = kmv_sketch(ev, "event_type", "user_id", k=32)
+    return sk.select(
+        F.col("grp").alias("event_type"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.element_at("sketch", -1).alias("kth"),
+        F.round("est_distinct", 9).alias("est_distinct"),
+        F.concat_ws(",", F.col("sketch").cast("array<string>")).alias("sketch_csv"),
+    )
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.functions.text_fns import quality_features, quality_score
 
@@ -1009,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "event_rollup": q_event_rollup,
         "asof_join": q_asof_join,
+        "kmv_distinct": q_kmv_distinct,
         "crs_3857": q_crs_3857,
         "crs_lcc": q_crs_lcc,
         "fast_warp": q_fast_warp,
@@ -1839,6 +1857,25 @@ def oracle_sql() -> dict[str, str]:
               WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, oid ROWS UNBOUNDED PRECEDING)
             )
             SELECT lid, user_id, rid, r_value, epoch_us(rts) AS r_ts_us FROM w WHERE side = 1
+        """,
+        "kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT event_type AS grp,
+                     CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM events
+            ), rk AS (
+              SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM h
+            ), topk AS (SELECT * FROM rk WHERE rn <= 32),
+            agg AS (
+              SELECT grp, COUNT(*) AS n_kept, MAX(h) AS hmax,
+                     string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS sketch_csv
+              FROM topk GROUP BY grp
+            )
+            SELECT grp AS event_type, CAST(n_kept AS BIGINT) AS n_kept, hmax AS kth,
+                   ROUND(CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+                              ELSE 31.0 / (CAST(hmax AS DOUBLE) / 1152921504606846976.0) END, 9) AS est_distinct,
+                   sketch_csv
+            FROM agg
         """,
         "crs_lcc": _crs_lcc_oracle_sql(),
         "polygonize": f"""

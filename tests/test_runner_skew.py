@@ -160,3 +160,42 @@ def test_asof_join_vs_oracle(spark):
 
     df = entrymod.queries()["asof_join"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["asof_join"], SF_ORACLE, float_cols=("r_value",), atol=0.0)
+
+
+def test_kmv_sketch_merge_and_accuracy(spark):
+    """KMV mergeability (the 100 TB contract): sketching two shards and
+    merging == sketching the union; estimate within ~3/sqrt(k) of the
+    true distinct count on a high-cardinality group."""
+    from pyspark.sql import functions as F
+
+    from gdal_boots_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 2).alias("shard"),
+        F.lit("g").alias("grp"),
+        (F.col("id") % 7919).alias("v"),  # 7919 true distincts
+    )
+    k = 64
+    whole = kmv_sketch(df, "grp", "v", k=k).collect()[0]
+    s1 = kmv_sketch(df.where("shard = 0"), "grp", "v", k=k)
+    s2 = kmv_sketch(df.where("shard = 1"), "grp", "v", k=k)
+    merged = kmv_merge(s1.unionByName(s2), k=k).collect()[0]
+    assert list(merged["sketch"]) == list(whole["sketch"])
+    assert merged["est_distinct"] == whole["est_distinct"]
+    rel = abs(whole["est_distinct"] - 7919) / 7919
+    assert rel < 3 / (k ** 0.5), rel
+    # small groups are exact
+    tiny = kmv_sketch(
+        spark.range(5).select(F.lit("t").alias("grp"), F.col("id").alias("v")), "grp", "v", k=k
+    ).collect()[0]
+    assert tiny["est_distinct"] == 5.0 and tiny["n_kept"] == 5
+
+
+def test_kmv_distinct_vs_oracle(spark):
+    """Driver query kmv_distinct == DuckDB (sketch content, k-th hash,
+    estimate — all exact thanks to the portable md5)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_ORACLE, compare_to_oracle
+
+    df = entrymod.queries()["kmv_distinct"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.oracle_sql()["kmv_distinct"], SF_ORACLE, float_cols=("est_distinct",), atol=0.0)
