@@ -218,10 +218,14 @@ def ivf_topk(
     their ``n_probe`` nearest cells.  Candidates come from the
     (cell) hash join, scored map-side, top-k per query by window.
 
-    Shuffle inventory: one equi-join on the int cell key + the narrow
-    (qid, bid, cos) window — NO dedup exchange at all (a base vector
-    lives in one cell and a query probes distinct cells, so a pair can
-    appear at most once).  Recall grows with n_probe/n_cells.
+    Shuffle inventory: the cell assignment is IDS-ONLY (narrow
+    (id, cell) rows cross the cell exchange, the same discipline as
+    ann_lsh_topk), one equi-join on the int cell key, base vectors
+    re-attached ONCE via an equi-join on bid, query vectors broadcast,
+    then the narrow (qid, bid, cos) window — NO dedup exchange at all
+    (a base vector lives in one cell and a query probes distinct
+    cells, so a pair can appear at most once).  Recall grows with
+    n_probe/n_cells.
     """
     dim = len(base.select(vec_col).first()[0])
     C = _ivf_centroids(dim, n_cells, seed)
@@ -253,19 +257,23 @@ def ivf_topk(
                 yield pd.DataFrame(
                     {
                         id_name: np.repeat(pdf[id_name].to_numpy(), nrep),
-                        "_vec": [v for v in pdf["_vec"] for _ in range(nrep)],
                         "cell": cells.ravel().astype(np.int32),
                     }
                 )
 
         return fn
 
-    vec_t = dict(base.dtypes)[vec_col]
     qd = query.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_vec"))
     bd = base.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("_vec"))
-    qb = qd.mapInPandas(assign("qid", n_probe), schema=f"qid long, _vec {vec_t}, cell int")
-    bb = bd.mapInPandas(assign("bid", 1), schema=f"bid long, _vec {vec_t}, cell int")
-    cand = qb.join(bb.withColumnRenamed("_vec", "_bvec"), "cell").select("qid", "_vec", "bid", "_bvec")
+    qb = qd.mapInPandas(assign("qid", n_probe), schema="qid long, cell int")
+    bb = bd.mapInPandas(assign("bid", 1), schema="bid long, cell int")
+    cand = (
+        qb.join(bb, "cell")
+        .select("qid", "bid")
+        .join(bd.withColumnRenamed("_vec", "_bvec"), "bid")
+        .join(F.broadcast(qd), "qid")
+        .select("qid", "_vec", "bid", "_bvec")
+    )
 
     def rerank(batches):
         import pandas as pd
