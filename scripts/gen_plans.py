@@ -102,10 +102,13 @@ def main():
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     sections.append((
         "IVF similarity search (scale path)",
-        "Map-side centroid assignment on both sides (one matmul per Arrow "
-        "batch), ONE equi-join on the int cell key, map-side rerank, then "
-        "only narrow (qid, bid, cos) rows reach the window top-k — vectors "
-        "never cross a dedup exchange (a pair can appear at most once).",
+        "Map-side centroid assignment emits IDS-ONLY (id, cell) rows (one "
+        "matmul per Arrow batch), ONE equi-join on the int cell key, base "
+        "vectors re-attached once via an equi-join on bid with query "
+        "vectors broadcast, map-side rerank, then only narrow "
+        "(qid, bid, cos) rows reach the window top-k — no dedup exchange "
+        "(a pair can appear at most once) and no `_vec` in the cell "
+        "exchange.",
         cap(ivf_topk(emb.where(F.col("vec_id") % 50 == 0), emb, k=5, n_cells=16, n_probe=8)),
     ))
 
