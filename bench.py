@@ -104,7 +104,7 @@ def run_bench() -> dict:
         pdocs.count()
         pip_join_docs_any(pdocs, polys).count()  # warm
         pbest2 = None
-        for _ in range(2):
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))):
             t0 = time.perf_counter()
             pip_join_docs_any(pdocs, polys).count()
             dt = time.perf_counter() - t0
