@@ -275,3 +275,57 @@ def test_event_rollup_vs_oracle(spark):
     df = entrymod.queries()["event_rollup"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["event_rollup"], SF_ORACLE,
                       float_cols=("v", "vmin", "vmax"), atol=1e-6)
+
+
+def test_rect_bypass_classification(spark):
+    """RectangleIntersects bypass correctness: exact-rect spans against
+    exact-rect polys bypass Python; non-rect spans (triangle, L-ish
+    5-point non-rect ring) and rect spans with degenerate/rotated rings
+    still take the geometry path — outputs match the definitional
+    geometry_intersects_polygon on every pair."""
+    import json as _json
+
+    import numpy as np
+
+    from gdal_boots_spark.geom.packed import from_geojson
+    from gdal_boots_spark.geom.pip import geometry_intersects_polygon
+    from gdal_boots_spark.operators.spatial_join import _is_rect_poly, pip_join_docs_any
+
+    def poly_ring(pts):
+        return {"type": "Polygon", "coordinates": [pts + [pts[0]]]}
+
+    spans = {
+        # exact rect (bypass candidate)
+        "1": poly_ring([[26.01, 53.01], [26.09, 53.01], [26.09, 53.09], [26.01, 53.09]]),
+        # triangle (never rect)
+        "2": poly_ring([[26.01, 53.01], [26.09, 53.01], [26.05, 53.09]]),
+        # 5 distinct points, bbox-like but with a midpoint -> NOT rect
+        "3": {"type": "Polygon", "coordinates": [[[26.01, 53.01], [26.05, 53.01], [26.09, 53.01],
+                                                  [26.09, 53.09], [26.01, 53.09], [26.01, 53.01]]]},
+        # cross-overlap rect (no vertex of either inside the other)
+        "4": poly_ring([[26.0, 53.04], [26.2, 53.04], [26.2, 53.06], [26.0, 53.06]]),
+    }
+    docs = spark.createDataFrame(
+        [(k, [{"kind": "geo", "text": _json.dumps(v), "media_ref": None, "offset": 1}]) for k, v in spans.items()],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    polys = spark.createDataFrame(
+        [
+            (100, _json.dumps(poly_ring([[26.0, 53.0], [26.1, 53.0], [26.1, 53.1], [26.0, 53.1]]))),  # rect
+            (101, _json.dumps(poly_ring([[26.05, 53.0], [26.15, 53.05], [26.05, 53.1]]))),  # triangle dim
+        ],
+        "poly_id long, geojson string",
+    )
+    got = {(r["doc_id"], r["poly_id"]) for r in pip_join_docs_any(docs, polys).collect()}
+    pr = {r["poly_id"]: from_geojson(r["geojson"]) for r in polys.collect()}
+    exp = set()
+    for k, gj in spans.items():
+        pg = from_geojson(_json.dumps(gj))
+        for pid, pp in pr.items():
+            if geometry_intersects_polygon(pg, pp):
+                exp.add((k, pid))
+    assert got == exp and len(exp) >= 5
+    # the rect detector itself
+    assert _is_rect_poly(from_geojson(_json.dumps(spans["1"])).coords, np.asarray([0, 5]))
+    assert not _is_rect_poly(from_geojson(_json.dumps(spans["2"])).coords, np.asarray([0, 4]))
+    assert not _is_rect_poly(from_geojson(_json.dumps(spans["3"])).coords, np.asarray([0, 6]))
