@@ -137,6 +137,14 @@ class AlbersProj:
         m1, m2 = self._m(p1), self._m(p2)
         q0, q1, q2 = self._q(p0), self._q(p1), self._q(p2)
         self.n = (m1 * m1 - m2 * m2) / (q2 - q1) if q1 != q2 else math.sin(p1)
+        if self.n == 0.0:
+            # symmetric parallels (lat_1 = -lat_2, incl. both absent)
+            # make the cone a cylinder: rho0 divides by zero.  PROJ
+            # rejects this; match it with a readable error (ADVICE r3).
+            raise ValueError(
+                "+proj=aea requires standard parallels with nonzero "
+                f"sin(lat_1)+sin(lat_2) (got lat_1={lat_1} lat_2={lat_2})"
+            )
         self.C = m1 * m1 + self.n * q1
         self.rho0 = a * math.sqrt(self.C - self.n * q0) / self.n
 
@@ -200,6 +208,14 @@ class LambertConformalProj:
             self.n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
         else:
             self.n = math.sin(p1)
+        if self.n == 0.0:
+            # lat_1 absent/zero (with lat_2 equal) -> cone constant 0 ->
+            # F divides by zero.  PROJ rejects this up front; match it
+            # with a readable error instead (ADVICE r3).
+            raise ValueError(
+                "+proj=lcc requires a nonzero standard parallel "
+                f"(+lat_1, got lat_1={lat_1} lat_2={lat_2})"
+            )
         self.F = m1 / (self.n * t1**self.n)
         self.rho0 = a * self.F * t0**self.n
 

@@ -179,16 +179,28 @@ def window_agg(
     empty = ((by[1:] - by[:-1]) == 0)[:, None] | ((bx[1:] - bx[:-1]) == 0)[None, :]
 
     def reduce2(ufunc, arr):
+        # Trailing zero-width windows have start index == len(sub);
+        # clipping that to len-1 would steal the last source row/col
+        # from the preceding window's reduceat range.  Run reduceat on
+        # the UNclipped valid indices (upper bounds stay intact; the
+        # last valid window correctly runs to the end of sub) and
+        # scatter, leaving invalid windows 0 (they are zero-width, so
+        # the `empty` mask zeroes them anyway).
         sub = arr[by[0] : by[-1]]
         if sub.shape[0] == 0:
             return np.zeros((oh, ow), dtype=np.float64)
-        iy = np.minimum(by[:-1] - by[0], sub.shape[0] - 1)
-        rows = ufunc.reduceat(sub, iy, axis=0)
+        iy = by[:-1] - by[0]
+        vy = iy < sub.shape[0]
+        rows = np.zeros((oh,) + sub.shape[1:], dtype=np.float64)
+        rows[vy] = ufunc.reduceat(sub, iy[vy], axis=0)
         subc = rows[:, bx[0] : bx[-1]]
         if subc.shape[1] == 0:
             return np.zeros((oh, ow), dtype=np.float64)
-        ix = np.minimum(bx[:-1] - bx[0], subc.shape[1] - 1)
-        return ufunc.reduceat(subc, ix, axis=1)
+        ix = bx[:-1] - bx[0]
+        vx = ix < subc.shape[1]
+        out = np.zeros((oh, ow), dtype=np.float64)
+        out[:, vx] = ufunc.reduceat(subc, ix[vx], axis=1)
+        return out
 
     def masked(o):
         if empty.any():

@@ -38,6 +38,27 @@ from ..geom.pip import points_in_polygon
 from .spans import extract_geo_spans
 
 
+def _parse_floats(s: str) -> np.ndarray:
+    """Whitespace-separated float blob -> float64 array.  Prefers
+    np.fromstring(sep=' ') (fastest single-call text parse) but NumPy
+    has slated text-mode fromstring for removal, so fall back to a
+    split-parse; malformed tokens yield an EMPTY array in both paths'
+    net effect (fromstring truncates -> segment-count check fails;
+    split-parse raises -> we return empty), routing callers to the
+    slow from_geojson path."""
+    import warnings
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            return np.fromstring(s, sep=" ")
+    except Exception:
+        try:
+            return np.asarray(s.split(), dtype=np.float64)
+        except ValueError:
+            return np.empty(0, dtype=np.float64)
+
+
 def _collect_polys(polys: DataFrame):
     """Driver-side: polygon table -> {poly_id: (coords, ring_offsets)} +
     per-poly bbox list.  The polygon side is the *dimension*; the point
@@ -207,15 +228,12 @@ def _poly_span_candidates(
         Polygons whose ``coordinates`` is the trailing field (the
         overwhelmingly common span shape) parse via translate +
         np.fromstring; everything else falls back to from_geojson."""
-        import warnings
-
         import pyarrow as pa
         import pyarrow.compute as pc
 
         from ..geom.packed import from_geojson
 
         tbl = str.maketrans("[],", "   ")
-        warnings.filterwarnings("ignore", category=DeprecationWarning)
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -231,16 +249,21 @@ def _poly_span_candidates(
             fast_blob: list[str] = []
             for j, v in enumerate(texts):
                 if (
-                    v is not None and '"Polygon"' in v and "]],[[" not in v
+                    v is not None and '"Polygon"' in v
                     and v.endswith("]]]}")
                 ):
                     i = v.find('"coordinates"')
-                    if i >= 0:
+                    # single-ring only: exactly ONE "[[" in the coords
+                    # blob.  The old `"]],[[" not in v` guard missed
+                    # hole polygons serialized with whitespace
+                    # ("]], [[", json.dumps default separators), which
+                    # would merge outer+inner rings (ADVICE r3).
+                    if i >= 0 and v.count("[[", i) == 1:
                         fast_j.append(j)
                         fast_blob.append(v[i + 14 : -1])
             fast_coords: dict[int, np.ndarray] = {}
             if fast_blob:
-                nums = np.fromstring(" nan ".join(fast_blob).translate(tbl), sep=" ")
+                nums = _parse_floats(" nan ".join(fast_blob).translate(tbl))
                 isn = np.isnan(nums)
                 if int(isn.sum()) == len(fast_j) - 1:
                     seps = np.flatnonzero(isn)

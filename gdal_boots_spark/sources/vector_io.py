@@ -83,11 +83,14 @@ def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.text(path)
     # id-less (or non-numeric-id) features still need a usable key for
     # downstream joins/keys and write_ndjson: fall back to a synthetic
-    # fid (unique, not stable across reads — same contract as OGR FIDs)
+    # fid (unique, not stable across reads — same contract as OGR FIDs).
+    # Synthetic fids live in the NEGATIVE range (-1 - miid) so they can
+    # never collide with explicit non-negative ids in a mixed
+    # id/id-less file (partition-0 miid values start at 0,1,2...).
     return raw.select(
         F.coalesce(
             F.get_json_object("value", "$.id").cast("long"),
-            F.monotonically_increasing_id(),
+            F.lit(-1) - F.monotonically_increasing_id(),
         ).alias("fid"),
         F.get_json_object("value", "$.geometry.type").alias("gtype"),
         F.get_json_object("value", "$.geometry").alias("geojson"),

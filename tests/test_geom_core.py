@@ -370,3 +370,26 @@ def test_crs_lcc_vs_oracle(spark):
 
     df = entrymod.queries()["crs_lcc"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["crs_lcc"], SF_ORACLE)
+
+
+def test_conic_projections_reject_zero_cone_constant():
+    """ADVICE r3: lcc without +lat_1 (n = sin(0) = 0) and aea with
+    symmetric parallels must raise a readable ValueError, not
+    ZeroDivisionError deep in the constructor."""
+    import pytest
+
+    from gdal_boots_spark.geom.crs import AlbersProj, LambertConformalProj, _projector
+
+    with pytest.raises(ValueError, match="lcc"):
+        LambertConformalProj(lat_0=40, lon_0=10, lat_1=0)
+    with pytest.raises(ValueError, match="lcc"):
+        _projector("+proj=lcc +lat_0=40 +lon_0=10")
+    with pytest.raises(ValueError, match="aea"):
+        AlbersProj(lat_0=0, lon_0=0, lat_1=-30, lat_2=30)
+    with pytest.raises(ValueError, match="aea"):
+        _projector("+proj=aea +lat_0=0 +lon_0=0")
+    # lat_1=0 with a distinct lat_2 is a VALID lcc cone (n != 0)
+    p = LambertConformalProj(lat_0=20, lon_0=0, lat_1=0, lat_2=45)
+    x, y = p.forward(5.0, 30.0)
+    lon, lat = p.inverse(x, y)
+    assert abs(lon - 5.0) < 1e-9 and abs(lat - 30.0) < 1e-9

@@ -259,3 +259,46 @@ def test_window_agg_zero_width_windows():
         assert np.all(out[2:, :] == 0), k
         assert np.all(out[:, 2:] == 0), k
         assert np.all(out[:2, :2] != 0), k
+
+
+def test_window_agg_trailing_empty_preserves_last_window():
+    """ADVICE r3: clipping reduceat indices to len-1 truncated the LAST
+    non-empty window when trailing zero-width windows exist.  Values in
+    the valid region must match a naive per-window oracle exactly."""
+    from gdal_boots_spark.geom.resample_kernels import window_agg
+
+    rng = np.random.default_rng(7)
+    for (h, w, sy, sx, oh, ow) in [(4, 4, 2.0, 2.0, 4, 4), (5, 7, 1.5, 2.5, 6, 4)]:
+        src = rng.integers(1, 100, size=(h, w)).astype(np.float64)
+
+        def bound(j, s, n):
+            return min(max(int(np.ceil(j * s - 0.5)), 0), n)
+
+        for k in ("sum", "average", "rms", "min", "max", "median", "q1", "q3", "mode"):
+            out = window_agg(src, 0, 0, sx, sy, oh, ow, 0, 0, k)
+            for i in range(oh):
+                for j in range(ow):
+                    blk = src[bound(i, sy, h):bound(i + 1, sy, h),
+                              bound(j, sx, w):bound(j + 1, sx, w)].ravel()
+                    if blk.size == 0:
+                        exp = 0.0
+                    elif k == "sum":
+                        exp = blk.sum()
+                    elif k == "average":
+                        exp = blk.mean()
+                    elif k == "rms":
+                        exp = np.sqrt((blk ** 2).mean())
+                    elif k == "min":
+                        exp = blk.min()
+                    elif k == "max":
+                        exp = blk.max()
+                    elif k == "median":
+                        exp = np.median(blk)
+                    elif k == "q1":
+                        exp = np.quantile(blk, 0.25)
+                    elif k == "q3":
+                        exp = np.quantile(blk, 0.75)
+                    else:
+                        vals, cnts = np.unique(blk, return_counts=True)
+                        exp = vals[np.argmax(cnts)]
+                    assert np.isclose(out[i, j], exp), (k, i, j, out[i, j], exp)

@@ -373,3 +373,23 @@ def test_gtiff_spark_export_ingest_roundtrip(spark, tmp_path):
         assert list(rows[k]["transform"]) == list(orig[k]["transform"])
     arr = tiles_to_array(back, grid)
     np.testing.assert_array_equal(arr, tiles_to_array(tiles, grid))
+
+
+def test_ndjson_synthetic_fid_never_collides_with_explicit(spark, tmp_path):
+    """ADVICE r3: id-less rows get NEGATIVE synthetic fids so a mixed
+    id/id-less NDJSON can't produce duplicate fid keys (partition-0
+    monotonically_increasing_id starts at 0,1,2...)."""
+    from gdal_boots_spark.sources.vector_io import read_ndjson
+
+    p = str(tmp_path / "mixed.ndjson")
+    pt = '{"type":"Point","coordinates":[1.0,2.0]}'
+    with open(p, "w") as f:
+        for i in range(5):  # explicit ids 0..4 — the old collision range
+            f.write('{"type":"Feature","id":%d,"geometry":%s,"properties":{}}\n' % (i, pt))
+        for _ in range(5):  # id-less
+            f.write('{"type":"Feature","geometry":%s,"properties":{}}\n' % pt)
+    back = read_ndjson(spark, p)
+    fids = [r["fid"] for r in back.collect()]
+    assert len(fids) == 10 and len(set(fids)) == 10
+    assert sorted(f for f in fids if f >= 0) == [0, 1, 2, 3, 4]
+    assert sum(1 for f in fids if f < 0) == 5

@@ -329,3 +329,41 @@ def test_rect_bypass_classification(spark):
     assert _is_rect_poly(from_geojson(_json.dumps(spans["1"])).coords, np.asarray([0, 5]))
     assert not _is_rect_poly(from_geojson(_json.dumps(spans["2"])).coords, np.asarray([0, 4]))
     assert not _is_rect_poly(from_geojson(_json.dumps(spans["3"])).coords, np.asarray([0, 6]))
+
+
+def test_hole_polygon_with_whitespace_separators(spark):
+    """ADVICE r3: a hole polygon serialized with json.dumps DEFAULT
+    separators ("]], [[") slipped past the old single-ring fast-path
+    guard and had its rings merged.  A dim rect inside the hole must
+    NOT intersect; one on the solid band must."""
+    import json as _json
+
+    from gdal_boots_spark.operators.spatial_join import pip_join_docs_any
+
+    donut = {
+        "type": "Polygon",
+        "coordinates": [
+            [[26.00, 53.00], [26.10, 53.00], [26.10, 53.10], [26.00, 53.10], [26.00, 53.00]],
+            [[26.03, 53.03], [26.07, 53.03], [26.07, 53.07], [26.03, 53.07], [26.03, 53.03]],
+        ],
+    }
+    txt = _json.dumps(donut)  # default separators -> "]], [["
+    assert "]], [[" in txt and "]],[[" not in txt
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "geo", "text": txt, "media_ref": None, "offset": 1}])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+    def rect(x0, y0, x1, y1):
+        return _json.dumps({"type": "Polygon", "coordinates": [
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]]})
+
+    polys = spark.createDataFrame(
+        [
+            (200, rect(26.04, 53.04, 26.06, 53.06)),  # fully inside the hole
+            (201, rect(26.01, 53.01, 26.02, 53.02)),  # on the solid band
+        ],
+        "poly_id long, geojson string",
+    )
+    got = {(r["doc_id"], r["poly_id"]) for r in pip_join_docs_any(docs, polys).collect()}
+    assert got == {("d1", 201)}, got
