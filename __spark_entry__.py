@@ -1001,7 +1001,31 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver-verified board caps at 50 queries (CORRECTNESS_r03 silently
+# dropped the last two of 52).  pip_join_shuffle and crs_3857 each verify
+# an operator that already has a green twin on the board (pip_join's
+# broadcast path exercises the same join; to_epsg subsumes the 3857
+# transform), so they are consolidated into extra_queries() — still
+# pytest-verified against their oracles every run — keeping every
+# DISTINCT operator driver-verified, lang_id + fingerprint included.
+_EXTRA_QUERIES = ("pip_join_shuffle", "crs_3857")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v for k, v in _all_queries().items() if k not in _EXTRA_QUERIES}
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Consolidated near-duplicate queries: not on the driver board (50-row
+    cap) but held to the same oracle contract in pytest."""
+    return {k: v for k, v in _all_queries().items() if k in _EXTRA_QUERIES}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    return {k: v for k, v in _all_oracle_sql().items() if k in _EXTRA_QUERIES}
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join": q_pip_join,
         "pip_join_shuffle": q_pip_join_shuffle,
@@ -1295,6 +1319,11 @@ _SQL_MD5 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
+    keep = set(queries())
+    return {k: v for k, v in _all_oracle_sql().items() if k in keep}
+
+
+def _all_oracle_sql() -> dict[str, str]:
     md5 = _SQL_MD5
     text_ctes = f"""
         d AS (
