@@ -71,22 +71,29 @@ def cosine_topk(
             qn[qn == 0] = 1.0
             cos = (q @ bmat.T) / (qn[:, None] * bnorms[None, :])
             # batch-wide partition to the k-th score, keep every
-            # boundary TIE, then one small lexsort per query over ~k
-            # rows (was: a full base-sized lexsort per query row).
+            # boundary TIE, then ONE lexsort over all surviving
+            # (query, base) pairs — no per-query Python loop at all.
             # Ties at the k-th score must all enter the sort or the
             # deterministic (cos desc, bid asc) rule breaks on
             # duplicate embeddings.
             kcap = min(kk, nb)
             kth = np.partition(cos, nb - kcap, axis=1)[:, nb - kcap]
-            out_q, out_b, out_c, out_r = [], [], [], []
-            for i in range(cos.shape[0]):
-                cand = np.nonzero(cos[i] >= kth[i])[0]
-                order = cand[np.lexsort((bids[cand], -cos[i][cand]))][:kcap]
-                out_q.extend([pdf["_qid"].iloc[i]] * len(order))
-                out_b.extend(bids[order])
-                out_c.extend(cos[i][order])
-                out_r.extend(range(1, len(order) + 1))
-            yield pd.DataFrame({"qid": out_q, "bid": out_b, "cos": out_c, "rank": out_r})
+            qi, ci = np.nonzero(cos >= kth[:, None])
+            cv = cos[qi, ci]
+            order = np.lexsort((bids[ci], -cv, qi))
+            qi, ci, cv = qi[order], ci[order], cv[order]
+            # rank within each query group, then cut to k
+            starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+            ranks = np.arange(len(qi)) - np.repeat(starts, np.diff(np.r_[starts, len(qi)])) + 1
+            keep = ranks <= kcap
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["_qid"].to_numpy()[qi[keep]],
+                    "bid": bids[ci[keep]],
+                    "cos": cv[keep],
+                    "rank": ranks[keep].astype(np.int32),
+                }
+            )
 
     qd = query.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_vec"))
     return qd.mapInPandas(topk, schema="qid long, bid long, cos double, rank int")

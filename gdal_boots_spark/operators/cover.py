@@ -38,6 +38,32 @@ from ..geom.packed import from_geojson
 from ..sources.tiles import RasterGrid
 
 
+# broadcast↔distributed auto-switch defaults (round-4 verdict item 6):
+# the collect-and-broadcast paths are only safe while the polygon
+# dimension stays driver-sized.  Callers that pass distributed=None get
+# a cheap one-job probe (count + total geojson bytes) against these
+# thresholds; tests monkeypatch them to force the switch.
+BROADCAST_MAX_ROWS = 200_000
+BROADCAST_MAX_BYTES = 64 << 20
+
+
+def polys_fit_broadcast(
+    polys: DataFrame,
+    max_rows: int | None = None,
+    max_bytes: int | None = None,
+) -> bool:
+    """Cheap dimension-size estimate: ONE aggregate job over the
+    polygon table (count + sum(length(geojson))).  True when the
+    collect+broadcast paths are safe; False routes callers to the
+    no-collect siblings (contribs_distributed / the shuffle PIP join)."""
+    max_rows = BROADCAST_MAX_ROWS if max_rows is None else max_rows
+    max_bytes = BROADCAST_MAX_BYTES if max_bytes is None else max_bytes
+    row = polys.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("geojson")).alias("b")
+    ).collect()[0]
+    return (row["n"] or 0) <= max_rows and (row["b"] or 0) <= max_bytes
+
+
 def vertex_pixel_bbox(pg, transform):
     """Driver-side: packed geometry -> pixel-space bbox over ALL
     vertices (exact under any affine transform)."""

@@ -83,12 +83,12 @@ def crop_by_geometry(
     def mask_apply(batches):
         for pdf in batches:
             out_rows = []
-            for _, r in pdf.iterrows():
-                img = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
-                if r["mask_data"] is None:
+            for r in pdf.itertuples(index=False):
+                img = np.frombuffer(r.data, dtype=np.dtype(r.dtype)).reshape(r.height, r.width)
+                if r.mask_data is None:
                     msk = np.zeros_like(img, dtype=np.uint8)
                 else:
-                    msk = np.frombuffer(r["mask_data"], dtype=np.uint8).reshape(r["height"], r["width"])
+                    msk = np.frombuffer(r.mask_data, dtype=np.uint8).reshape(r.height, r.width)
                 out_rows.append(apply_mask(img, msk, nodata).tobytes())
             pdf = pdf.drop(columns=["mask_data"])
             pdf["data"] = out_rows

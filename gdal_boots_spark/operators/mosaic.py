@@ -109,18 +109,18 @@ def mosaic(
         oh, ow = og.tile_shape(otx, oty)
         ox0, oy0 = otx * og.tile_w, oty * og.tile_h
         arr = np.full((oh, ow), fill, dtype=np.dtype(og.dtype))
-        for _, r in pdf.sort_values(["src", "gy0", "gx0"]).iterrows():
-            src = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
-            x0 = max(int(r["gx0"]), ox0)
-            x1 = min(int(r["gx0"]) + int(r["width"]), ox0 + ow)
-            y0 = max(int(r["gy0"]), oy0)
-            y1 = min(int(r["gy0"]) + int(r["height"]), oy0 + oh)
+        for r in pdf.sort_values(["src", "gy0", "gx0"]).itertuples(index=False):
+            src = np.frombuffer(r.data, dtype=np.dtype(r.dtype)).reshape(r.height, r.width)
+            x0 = max(int(r.gx0), ox0)
+            x1 = min(int(r.gx0) + int(r.width), ox0 + ow)
+            y0 = max(int(r.gy0), oy0)
+            y1 = min(int(r.gy0) + int(r.height), oy0 + oh)
             if x0 >= x1 or y0 >= y1:
                 continue
-            blk = src[y0 - int(r["gy0"]) : y1 - int(r["gy0"]), x0 - int(r["gx0"]) : x1 - int(r["gx0"])]
+            blk = src[y0 - int(r.gy0) : y1 - int(r.gy0), x0 - int(r.gx0) : x1 - int(r.gx0)]
             view = arr[y0 - oy0 : y1 - oy0, x0 - ox0 : x1 - ox0]
-            if r["src_nodata"] is not None and not (isinstance(r["src_nodata"], float) and np.isnan(r["src_nodata"])):
-                m = blk != np.asarray(r["src_nodata"], dtype=blk.dtype)
+            if r.src_nodata is not None and not (isinstance(r.src_nodata, float) and np.isnan(r.src_nodata)):
+                m = blk != np.asarray(r.src_nodata, dtype=blk.dtype)
                 view[m] = blk.astype(arr.dtype)[m]
             else:
                 view[:] = blk.astype(arr.dtype)

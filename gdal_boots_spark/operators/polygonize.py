@@ -50,12 +50,12 @@ def _per_tile(grid: RasterGrid, exclude):
 
         for pdf in batches:
             comp_rows, border_rows = [], []
-            for _, t in pdf.iterrows():
-                arr = np.frombuffer(t["data"], dtype=np.dtype(t["dtype"])).reshape(t["height"], t["width"])
+            for t in pdf.itertuples(index=False):
+                arr = np.frombuffer(t.data, dtype=np.dtype(t.dtype)).reshape(t.height, t.width)
                 labels, n = label_components(arr, exclude=exclude)
                 if n == 0:
                     continue
-                tx, ty = int(t["tile_x"]), int(t["tile_y"])
+                tx, ty = int(t.tile_x), int(t.tile_y)
                 r0, c0 = ty * th, tx * tw
                 h, w = arr.shape
                 for lab in range(1, n + 1):

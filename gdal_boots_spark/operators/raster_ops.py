@@ -32,8 +32,8 @@ def as_type(tiles: DataFrame, grid: RasterGrid, dtype: str) -> tuple[DataFrame, 
     def cast(batches):
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"]))
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, dtype=np.dtype(r.dtype))
                 out.append(arr.astype(np.dtype(dtype)).tobytes())
             pdf = pdf.copy()
             pdf["data"] = out
@@ -72,15 +72,15 @@ def write_window(
     def patch(batches):
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                x0 = r["tile_x"] * tw
-                y0 = r["tile_y"] * th
-                if r["band"] != band or x0 >= col1 or y0 >= row1 or x0 + r["width"] <= col0 or y0 + r["height"] <= row0:
-                    out.append(r["data"])
+            for r in pdf.itertuples(index=False):
+                x0 = r.tile_x * tw
+                y0 = r.tile_y * th
+                if r.band != band or x0 >= col1 or y0 >= row1 or x0 + r.width <= col0 or y0 + r.height <= row0:
+                    out.append(r.data)
                     continue
-                arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"]).copy()
-                xa, xb = max(col0 - x0, 0), min(col1 - x0, r["width"])
-                ya, yb = max(row0 - y0, 0), min(row1 - y0, r["height"])
+                arr = np.frombuffer(r.data, dtype=np.dtype(r.dtype)).reshape(r.height, r.width).copy()
+                xa, xb = max(col0 - x0, 0), min(col1 - x0, r.width)
+                ya, yb = max(row0 - y0, 0), min(row1 - y0, r.height)
                 arr[ya:yb, xa:xb] = value
                 out.append(arr.tobytes())
             pdf = pdf.copy()
@@ -100,10 +100,10 @@ def is_valid(tiles: DataFrame) -> DataFrame:
 
         for pdf in batches:
             oks, crcs = [], []
-            for _, r in pdf.iterrows():
-                expect = r["width"] * r["height"] * np.dtype(r["dtype"]).itemsize
-                oks.append(len(r["data"]) == expect)
-                crcs.append(zlib.crc32(r["data"]) & 0xFFFFFFFF)
+            for r in pdf.itertuples(index=False):
+                expect = r.width * r.height * np.dtype(r.dtype).itemsize
+                oks.append(len(r.data) == expect)
+                crcs.append(zlib.crc32(r.data) & 0xFFFFFFFF)
             yield pd.DataFrame({"tile_key": pdf["tile_key"], "ok": oks, "crc32": crcs})
 
     return tiles.select("tile_key", "width", "height", "dtype", "data").mapInPandas(

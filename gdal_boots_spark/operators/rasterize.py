@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..geom.raster_kernels import rasterize_mask
 from ..sources.tiles import TILE_SCHEMA, RasterGrid, generate_tiles
-from .cover import contribs_broadcast, contribs_distributed, geom_arrays
+from .cover import contribs_broadcast, contribs_distributed, geom_arrays, polys_fit_broadcast
 
 
 def rasterize(
@@ -35,7 +35,7 @@ def rasterize(
     all_touched: bool = False,
     burn: int = 1,
     dense: bool = False,
-    distributed: bool = False,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """polys(poly_id, geojson) -> uint8 mask tile table on `grid`.
 
@@ -46,8 +46,13 @@ def rasterize(
     ``distributed=True`` switches the polygon side to the no-collect
     cover explode (operators.cover) — required when the polygon table
     is too large to broadcast; output is identical (pytest-asserted).
+    Default ``None`` auto-picks from a cheap dimension-size probe
+    (cover.polys_fit_broadcast); pass an explicit bool to override.
     """
     from dataclasses import replace
+
+    if distributed is None:
+        distributed = not polys_fit_broadcast(polys)
 
     mask_grid = replace(
         grid, raster_id=grid.raster_id + "_mask", bands=1, dtype="uint8", nodata=None

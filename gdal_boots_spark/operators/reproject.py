@@ -93,11 +93,11 @@ def reproject(
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                tx0 = int(r["tile_x"]) * g.tile_w
-                ty0 = int(r["tile_y"]) * g.tile_h
+            for r in pdf.itertuples(index=False):
+                tx0 = int(r.tile_x) * g.tile_w
+                ty0 = int(r.tile_y) * g.tile_h
                 a, b, c, d, e, f = g.transform
-                bx, by = _boundary_samples(0, 0, int(r["width"]), int(r["height"]), n=9)
+                bx, by = _boundary_samples(0, 0, int(r.width), int(r.height), n=9)
                 wx = a * (tx0 + bx) + b * (ty0 + by) + c
                 wy = d * (tx0 + bx) + e * (ty0 + by) + f
                 dx, dy = transform_coords(wx, wy, src_crs, dst_crs)
@@ -111,9 +111,9 @@ def reproject(
                     continue
                 rows.append(
                     {
-                        "band": r["band"], "tile_x": r["tile_x"], "tile_y": r["tile_y"],
-                        "width": r["width"], "height": r["height"], "dtype": r["dtype"],
-                        "data": r["data"],
+                        "band": r.band, "tile_x": r.tile_x, "tile_y": r.tile_y,
+                        "width": r.width, "height": r.height, "dtype": r.dtype,
+                        "data": r.data,
                         "otx0": otx0, "otx1": otx1, "oty0": oty0, "oty1": oty1,
                     }
                 )
@@ -153,11 +153,11 @@ def reproject(
         by1 = min(g.height, int(np.ceil(np.nanmax(spy))) + 2)
         bx1, by1 = max(bx1, bx0 + 1), max(by1, by0 + 1)
         buf = np.full((by1 - by0, bx1 - bx0), fill, dtype=np.dtype(g.dtype))
-        for _, r in pdf.iterrows():
-            src = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
-            tx0, ty0 = int(r["tile_x"]) * g.tile_w, int(r["tile_y"]) * g.tile_h
-            x0, x1 = max(tx0, bx0), min(tx0 + int(r["width"]), bx1)
-            y0, y1 = max(ty0, by0), min(ty0 + int(r["height"]), by1)
+        for r in pdf.itertuples(index=False):
+            src = np.frombuffer(r.data, dtype=np.dtype(r.dtype)).reshape(r.height, r.width)
+            tx0, ty0 = int(r.tile_x) * g.tile_w, int(r.tile_y) * g.tile_h
+            x0, x1 = max(tx0, bx0), min(tx0 + int(r.width), bx1)
+            y0, y1 = max(ty0, by0), min(ty0 + int(r.height), by1)
             if x0 >= x1 or y0 >= y1:
                 continue
             buf[y0 - by0 : y1 - by0, x0 - bx0 : x1 - bx0] = src[y0 - ty0 : y1 - ty0, x0 - tx0 : x1 - tx0]

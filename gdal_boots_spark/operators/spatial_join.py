@@ -93,13 +93,26 @@ def pip_join_points(
     x_col: str = "x",
     y_col: str = "y",
     refine: bool = True,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """points(<ids..>, x, y) x polys(poly_id, geojson) -> points cols + poly_id.
 
     Exact even-odd ray-cast semantics; the cell join is only a
     no-false-negative pre-filter.  ``refine=False`` returns the raw
     cell-join candidates (bench instrumentation: per-candidate cost).
+
+    ``distributed``: None (default) auto-picks via a cheap dimension
+    probe (cover.polys_fit_broadcast); True delegates to the no-collect
+    pip_join_points_shuffle (identical semantics, pytest-asserted);
+    False forces the broadcast path.  ``refine=False`` is broadcast-only
+    instrumentation and keeps the broadcast path regardless.
     """
+    from .cover import polys_fit_broadcast
+
+    if refine and distributed is None:
+        distributed = not polys_fit_broadcast(polys)
+    if refine and distributed:
+        return pip_join_points_shuffle(points, polys, res=res, x_col=x_col, y_col=y_col)
     spark: SparkSession = points.sparkSession
     packed, bboxes = _collect_polys(polys)
     if res is None:

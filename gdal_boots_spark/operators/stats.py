@@ -23,8 +23,8 @@ def tile_histogram(tiles: DataFrame) -> DataFrame:
 
         for pdf in batches:
             vals, cnts = [], []
-            for _, r in pdf.iterrows():
-                arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"]))
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, dtype=np.dtype(r.dtype))
                 v, c = np.unique(arr, return_counts=True)
                 vals.append(v.astype(np.float64))
                 cnts.append(c.astype(np.int64))
@@ -68,15 +68,15 @@ def tiles_to_pixels(tiles: DataFrame, tile_w: int, tile_h: int) -> DataFrame:
 
         for pdf in batches:
             outs = []
-            for _, r in pdf.iterrows():
-                arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
-                jj, ii = np.meshgrid(np.arange(r["width"]), np.arange(r["height"]))
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, dtype=np.dtype(r.dtype)).reshape(r.height, r.width)
+                jj, ii = np.meshgrid(np.arange(r.width), np.arange(r.height))
                 outs.append(
                     pd.DataFrame(
                         {
-                            "band": np.full(arr.size, r["band"], dtype=np.int32),
-                            "row": (ii + r["tile_y"] * tile_h).ravel().astype(np.int64),
-                            "col": (jj + r["tile_x"] * tile_w).ravel().astype(np.int64),
+                            "band": np.full(arr.size, r.band, dtype=np.int32),
+                            "row": (ii + r.tile_y * tile_h).ravel().astype(np.int64),
+                            "col": (jj + r.tile_x * tile_w).ravel().astype(np.int64),
                             "value": arr.ravel().astype(np.float64),
                         }
                     )

@@ -106,13 +106,13 @@ def slice_window(tiles: DataFrame, grid: RasterGrid, window) -> tuple[DataFrame,
             arr[:] = og.nodata
         # out tile's global pixel range (input raster frame)
         ox0, oy0 = col0 + otx * og.tile_w, row0 + oty * og.tile_h
-        for _, r in pdf.iterrows():
-            src = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
-            sx0, sy0 = int(r["tile_x"]) * g.tile_w, int(r["tile_y"]) * g.tile_h
+        for r in pdf.itertuples(index=False):
+            src = np.frombuffer(r.data, dtype=np.dtype(r.dtype)).reshape(r.height, r.width)
+            sx0, sy0 = int(r.tile_x) * g.tile_w, int(r.tile_y) * g.tile_h
             x0 = max(sx0, ox0, col0)
-            x1 = min(sx0 + int(r["width"]), ox0 + ow, col1)
+            x1 = min(sx0 + int(r.width), ox0 + ow, col1)
             y0 = max(sy0, oy0, row0)
-            y1 = min(sy0 + int(r["height"]), oy0 + oh, row1)
+            y1 = min(sy0 + int(r.height), oy0 + oh, row1)
             if x0 >= x1 or y0 >= y1:
                 continue
             arr[y0 - oy0 : y1 - oy0, x0 - ox0 : x1 - ox0] = src[y0 - sy0 : y1 - sy0, x0 - sx0 : x1 - sx0]
@@ -274,12 +274,12 @@ def resample(
         sy0 = max(0, int(np.floor(oy0 * scale_y)) - hb)
         sy1 = min(g.height, int(np.ceil((oy0 + oh) * scale_y)) + hb)
         buf = np.full((sy1 - sy0, sx1 - sx0), fill, dtype=np.dtype(g.dtype))
-        for _, r in pdf.iterrows():
-            src = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
-            tx0 = int(r["tile_x"]) * g.tile_w
-            ty0 = int(r["tile_y"]) * g.tile_h
-            x0, x1 = max(tx0, sx0), min(tx0 + int(r["width"]), sx1)
-            y0, y1 = max(ty0, sy0), min(ty0 + int(r["height"]), sy1)
+        for r in pdf.itertuples(index=False):
+            src = np.frombuffer(r.data, dtype=np.dtype(r.dtype)).reshape(r.height, r.width)
+            tx0 = int(r.tile_x) * g.tile_w
+            ty0 = int(r.tile_y) * g.tile_h
+            x0, x1 = max(tx0, sx0), min(tx0 + int(r.width), sx1)
+            y0, y1 = max(ty0, sy0), min(ty0 + int(r.height), sy1)
             if x0 >= x1 or y0 >= y1:
                 continue
             buf[y0 - sy0 : y1 - sy0, x0 - sx0 : x1 - sx0] = src[y0 - ty0 : y1 - ty0, x0 - tx0 : x1 - tx0]

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..geom.raster_kernels import rasterize_mask
 from ..sources.tiles import RasterGrid
-from .cover import contribs_broadcast, contribs_distributed, geom_arrays
+from .cover import contribs_broadcast, contribs_distributed, geom_arrays, polys_fit_broadcast
 
 _OUT_SCHEMA = "poly_id long, band int, n_pixels long, sum double, min double, max double, mean double"
 _PARTIAL_SCHEMA = "poly_id long, band int, n_pixels long, sum double, min double, max double"
@@ -39,15 +39,18 @@ def zonal_stats(
     tiles: DataFrame,
     grid: RasterGrid,
     polys: DataFrame,
-    distributed: bool = False,
+    distributed: bool | None = None,
 ) -> DataFrame:
     """-> (poly_id, band, n_pixels, sum, min, max, mean) per polygon
     over all raster bands; polygons with no covered pixel are absent
     (the reference's GDAL zonal workflows behave the same).
 
     ``distributed=True``: no driver collect — use when the polygon side
-    exceeds broadcast size; identical output (pytest-asserted)."""
+    exceeds broadcast size; identical output (pytest-asserted).
+    Default ``None`` auto-picks via cover.polys_fit_broadcast."""
     g = grid
+    if distributed is None:
+        distributed = not polys_fit_broadcast(polys)
 
     if distributed:
         cdf = contribs_distributed(polys, grid)
@@ -59,11 +62,11 @@ def zonal_stats(
             for pdf in batches:
                 out = []
                 cache: dict = {}  # decode each polygon once per batch
-                for _, r in pdf.iterrows():
-                    pid = int(r["poly_id"])
+                for r in pdf.itertuples(index=False):
+                    pid = int(r.poly_id)
                     arrays = cache.get(pid)
                     if arrays is None:
-                        arrays = cache[pid] = geom_arrays(r["geom"])
+                        arrays = cache[pid] = geom_arrays(r.geom)
                     rec = _pair_partial(r, arrays[0], arrays[1], g)
                     if rec is not None:
                         out.append(rec)
@@ -84,8 +87,8 @@ def zonal_stats(
 
             for pdf in batches:
                 out = []
-                for _, r in pdf.iterrows():
-                    coords, ro = bpolys.value[int(r["poly_id"])]
+                for r in pdf.itertuples(index=False):
+                    coords, ro = bpolys.value[int(r.poly_id)]
                     rec = _pair_partial(r, coords, ro, g)
                     if rec is not None:
                         out.append(rec)
@@ -105,15 +108,15 @@ def zonal_stats(
 
 def _pair_partial(r, coords: np.ndarray, ro: np.ndarray, g: RasterGrid):
     """One (tile, polygon) pair -> partial aggregate record or None."""
-    arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
-    t = g.tile_transform(int(r["tile_x"]), int(r["tile_y"]))
-    m = rasterize_mask(coords, ro, t, r["height"], r["width"]).astype(bool)
+    arr = np.frombuffer(r.data, dtype=np.dtype(r.dtype)).reshape(r.height, r.width)
+    t = g.tile_transform(int(r.tile_x), int(r.tile_y))
+    m = rasterize_mask(coords, ro, t, r.height, r.width).astype(bool)
     if not m.any():
         return None
     vals = arr[m].astype(np.float64)
     return {
-        "poly_id": int(r["poly_id"]),
-        "band": int(r["band"]),
+        "poly_id": int(r.poly_id),
+        "band": int(r.band),
         "n_pixels": int(vals.size),
         "sum": float(vals.sum()),
         "min": float(vals.min()),

@@ -190,8 +190,8 @@ def png_to_tiles(spark: SparkSession, path: str, grid: RasterGrid) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                arr = decode_png(bytes(r["content"]))
+            for r in pdf.itertuples(index=False):
+                arr = decode_png(bytes(r.content))
                 if arr.ndim == 3:  # RGB -> one band per channel
                     planes = [np.ascontiguousarray(arr[:, :, b]) for b in range(arr.shape[2])]
                 else:
@@ -240,12 +240,12 @@ def tiles_to_png(tiles: DataFrame, zlevel: int = 6) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                arr = np.frombuffer(r["data"], dtype=np.dtype(r["dtype"])).reshape(r["height"], r["width"])
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, dtype=np.dtype(r.dtype)).reshape(r.height, r.width)
                 if arr.dtype not in (np.uint8, np.uint16):
                     raise ValueError(
                         f"PNG export supports uint8/uint16 bands only, got {arr.dtype} "
-                        f"(tile {r['tile_key']}); cast explicitly with as_type first"
+                        f"(tile {r.tile_key}); cast explicitly with as_type first"
                     )
                 out.append(encode_png(arr, zlevel=zlevel))
             yield pd.DataFrame({"tile_key": pdf["tile_key"], "png": out})

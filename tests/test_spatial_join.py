@@ -370,3 +370,52 @@ def test_hole_polygon_with_whitespace_separators(spark):
     )
     got = {(r["doc_id"], r["poly_id"]) for r in pip_join_docs_any(docs, polys).collect()}
     assert got == {("d1", 201)}, got
+
+
+def test_auto_switch_broadcast_distributed(spark, monkeypatch):
+    """distributed=None auto-picks: broadcast under the threshold,
+    the no-collect shuffle sibling above it, identical results
+    (round-4 verdict item 6)."""
+    from gdal_boots_spark.operators import cover, spatial_join
+
+    rng = np.random.default_rng(11)
+    pts = spark.createDataFrame(
+        [
+            (i, float(x), float(y))
+            for i, (x, y) in enumerate(
+                zip(rng.uniform(25.5, 29.5, 300), rng.uniform(52.5, 55.5, 300))
+            )
+        ],
+        "point_id long, x double, y double",
+    )
+    polys = rect_polygons_df(spark)
+
+    # the probe itself: fixture fits defaults, fails a tiny threshold
+    assert cover.polys_fit_broadcast(polys)
+    assert not cover.polys_fit_broadcast(polys, max_rows=1)
+    assert not cover.polys_fit_broadcast(polys, max_bytes=1)
+
+    forced = {
+        (r["point_id"], r["poly_id"])
+        for r in pip_join_points(pts, polys, distributed=False)
+        .select("point_id", "poly_id")
+        .collect()
+    }
+
+    used = {}
+    real_shuffle = spatial_join.pip_join_points_shuffle
+
+    def spy(*a, **k):
+        used["shuffle"] = True
+        return real_shuffle(*a, **k)
+
+    monkeypatch.setattr(spatial_join, "pip_join_points_shuffle", spy)
+    monkeypatch.setattr(cover, "BROADCAST_MAX_ROWS", 0)
+    auto = {
+        (r["point_id"], r["poly_id"])
+        for r in pip_join_points(pts, polys)
+        .select("point_id", "poly_id")
+        .collect()
+    }
+    assert used.get("shuffle"), "auto switch did not take the distributed path"
+    assert auto == forced and len(auto) > 0
