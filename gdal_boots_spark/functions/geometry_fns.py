@@ -75,7 +75,10 @@ def point_xy_native(text):
     have un-nested coordinates, so the last '['..']' span is exactly
     the coordinate pair.  Non-points take the geojson_decode_udf path.
     """
-    is_point = text.contains('"Point"')
+    # a GeometryCollection may carry a Point CHILD and still must take
+    # the decode path — '"Point"' alone would misroute it here (the
+    # child's type matches the substring; MultiPoint does not)
+    is_point = text.contains('"Point"') & ~text.contains('"GeometryCollection"')
     inner = F.substring_index(F.substring_index(text, "[", -1), "]", 1)
     parts = F.split(inner, ",")
     return parts[0].cast("double"), parts[1].cast("double"), is_point

@@ -18,11 +18,13 @@ Reference semantics: gdal_boots/geometry.py:7-119 (GeometryBuilder /
 GeometryGeoJson) — dict or JSON string in, nested float lists out,
 per-coordinate ``round(c, precision)`` on encode (geometry.py:74,112),
 optional 2-D flatten (geometry.py:59-64,115-119).  GeometryCollection
-(geometry.py:47-51) is carried as-is through the codec by flattening
-into a MultiX when homogeneous; heterogeneous collections are not
-representable packed and raise (documented non-feature; the reference
-test suite never round-trips a heterogeneous collection through an
-operator).
+(geometry.py:47-51): homogeneous Point/Polygon collections flatten into
+the equivalent MultiX (operator-compatible fast path); heterogeneous
+collections pack as gtype 7 with two extra arrays (part_types int8 per
+child, child_offsets int32 cumulative part counts) and round-trip the
+exact nesting (reference golden test_geometry.py:135-179).  Nested
+collections raise (GeoJSON discourages them; the reference suite never
+builds one).
 """
 
 from __future__ import annotations
@@ -39,6 +41,7 @@ GTYPE_IDS = {
     "MultiPoint": 4,
     "MultiLineString": 5,
     "MultiPolygon": 6,
+    "GeometryCollection": 7,
 }
 GTYPE_NAMES = {v: k for k, v in GTYPE_IDS.items()}
 
@@ -49,6 +52,12 @@ class PackedGeometry:
     coords: np.ndarray  # float64, interleaved x,y
     ring_offsets: np.ndarray  # int32
     part_offsets: np.ndarray  # int32
+    # GeometryCollection (gtype 7) only — None otherwise:
+    #   part_types:    int8[n_children], GTYPE id of each child
+    #   child_offsets: int32[n_children+1], cumulative PART counts, so
+    #                  child i owns parts child_offsets[i]:child_offsets[i+1]
+    part_types: np.ndarray | None = None
+    child_offsets: np.ndarray | None = None
 
     @property
     def n_points(self) -> int:
@@ -97,7 +106,35 @@ def from_geojson(obj) -> PackedGeometry:
                 cc = g["coordinates"]
                 flat.extend(cc if g["type"] == "MultiPoint" else [cc])
             return from_geojson({"type": "MultiPoint", "coordinates": flat})
-        raise ValueError("heterogeneous GeometryCollection not packable")
+        # heterogeneous collection (reference GeometryBuilder builds any
+        # collection, geometry.py:47-51): children concatenate into the
+        # shared flat buffers; part_types + child_offsets record each
+        # child's type and its span of parts, so to_geojson reconstructs
+        # the exact nesting (golden round-trip test_geometry.py:135-179).
+        if "GeometryCollection" in kinds:
+            raise ValueError("nested GeometryCollection not supported")
+        ccoords: list[np.ndarray] = []
+        cro: list[int] = [0]
+        cpo: list[int] = [0]
+        ptypes: list[int] = []
+        choffs: list[int] = [0]
+        for g in geoms:
+            pc = from_geojson(g)
+            ccoords.append(pc.coords)
+            rings_before = len(cro) - 1
+            base_pair = cro[-1]
+            cro.extend(base_pair + int(v) for v in pc.ring_offsets[1:])
+            cpo.extend(rings_before + int(v) for v in pc.part_offsets[1:])
+            ptypes.append(pc.gtype)
+            choffs.append(choffs[-1] + len(pc.part_offsets) - 1)
+        return PackedGeometry(
+            gtype=GTYPE_IDS["GeometryCollection"],
+            coords=np.concatenate(ccoords) if ccoords else np.empty(0, np.float64),
+            ring_offsets=np.asarray(cro, dtype=np.int32),
+            part_offsets=np.asarray(cpo, dtype=np.int32),
+            part_types=np.asarray(ptypes, dtype=np.int8),
+            child_offsets=np.asarray(choffs, dtype=np.int32),
+        )
 
     if gt == "Point":
         if coords:
@@ -135,15 +172,49 @@ def from_geojson(obj) -> PackedGeometry:
     )
 
 
+def collection_children(pg: PackedGeometry) -> list[PackedGeometry]:
+    """GeometryCollection -> list of child PackedGeometry views (slices
+    of the shared flat buffers, re-based to child-local offsets)."""
+    if pg.gtype != GTYPE_IDS["GeometryCollection"]:
+        return [pg]
+    if pg.part_types is None or pg.child_offsets is None:
+        raise ValueError("packed GeometryCollection lacks part_types/child_offsets")
+    out = []
+    ro, po, co = pg.ring_offsets, pg.part_offsets, pg.child_offsets
+    for i in range(len(pg.part_types)):
+        p0, p1 = int(co[i]), int(co[i + 1])
+        r0, r1 = int(po[p0]), int(po[p1])
+        c0, c1 = int(ro[r0]), int(ro[r1])
+        out.append(
+            PackedGeometry(
+                gtype=int(pg.part_types[i]),
+                coords=pg.coords[2 * c0 : 2 * c1],
+                ring_offsets=np.asarray(ro[r0 : r1 + 1], dtype=np.int32) - np.int32(c0),
+                part_offsets=np.asarray(po[p0 : p1 + 1], dtype=np.int32) - np.int32(r0),
+            )
+        )
+    return out
+
+
 def _round_pos(x: float, y: float, precision: int):
     # Reference rounds each coordinate: geometry.py:74 round(c, precision).
-    return [round(x, precision), round(y, precision)]
+    # float() first: round(np.float64, n) delegates to numpy's scaled
+    # rounding, which can move the value 1 ulp where CPython's
+    # correctly-rounded round() (what the reference applies) is identity.
+    return [round(float(x), precision), round(float(y), precision)]
 
 
 def to_geojson(pg: PackedGeometry, precision: int = 15) -> dict:
     """PackedGeometry -> GeoJSON dict, coordinates rounded to `precision`
     (default 15, matching gdal_boots/geometry.py:72-77)."""
     name = GTYPE_NAMES[pg.gtype]
+    if name == "GeometryCollection":
+        return {
+            "type": "GeometryCollection",
+            "geometries": [
+                to_geojson(ch, precision) for ch in collection_children(pg)
+            ],
+        }
     c = pg.coords.reshape(-1, 2)
     ro = pg.ring_offsets
     po = pg.part_offsets

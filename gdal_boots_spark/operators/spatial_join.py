@@ -293,12 +293,15 @@ def _poly_span_candidates(
             coord_parts: list[np.ndarray] = []
             ring_parts: list[np.ndarray] = []
             part_parts: list[np.ndarray] = []
-            coffs, roffs, poffs = [0], [0], [0]
+            ptype_parts: list[np.ndarray] = []  # GeometryCollection only
+            choff_parts: list[np.ndarray] = []
+            coffs, roffs, poffs, ptoffs, choffs = [0], [0], [0], [0], [0]
             part2 = np.asarray([0, 1], dtype=np.int32)
             for j, v in enumerate(texts):
                 if v is None:
                     continue
                 coords = fast_coords.get(j)
+                ptypes = None
                 if coords is not None:
                     ring = np.asarray([0, coords.size // 2], dtype=np.int32)
                     part = part2
@@ -314,6 +317,9 @@ def _poly_span_candidates(
                     ring = np.asarray(pg.ring_offsets, dtype=np.int32)
                     part = np.asarray(pg.part_offsets, dtype=np.int32)
                     gt = int(pg.gtype)
+                    if gt == 7:
+                        ptypes = np.asarray(pg.part_types, dtype=np.int8)
+                        choff = np.asarray(pg.child_offsets, dtype=np.int32)
                 mask[j] = True
                 gts.append(gt)
                 coord_parts.append(coords)
@@ -322,6 +328,14 @@ def _poly_span_candidates(
                 coffs.append(coffs[-1] + coords.size)
                 roffs.append(roffs[-1] + ring.size)
                 poffs.append(poffs[-1] + part.size)
+                if ptypes is not None:
+                    ptype_parts.append(ptypes)
+                    choff_parts.append(choff)
+                    ptoffs.append(ptoffs[-1] + ptypes.size)
+                    choffs.append(choffs[-1] + choff.size)
+                else:
+                    ptoffs.append(ptoffs[-1])
+                    choffs.append(choffs[-1])
             if not mask.any():
                 continue
             cvals = np.concatenate(coord_parts)
@@ -365,8 +379,22 @@ def _poly_span_candidates(
                     pa.ListArray.from_arrays(
                         pa.array(np.asarray(poffs, np.int64), pa.int32()), pa.array(np.concatenate(part_parts), pa.int32())
                     ),
+                    pa.ListArray.from_arrays(
+                        pa.array(np.asarray(ptoffs, np.int64), pa.int32()),
+                        pa.array(
+                            np.concatenate(ptype_parts) if ptype_parts else np.empty(0, np.int8),
+                            pa.int8(),
+                        ),
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(np.asarray(choffs, np.int64), pa.int32()),
+                        pa.array(
+                            np.concatenate(choff_parts) if choff_parts else np.empty(0, np.int32),
+                            pa.int32(),
+                        ),
+                    ),
                 ],
-                names=["gtype", "coords", "ring_offsets", "part_offsets"],
+                names=["gtype", "coords", "ring_offsets", "part_offsets", "part_types", "child_offsets"],
             )
             pmask = pa.array(mask)
             yield pa.RecordBatch.from_arrays(
@@ -387,7 +415,8 @@ def _poly_span_candidates(
         decode_bounds,
         schema=(
             "doc_id string, span_pos int, "
-            "geom struct<gtype:tinyint,coords:array<double>,ring_offsets:array<int>,part_offsets:array<int>>, "
+            "geom struct<gtype:tinyint,coords:array<double>,ring_offsets:array<int>,part_offsets:array<int>,"
+            "part_types:array<tinyint>,child_offsets:array<int>>, "
             "minx double, miny double, maxx double, maxy double, rect boolean"
         ),
     )
@@ -489,6 +518,8 @@ def pip_join_docs_any(docs: DataFrame, polys: DataFrame, res: int | None = None)
         F.array().cast("array<double>").alias("coords"),
         F.array().cast("array<int>").alias("ring_offsets"),
         F.array().cast("array<int>").alias("part_offsets"),
+        F.array().cast("array<tinyint>").alias("part_types"),
+        F.array().cast("array<int>").alias("child_offsets"),
     )
     cand = cand.select(
         "doc_id", "span_pos", "poly_id",
@@ -511,7 +542,7 @@ def pip_join_docs_any(docs: DataFrame, polys: DataFrame, res: int | None = None)
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from ..geom.packed import PackedGeometry
+        from ..geom.packed import PackedGeometry, collection_children
         from ..geom.pip import _any_segment_intersection, _open_edges, _ring_edges, points_in_polygon, polygons_intersect
 
         polys_local = bpolys.value
@@ -533,6 +564,12 @@ def pip_join_docs_any(docs: DataFrame, polys: DataFrame, res: int | None = None)
             pl = geom.field("part_offsets")
             pvals = np.asarray(pl.values, dtype=np.int32)
             poffs = np.asarray(pl.offsets, dtype=np.int64)
+            ptl = geom.field("part_types")
+            ptvals = np.asarray(ptl.values, dtype=np.int8)
+            ptoffs = np.asarray(ptl.offsets, dtype=np.int64)
+            chl = geom.field("child_offsets")
+            chvals = np.asarray(chl.values, dtype=np.int32)
+            choffs = np.asarray(chl.offsets, dtype=np.int64)
             pids = np.asarray(batch.column(batch.schema.get_field_index("poly_id")), dtype=np.int64)
 
             keep = np.zeros(n, dtype=bool)
@@ -578,7 +615,30 @@ def pip_join_docs_any(docs: DataFrame, polys: DataFrame, res: int | None = None)
                         ring_offsets=rvals[roffs[i] : roffs[i + 1]],
                         part_offsets=pvals[poffs[i] : poffs[i + 1]],
                     )
-                    if gt in (3, 6):
+                    if gt == 7:
+                        # GeometryCollection: any child intersects =>
+                        # the collection intersects.  Point children are
+                        # settled (their vertices failed the containment
+                        # pass); dispatch the rest per child type.
+                        pg.part_types = ptvals[ptoffs[i] : ptoffs[i + 1]]
+                        pg.child_offsets = chvals[choffs[i] : choffs[i + 1]]
+                        for ch in collection_children(pg):
+                            cgt = int(ch.gtype)
+                            if cgt in (1, 4) or ch.coords.size == 0:
+                                continue
+                            if cgt in (3, 6):
+                                if polygons_intersect(ch, poly):
+                                    keep[i] = True
+                                    break
+                            else:
+                                if poly_edges is None:
+                                    poly_edges = _ring_edges(pcoords, pro)
+                                if _any_segment_intersection(
+                                    _open_edges(ch.coords, ch.ring_offsets), poly_edges
+                                ):
+                                    keep[i] = True
+                                    break
+                    elif gt in (3, 6):
                         keep[i] = polygons_intersect(pg, poly)
                     else:
                         if poly_edges is None:

@@ -393,3 +393,92 @@ def test_conic_projections_reject_zero_cone_constant():
     x, y = p.forward(5.0, 30.0)
     lon, lat = p.inverse(x, y)
     assert abs(lon - 5.0) < 1e-9 and abs(lat - 30.0) < 1e-9
+
+
+def test_geometry_collection_roundtrip_reference_golden():
+    """Heterogeneous GeometryCollection round-trips the exact nesting —
+    the reference golden (test_geometry.py:135-179: Polygon-with-hole +
+    MultiLineString collection, builder -> to_geojson identity)."""
+    from gdal_boots_spark.geom.packed import bounds, collection_children, from_geojson, to_geojson
+
+    gc = {
+        "type": "GeometryCollection",
+        "geometries": [
+            {
+                "type": "Polygon",
+                "coordinates": [
+                    [
+                        [123.912278634879272, -9.949630185704605],
+                        [124.808855631265786, -9.945983073671636],
+                        [124.65841639764534, -10.631108579799987],
+                        [124.419945459363774, -10.627864806741233],
+                        [124.41738744984022, -10.63329355209617],
+                        [124.384577597635158, -10.780015859712114],
+                        [124.378588059436339, -10.807524785302114],
+                        [124.380592550665611, -10.810794106555676],
+                        [124.598579474816674, -10.901208572619954],
+                        [124.590119413296236, -10.939783777866964],
+                        [123.91517943462776, -10.942551939489967],
+                        [123.912278634879272, -9.949630185704605],
+                    ],
+                    [
+                        [124.10718673231743, -10.547923283993253],
+                        [123.983747968626105, -10.516935524633432],
+                        [123.944589830279781, -10.689682964321847],
+                        [123.959685665601114, -10.694799636598699],
+                        [124.149827985925143, -10.743024910106957],
+                        [124.1550455134511, -10.743005563201773],
+                        [124.162079987947877, -10.716424523387417],
+                        [124.195545675010933, -10.570104692584813],
+                        [124.10718673231743, -10.547923283993253],
+                    ],
+                ],
+            },
+            {
+                "type": "MultiLineString",
+                "coordinates": [
+                    [[123.91227863487927, -9.949630185704605], [124.10718673231743, -10.547923283993253]],
+                    [[124.10718673231743, -10.547923283993253], [124.16207998794787, -10.716424523387417]],
+                ],
+            },
+        ],
+    }
+    pg = from_geojson(gc)
+    assert pg.gtype == 7
+    assert to_geojson(pg) == gc
+    # children are standalone views over the shared flat buffers
+    kids = collection_children(pg)
+    assert [to_geojson(k) for k in kids] == gc["geometries"]
+    # bbox spans all children
+    minx, miny, maxx, maxy = bounds(pg)
+    assert minx <= 123.92 and maxx >= 124.8 and miny <= -10.94 and maxy >= -9.95
+
+
+def test_geometry_collection_all_child_types_and_guards():
+    from gdal_boots_spark.geom.packed import from_geojson, to_geojson
+
+    gc = {
+        "type": "GeometryCollection",
+        "geometries": [
+            {"type": "Point", "coordinates": [1.5, 2.5]},
+            {"type": "MultiPoint", "coordinates": [[3.0, 4.0], [5.0, 6.0]]},
+            {"type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 1.0]]},
+            {
+                "type": "MultiPolygon",
+                "coordinates": [
+                    [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+                    [[[2.0, 2.0], [3.0, 2.0], [3.0, 3.0], [2.0, 2.0]]],
+                ],
+            },
+        ],
+    }
+    assert to_geojson(from_geojson(gc)) == gc
+    # homogeneous collections still flatten to the operator-native MultiX
+    assert from_geojson(
+        {"type": "GeometryCollection", "geometries": [
+            {"type": "Polygon", "coordinates": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]}]}
+    ).gtype == 6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nested"):
+        from_geojson({"type": "GeometryCollection", "geometries": [gc]})

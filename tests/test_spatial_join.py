@@ -419,3 +419,39 @@ def test_auto_switch_broadcast_distributed(spark, monkeypatch):
     }
     assert used.get("shuffle"), "auto switch did not take the distributed path"
     assert auto == forced and len(auto) > 0
+
+
+def test_pip_join_docs_any_geometry_collection_spans(spark):
+    """Heterogeneous GeometryCollection geo spans refine per child:
+    polygon-child containment (no span vertex inside the dim polygon)
+    and line-child edge crossing must both keep the pair; a disjoint
+    collection must not."""
+    import json
+
+    from gdal_boots_spark.operators.spatial_join import pip_join_docs_any
+
+    def gc_doc(doc_id, geoms):
+        span = {"kind": "geo", "text": json.dumps({"type": "GeometryCollection", "geometries": geoms}), "media_ref": None, "offset": 0}
+        return (doc_id, [span])
+
+    rect = lambda x0, y0, x1, y1: {
+        "type": "Polygon",
+        "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]],
+    }
+    docs = spark.createDataFrame(
+        [
+            # polygon child CONTAINS the dim polygon (no vertex of the
+            # span inside it) + a far-away point child
+            gc_doc("c1", [rect(0.0, 0.0, 10.0, 10.0), {"type": "Point", "coordinates": [50.0, 50.0]}]),
+            # line child crosses the dim polygon; tiny far polygon child
+            gc_doc("c2", [rect(30.0, 30.0, 31.0, 31.0), {"type": "LineString", "coordinates": [[-5.0, 5.0], [15.0, 5.0]]}]),
+            # disjoint collection
+            gc_doc("c3", [rect(40.0, 40.0, 41.0, 41.0), {"type": "LineString", "coordinates": [[60.0, 60.0], [61.0, 61.0]]}]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    polys = spark.createDataFrame(
+        [(1, json.dumps(rect(4.0, 4.0, 6.0, 6.0)))], "poly_id long, geojson string"
+    )
+    got = {(r["doc_id"], r["poly_id"]) for r in pip_join_docs_any(docs, polys).collect()}
+    assert got == {("c1", 1), ("c2", 1)}
