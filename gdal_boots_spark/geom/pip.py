@@ -205,3 +205,65 @@ def geometry_intersects_polygon(pg: PackedGeometry, poly: PackedGeometry) -> boo
     line_edges = _open_edges(pg.coords, pg.ring_offsets)
     poly_edges = _ring_edges(poly.coords, poly.ring_offsets)
     return _any_segment_intersection(line_edges, poly_edges)
+
+
+def rects_intersect_polygon(
+    minx: np.ndarray,
+    miny: np.ndarray,
+    maxx: np.ndarray,
+    maxy: np.ndarray,
+    coords: np.ndarray,
+    ring_offsets: np.ndarray,
+    chunk: int = 8192,
+) -> np.ndarray:
+    """Vectorized exact GEOS-Intersects of k axis-aligned CLOSED
+    rectangles (given as bboxes) against ONE packed Polygon/MultiPolygon
+    -> bool[k].
+
+    A rectangle's packed geometry is fully determined by its bbox, so
+    the poly-span join ships rect spans payload-free and refines them
+    here (round-4 verdict item 4).  Decomposition: (1) any polygon
+    vertex inside the rect (boundary-inclusive, the overwhelmingly
+    common accept at bench shapes), (2) any rect corner inside the
+    polygon (even-odd), (3) residual boundary-crossing pairs (a polygon
+    edge slicing through the rect with no vertex containment either
+    way) via the exact segment test, only for the rare geometric
+    leftovers."""
+    minx = np.asarray(minx, np.float64)
+    miny = np.asarray(miny, np.float64)
+    maxx = np.asarray(maxx, np.float64)
+    maxy = np.asarray(maxy, np.float64)
+    k = minx.size
+    out = np.zeros(k, dtype=bool)
+    c = np.asarray(coords, np.float64).reshape(-1, 2)
+    if k == 0 or len(c) == 0:
+        return out
+    px, py = c[:, 0], c[:, 1]
+    for lo in range(0, k, chunk):
+        hi = min(lo + chunk, k)
+        inb = (
+            (px[None, :] >= minx[lo:hi, None])
+            & (px[None, :] <= maxx[lo:hi, None])
+            & (py[None, :] >= miny[lo:hi, None])
+            & (py[None, :] <= maxy[lo:hi, None])
+        )
+        out[lo:hi] = inb.any(axis=1)
+    rem = np.flatnonzero(~out)
+    if rem.size:
+        cx = np.concatenate([minx[rem], maxx[rem], maxx[rem], minx[rem]])
+        cy = np.concatenate([miny[rem], miny[rem], maxy[rem], maxy[rem]])
+        pin = points_in_polygon(cx, cy, coords, ring_offsets).reshape(4, rem.size)
+        out[rem[pin.any(axis=0)]] = True
+    rem = np.flatnonzero(~out)
+    if rem.size:
+        pedges = _ring_edges(coords, np.asarray(ring_offsets))
+        for i in rem:
+            x0, y0, x1, y1 = minx[i], miny[i], maxx[i], maxy[i]
+            redges = (
+                np.asarray([x0, x1, x1, x0]),
+                np.asarray([y0, y0, y1, y1]),
+                np.asarray([x1, x1, x0, x0]),
+                np.asarray([y0, y1, y1, y0]),
+            )
+            out[i] = _any_segment_intersection(redges, pedges)
+    return out

@@ -136,12 +136,14 @@ def interleaved_docs(
             '{"type":"Polygon","coordinates":[[[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f]]]}',
             pminx, pminy, pmaxx, pminy, pmaxx, pmaxy, pminx, pmaxy, pminx, pminy,
         )
-        # every 4th poly-span doc wraps the SAME rect in a heterogeneous
-        # GeometryCollection with its own diagonal LineString.  The line
-        # is contained in the rect child, so collection-intersects <=>
-        # rect-intersects and the analytic rect oracle stays exact —
-        # while the span exercises the packed gtype-7 decode + per-child
-        # refinement dispatch end-to-end.
+        # 1 in 20 poly-span docs (d % 200 == 43; present from sf0.001
+        # up) wraps the SAME rect in a heterogeneous GeometryCollection
+        # with its own diagonal LineString.  The line is contained in
+        # the rect child, so collection-intersects <=> rect-intersects
+        # and the analytic rect oracle stays exact — while the span
+        # exercises the packed gtype-7 decode + per-child refinement
+        # dispatch end-to-end.  Kept rare: GC rows take the per-row
+        # from_geojson decode, not the batched fromstring fast path.
         gc_text = F.format_string(
             '{"type":"GeometryCollection","geometries":['
             '{"type":"Polygon","coordinates":[[[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f]]]},'
@@ -149,7 +151,7 @@ def interleaved_docs(
             pminx, pminy, pmaxx, pminy, pmaxx, pmaxy, pminx, pmaxy, pminx, pminy,
             pminx, pminy, pmaxx, pmaxy,
         )
-        poly_text = F.when(d % 40 == F.lit(23), gc_text).otherwise(poly_text)
+        poly_text = F.when(d % 200 == F.lit(43), gc_text).otherwise(poly_text)
         has_poly = d % 10 == F.lit(3)
         geo_text = F.when(has_geo, geo_text).when(has_poly, poly_text)
         has_geo = has_geo | has_poly

@@ -455,3 +455,23 @@ def test_pip_join_docs_any_geometry_collection_spans(spark):
     )
     got = {(r["doc_id"], r["poly_id"]) for r in pip_join_docs_any(docs, polys).collect()}
     assert got == {("c1", 1), ("c2", 1)}
+
+
+def test_poly_refine_modes_identical(spark):
+    """refine_mode='where' (boolean-UDF filter, default) and 'arrow'
+    (mapInArrow row filter) produce identical pairs on mixed Point /
+    rect-Polygon / GeometryCollection spans."""
+    from gdal_boots_spark.operators.spatial_join import pip_join_docs_any
+    from gdal_boots_spark.sources.synth import interleaved_docs, rect_polygons_df
+
+    docs = interleaved_docs(spark, SF_ORACLE, poly_spans=True)
+    polys = rect_polygons_df(spark)
+    a = {
+        tuple(r)
+        for r in pip_join_docs_any(docs, polys, refine_mode="arrow").collect()
+    }
+    b = {
+        tuple(r)
+        for r in pip_join_docs_any(docs, polys, refine_mode="where").collect()
+    }
+    assert a == b and len(a) > 0
