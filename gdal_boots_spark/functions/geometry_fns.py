@@ -40,6 +40,10 @@ GEOMETRY_TYPE = StructType(
         StructField("coords", ArrayType(DoubleType())),
         StructField("ring_offsets", ArrayType(IntegerType())),
         StructField("part_offsets", ArrayType(IntegerType())),
+        # GeometryCollection (gtype 7) only, null otherwise — child
+        # geometry types + their part spans (geom/packed.py layout)
+        StructField("part_types", ArrayType(ByteType())),
+        StructField("child_offsets", ArrayType(IntegerType())),
     ]
 )
 
@@ -93,6 +97,8 @@ def _rows_to_struct_pdf(pgs: list[PackedGeometry | None]) -> pd.DataFrame:
             "coords": [None if g is None else g.coords for g in pgs],
             "ring_offsets": [None if g is None else g.ring_offsets for g in pgs],
             "part_offsets": [None if g is None else g.part_offsets for g in pgs],
+            "part_types": [None if g is None else g.part_types for g in pgs],
+            "child_offsets": [None if g is None else g.child_offsets for g in pgs],
         }
     )
 
@@ -119,7 +125,10 @@ def geojson_encode_udf(precision: int = 15):
     @pandas_udf(StringType())
     def _encode(g: pd.DataFrame) -> pd.Series:
         out = []
-        for gt, co, ro, po in zip(g["gtype"], g["coords"], g["ring_offsets"], g["part_offsets"]):
+        for gt, co, ro, po, pt, ch in zip(
+            g["gtype"], g["coords"], g["ring_offsets"], g["part_offsets"],
+            g["part_types"], g["child_offsets"],
+        ):
             if gt is None or (isinstance(gt, float) and np.isnan(gt)):
                 out.append(None)
                 continue
@@ -128,6 +137,8 @@ def geojson_encode_udf(precision: int = 15):
                 coords=np.asarray(co, dtype=np.float64),
                 ring_offsets=np.asarray(ro, dtype=np.int32),
                 part_offsets=np.asarray(po, dtype=np.int32),
+                part_types=None if pt is None else np.asarray(pt, dtype=np.int8),
+                child_offsets=None if ch is None else np.asarray(ch, dtype=np.int32),
             )
             out.append(json.dumps(to_geojson(pg, precision), separators=(",", ":")))
         return pd.Series(out)
@@ -199,6 +210,8 @@ def transform_geom_udf(src, dst):
                 "coords": coords_out,
                 "ring_offsets": list(g["ring_offsets"]),
                 "part_offsets": list(g["part_offsets"]),
+                "part_types": list(g["part_types"]),
+                "child_offsets": list(g["child_offsets"]),
             }
         )
 
