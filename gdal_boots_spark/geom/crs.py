@@ -25,6 +25,7 @@ ELLIPSOIDS = {
     "aust_SA": (6378160.0, 298.25),
     "GRS80": (6378137.0, 298.257222101),
     "clrk66": (6378206.4, 294.9786982),
+    "airy": (6377563.396, 299.3249646),
 }
 
 _R_WEB = 6378137.0  # Web-Mercator sphere radius
@@ -288,6 +289,28 @@ def _projector(crs):
                 ellps=p.get("ellps", "WGS84"),
             )
             return lcc.forward, lcc.inverse
+        if p.get("proj") == "tmerc":
+            # general transverse Mercator — the UTM kernel (Krueger
+            # series, _tm_consts) with arbitrary k_0/lat_0/x_0/y_0 and
+            # ellipsoid.  lat_0 enters as the meridian-arc northing at
+            # the origin latitude: N = k0*A*xi - M0 + y_0, folded into
+            # the kernel's false-northing term.  Golden: the EPSG
+            # Guidance Note 7-2 OSGB worked example (tests).
+            a_rf = ELLIPSOIDS.get(p.get("ellps", "WGS84"))
+            if a_rf is None:
+                raise ValueError(f"unknown ellipsoid in proj4: {crs}")
+            k0 = float(p.get("k", p.get("k_0", 1.0)))
+            consts = _tm_consts(a_rf[0], a_rf[1], k0=k0)
+            lon0 = float(p.get("lon_0", 0))
+            lat0 = float(p.get("lat_0", 0))
+            x0 = float(p.get("x_0", 0))
+            y0 = float(p.get("y_0", 0))
+            m0 = float(np.asarray(lonlat_to_tm(lon0, lat0, lon0, 0.0, 0.0, consts)[1])) if lat0 else 0.0
+            fe, fn = x0, y0 - m0
+            return (
+                lambda lon, lat: lonlat_to_tm(lon, lat, lon0, fe, fn, consts),
+                lambda x, y: tm_to_lonlat(x, y, lon0, fe, fn, consts),
+            )
         if p.get("proj") == "utm":
             lon0 = 6.0 * int(p["zone"]) - 183.0
             fn = 10000000.0 if "south" in p else 0.0

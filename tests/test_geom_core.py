@@ -482,3 +482,27 @@ def test_geometry_collection_all_child_types_and_guards():
 
     with _pytest.raises(ValueError, match="nested"):
         from_geojson({"type": "GeometryCollection", "geometries": [gc]})
+
+
+def test_tmerc_general_projection():
+    """General +proj=tmerc: EPSG Guidance Note 7-2 OSGB worked example
+    (British National Grid, airy ellipsoid, k_0/lat_0/x_0/y_0 all
+    non-default): lat 50d30'N lon 0d30'E -> E 577274.99 N 69740.50;
+    exact round-trip; UTM equivalence with the zone form."""
+    import numpy as np
+
+    from gdal_boots_spark.geom.crs import _projector
+
+    bng = "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000 +ellps=airy"
+    fwd, inv = _projector(bng)
+    x, y = fwd(0.5, 50.5)
+    assert abs(float(x) - 577274.99) < 0.02 and abs(float(y) - 69740.50) < 0.02
+    lon, lat = inv(x, y)
+    assert abs(float(lon) - 0.5) < 1e-9 and abs(float(lat) - 50.5) < 1e-9
+    xo, yo = fwd(-2.0, 49.0)
+    assert abs(float(xo) - 400000.0) < 1e-6 and abs(float(yo) + 100000.0) < 1e-6
+    f1, _ = _projector("+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9996 +x_0=500000 +ellps=WGS84")
+    f2, _ = _projector("+proj=utm +zone=33")
+    a1 = f1(np.array([14.0, 16.2]), np.array([48.0, 52.5]))
+    a2 = f2(np.array([14.0, 16.2]), np.array([48.0, 52.5]))
+    assert np.allclose(a1, a2, atol=1e-9)
