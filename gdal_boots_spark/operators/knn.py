@@ -101,30 +101,36 @@ def knn_join(
 
     Exact planar kNN (matches a full cross-join + window oracle).
     """
-    stats = base.agg(
-        F.count("*").alias("n"), F.min("x").alias("minx"), F.max("x").alias("maxx"),
-        F.min("y").alias("miny"), F.max("y").alias("maxy"),
+    # ONE aggregate job over the union of both sides (was two collects;
+    # every driver-synchronous job is ~0.2s of scheduling latency and
+    # knn's wall time is mostly job count — BENCH/BASELINE.md r4)
+    both = base.select("x", "y", F.lit(1).alias("_b")).unionByName(
+        query.select("x", "y", F.lit(0).alias("_b"))
+    )
+    srow = both.agg(
+        F.sum("_b").alias("n"),
+        F.min("x").alias("uminx"), F.max("x").alias("umaxx"),
+        F.min("y").alias("uminy"), F.max("y").alias("umaxy"),
+        F.min(F.when(F.col("_b") == 1, F.col("x"))).alias("minx"),
+        F.max(F.when(F.col("_b") == 1, F.col("x"))).alias("maxx"),
+        F.min(F.when(F.col("_b") == 1, F.col("y"))).alias("miny"),
+        F.max(F.when(F.col("_b") == 1, F.col("y"))).alias("maxy"),
     ).collect()[0]
-    qstats = query.agg(
-        F.min("x").alias("minx"), F.max("x").alias("maxx"),
-        F.min("y").alias("miny"), F.max("y").alias("maxy"),
-    ).collect()[0]
-    # extent that the expansion may need to traverse: union of both
-    uminx = min(stats["minx"], qstats["minx"])
-    umaxx = max(stats["maxx"], qstats["maxx"])
-    uminy = min(stats["miny"], qstats["miny"])
-    umaxy = max(stats["maxy"], qstats["maxy"])
+    stats = srow
+    uminx, umaxx = srow["uminx"], srow["umaxx"]
+    uminy, umaxy = srow["uminy"], srow["umaxy"]
     if res is None:
         res = _auto_res(stats["n"], (uminx, uminy, umaxx, umaxy), k)
     n = 1 << res
     cell_w, cell_h = 360.0 / n, 180.0 / n
     guarantee = min(cell_w, cell_h)
 
+    # lazy persist: round 1's join materializes the cache in-stage; an
+    # eager count() here was one full extra pass over the base
     basec = base.select(
         F.col(b_id).alias("bid"), F.col("x").alias("bx"), F.col("y").alias("by"),
         cell_id_col(F.col("x"), F.col("y"), res).alias("cell_id"),
     ).persist()
-    basec.count()
 
     # a query can never hold more than |base| neighbours; and once the
     # ring covers the whole base bbox there is nothing left to explore
@@ -171,10 +177,14 @@ def knn_join(
         # the (dist, bid) tie-break — non-strict would freeze too early.
         done_ids = kth.where((F.col("cnt") >= k_eff) & (F.col("kth") < r * guarantee)).select("qid")
         finished.append(ranked.join(done_ids, "qid", "left_semi"))
-        remaining = remaining.join(done_ids, "qid", "left_anti").localCheckpoint(eager=True)
+        # count first, checkpoint only if the loop continues: in the
+        # common everyone-finished-in-round-1 case the eager checkpoint
+        # was a wasted materialization job
+        remaining = remaining.join(done_ids, "qid", "left_anti")
         if remaining.count() == 0:
             acc = None
             break
+        remaining = remaining.localCheckpoint(eager=True)
         # keep only unfinished queries' top-k candidates (dominated
         # candidates can never re-enter the top-k, so dropping them is
         # safe and bounds the accumulator at k_eff rows per open query)
