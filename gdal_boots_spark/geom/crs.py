@@ -289,6 +289,42 @@ def _projector(crs):
                 ellps=p.get("ellps", "WGS84"),
             )
             return lcc.forward, lcc.inverse
+        if p.get("proj") == "merc":
+            # ellipsoidal Mercator (Snyder 7-6..7-10): x = a k0 (lam-lam0),
+            # y = a k0 ln(tan(pi/4+phi/2) ((1-e sin phi)/(1+e sin phi))^(e/2));
+            # +lat_ts sets k0 = cos(phi_ts)/sqrt(1-e^2 sin^2 phi_ts).
+            a_rf = ELLIPSOIDS.get(p.get("ellps", "WGS84"))
+            if a_rf is None:
+                raise ValueError(f"unknown ellipsoid in proj4: {crs}")
+            a, rf = a_rf
+            e2 = (2.0 - 1.0 / rf) / rf
+            e = math.sqrt(e2)
+            if "lat_ts" in p:
+                ts = math.radians(float(p["lat_ts"]))
+                k0 = math.cos(ts) / math.sqrt(1.0 - e2 * math.sin(ts) ** 2)
+            else:
+                k0 = float(p.get("k", p.get("k_0", 1.0)))
+            lon0 = float(p.get("lon_0", 0))
+            x0 = float(p.get("x_0", 0))
+            y0 = float(p.get("y_0", 0))
+
+            def merc_fwd(lon, lat):
+                lam = np.radians(np.asarray(lon, np.float64) - lon0)
+                phi = np.radians(np.asarray(lat, np.float64))
+                s = np.sin(phi)
+                y = a * k0 * np.log(np.tan(np.pi / 4 + phi / 2) * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+                return x0 + a * k0 * lam, y0 + y
+
+            def merc_inv(x, y):
+                lam = (np.asarray(x, np.float64) - x0) / (a * k0)
+                t = np.exp(-(np.asarray(y, np.float64) - y0) / (a * k0))
+                phi = np.pi / 2 - 2 * np.arctan(t)
+                for _ in range(8):  # Snyder 7-9 iteration
+                    s = np.sin(phi)
+                    phi = np.pi / 2 - 2 * np.arctan(t * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+                return np.degrees(lam) + lon0, np.degrees(phi)
+
+            return merc_fwd, merc_inv
         if p.get("proj") == "tmerc":
             # general transverse Mercator — the UTM kernel (Krueger
             # series, _tm_consts) with arbitrary k_0/lat_0/x_0/y_0 and

@@ -506,3 +506,32 @@ def test_tmerc_general_projection():
     a1 = f1(np.array([14.0, 16.2]), np.array([48.0, 52.5]))
     a2 = f2(np.array([14.0, 16.2]), np.array([48.0, 52.5]))
     assert np.allclose(a1, a2, atol=1e-9)
+
+
+def test_merc_general_projection():
+    """Ellipsoidal +proj=merc: Snyder Working Manual Mercator example
+    (Clarke 1866, lat 35N lon 75W, lon_0 180W -> x 11688673.7,
+    y 4139145.6); exact inverse round-trip; +lat_ts scale factor."""
+    import math
+
+    import numpy as np
+
+    from gdal_boots_spark.geom.crs import _projector
+
+    fwd, inv = _projector("+proj=merc +lon_0=-180 +ellps=clrk66")
+    x, y = fwd(-75.0, 35.0)
+    assert abs(float(x) - 11688673.7) < 0.15 and abs(float(y) - 4139145.6) < 0.15
+    lon, lat = inv(x, y)
+    assert abs(float(lon) + 75.0) < 1e-9 and abs(float(lat) - 35.0) < 1e-9
+    # +lat_ts=0 degenerates to k0=1 (identical to the bare form)
+    f2, _ = _projector("+proj=merc +lon_0=-180 +lat_ts=0 +ellps=clrk66")
+    assert np.allclose(f2(-75.0, 35.0), (x, y))
+    # at lat_ts the parallel is true-to-scale: dx/dlon == cos(ts)*N(ts)
+    f3, _ = _projector("+proj=merc +lat_ts=45 +ellps=WGS84")
+    a, rf = 6378137.0, 298.257223563
+    e2 = (2 - 1 / rf) / rf
+    ts = math.radians(45.0)
+    expected = math.cos(ts) * a / math.sqrt(1 - e2 * math.sin(ts) ** 2) * math.radians(1.0)
+    x1, _ = f3(10.0, 45.0)
+    x2, _ = f3(11.0, 45.0)
+    assert abs((float(x2) - float(x1)) - expected) < 1e-6

@@ -217,3 +217,63 @@ def test_annulus_cells_unique_property(res, r_out, r_in, spark):
     for r in rows:
         cells = list(r["cells"])
         assert len(cells) == len(set(cells)), (res, r_in, r_out)
+
+
+@st.composite
+def _any_geometry(draw, allow_collection=True):
+    """Random GeoJSON geometry with repr-exact coordinates (3-decimal
+    lattice — float() round-trips identically through json)."""
+    coord = st.integers(-179000, 179000).map(lambda v: v / 1000.0)
+    pos = st.tuples(coord, coord).map(list)
+
+    def ring():
+        return st.lists(pos, min_size=3, max_size=6).map(lambda r: r + [r[0]])
+
+    kind = draw(
+        st.sampled_from(
+            ["Point", "LineString", "Polygon", "MultiPoint", "MultiLineString", "MultiPolygon"]
+            + (["GeometryCollection"] if allow_collection else [])
+        )
+    )
+    if kind == "Point":
+        return {"type": "Point", "coordinates": draw(pos)}
+    if kind == "LineString":
+        return {"type": "LineString", "coordinates": draw(st.lists(pos, min_size=2, max_size=6))}
+    if kind == "Polygon":
+        return {"type": "Polygon", "coordinates": draw(st.lists(ring(), min_size=1, max_size=3))}
+    if kind == "MultiPoint":
+        return {"type": "MultiPoint", "coordinates": draw(st.lists(pos, min_size=1, max_size=4))}
+    if kind == "MultiLineString":
+        return {
+            "type": "MultiLineString",
+            "coordinates": draw(st.lists(st.lists(pos, min_size=2, max_size=5), min_size=1, max_size=3)),
+        }
+    if kind == "MultiPolygon":
+        return {
+            "type": "MultiPolygon",
+            "coordinates": draw(st.lists(st.lists(ring(), min_size=1, max_size=2), min_size=1, max_size=3)),
+        }
+    children = draw(
+        st.lists(_any_geometry(allow_collection=False), min_size=1, max_size=4).filter(
+            # homogeneous Point/Polygon collections flatten to MultiX by
+            # design — property-test the nesting-preserving branch
+            lambda gs: not (
+                {g["type"] for g in gs} <= {"Polygon", "MultiPolygon"}
+                or {g["type"] for g in gs} <= {"Point", "MultiPoint"}
+            )
+        )
+    )
+    return {"type": "GeometryCollection", "geometries": children}
+
+
+@given(_any_geometry())
+@settings(max_examples=120, deadline=None)
+def test_any_geometry_codec_roundtrip_property(geom):
+    """from_geojson -> to_geojson is the identity for every geometry
+    type, including heterogeneous GeometryCollections (exact nesting)."""
+    import json
+
+    from gdal_boots_spark.geom.packed import from_geojson, to_geojson
+
+    pg = from_geojson(json.dumps(geom))
+    assert to_geojson(pg) == geom
