@@ -241,35 +241,26 @@ def run_scaling() -> None:
     eff_vs_machine = round(speedup / ctl_speedup, 3) if ctl_speedup > 0 else None
     eff_vs_pandas = round(speedup / pctl_speedup, 3) if pctl_speedup > 0 else None
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # APPEND a dated run row; never rewrite the file — BASELINE.md also
+    # carries hand-written analysis sections (process scale-out, volume
+    # rows, regression root causes) that a full rewrite would destroy
+    # (it did once, r4).
+    import datetime
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%MZ")
+    with open("BENCH/BASELINE.md", "a") as f:
         f.write(
-            "# BENCH — throughput at two parallelism levels\n\n"
-            f"Input: `{SF_DIR}` replicated to {results['32']['docs']} interleaved docs "
-            "(materialized parquet; generation excluded).  Flagship job = scan + span "
-            "extraction + cell index + broadcast cover join + boolean-pandas-UDF ray-cast "
-            "refinement (ids never cross Arrow; best of 3 runs per level; run long enough "
-            "that fixed per-query driver time is <5% of the measurement).\n\n"
+            f"\n## Scaling run {stamp}\n\n"
             "| parallelism | flagship sec | docs/sec | JVM control sec | pandas-UDF control sec |\n"
             "|---|---|---|---|---|\n"
             f"| local[8] | {results['8']['queries']['pip_join_xl']} | {tp8} | "
             f"{results['8']['queries']['cpu_control']} | {results['8']['queries']['pandas_control']} |\n"
             f"| local[32] | {results['32']['queries']['pip_join_xl']} | {tp32} | "
             f"{results['32']['queries']['cpu_control']} | {results['32']['queries']['pandas_control']} |\n\n"
-            f"**Raw scaling efficiency (T32/T8)/4 = {eff}** (criterion: >= 0.8 on a real\n"
-            "N->4N *executor* scale-out).\n\n"
-            "**Machine ceiling**: local[N] threads share one memory system and turbo\n"
-            "budget, unlike cluster executors.  Two in-run controls calibrate what this\n"
-            "box can give going 8->32 threads:\n\n"
-            f"- pure-JVM control (md5 over range, no IO): **{ctl_speedup}x**\n"
-            f"- Arrow pandas-UDF control (numpy over batches): **{pctl_speedup}x**\n\n"
-            f"Flagship speedup {round(speedup, 2)}x -> efficiency **{eff_vs_machine}** of the JVM\n"
-            f"ceiling / **{eff_vs_pandas}** of the Python-worker-path ceiling.\n\n"
-            "NOTE: this host is a shared cloud VM; control speedups vary 1.3x-2.7x\n"
-            "across runs (co-tenant interference).  Treat single-run efficiency numbers\n"
-            "as +-0.2; the cross-run stable facts are: the flagship is embarrassingly\n"
-            "parallel by construction (zero fact-side shuffles, the refine is a\n"
-            "project-only boolean filter — PLANS.md), and absolute throughput is\n"
-            "5-9M docs/sec at local[32] after the r2 refine rewrite.\n"
+            f"Raw (T32/T8)/4 = {eff}; same-run ceilings: JVM {ctl_speedup}x, "
+            f"pandas {pctl_speedup}x; flagship {round(speedup, 2)}x -> "
+            f"**{eff_vs_machine}** of the JVM ceiling / **{eff_vs_pandas}** of the "
+            "Python-worker ceiling.\n"
         )
     print(json.dumps({
         "scaling_efficiency": eff,
