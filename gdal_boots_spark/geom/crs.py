@@ -11,6 +11,14 @@ series (UTM zones EPSG:326xx/327xx, ~nm accuracy), and Snyder's
 ellipsoidal Albers equal-area for ``+proj=aea`` proj4 strings (the
 reference exercises ESRI:102033 on the aust_SA ellipsoid,
 tests/test_raster.py:489-495).
+
+Round-4 widening toward the reference's "any proj4 via osr"
+(gdal.py:124): +proj= longlat, merc (ellipsoidal, +lat_ts), tmerc,
+utm, aea, lcc, stere (polar ellipsoidal + oblique via the conformal
+sphere), laea (oblique + polar, authalic sphere), cea, eqc, sinu
+(ellipsoidal meridian arc; MODIS sphere with +R), moll — all Snyder
+closed forms, all with +a/+b/+rf/+R/+ellps ellipsoid overrides.
+Anything else raises a clear ValueError naming the string.
 """
 
 from __future__ import annotations
@@ -252,6 +260,383 @@ class LambertConformalProj:
         return np.degrees(lam) + self.lon_0, np.degrees(phi)
 
 
+# --- shared ellipsoid / auxiliary-latitude helpers --------------------
+def _resolve_ellipsoid(p: dict):
+    """(a, e2, e) from proj4 params: +R (sphere) > +a/+b or +a/+rf > +ellps.
+
+    Mirrors PROJ's parameter precedence so strings like MODIS sinusoidal
+    (+proj=sinu +R=6371007.181) and explicit +a=+b= datums resolve without
+    a named ellipsoid."""
+    if "R" in p:
+        return float(p["R"]), 0.0, 0.0
+    if "a" in p:
+        a = float(p["a"])
+        if "b" in p:
+            b = float(p["b"])
+            e2 = 1.0 - (b * b) / (a * a)
+        elif "rf" in p:
+            rf = float(p["rf"])
+            e2 = (2.0 - 1.0 / rf) / rf if rf else 0.0
+        else:
+            e2 = 0.0
+        return a, e2, math.sqrt(e2)
+    a_rf = ELLIPSOIDS.get(p.get("ellps", "WGS84"))
+    if a_rf is None:
+        raise ValueError(f"unknown ellipsoid: {p.get('ellps')}")
+    a, rf = a_rf
+    e2 = (2.0 - 1.0 / rf) / rf
+    return a, e2, math.sqrt(e2)
+
+
+def _norm_lon_deg(lon):
+    """Wrap degrees into (-180, 180] (a nonzero +lon_0 otherwise walks
+    inverse longitudes out of range near the antimeridian)."""
+    return -(((-np.asarray(lon, np.float64)) + 180.0) % 360.0 - 180.0)
+
+
+def _conformal_lat(phi, e):
+    """Geodetic -> conformal latitude chi (Snyder 3-1)."""
+    s = np.sin(phi)
+    return 2.0 * np.arctan(np.tan(np.pi / 4 + phi / 2) * ((1 - e * s) / (1 + e * s)) ** (e / 2)) - np.pi / 2
+
+
+def _from_conformal_lat(chi, e):
+    """Conformal -> geodetic latitude (Snyder 3-5 trig series)."""
+    e2 = e * e
+    e4, e6, e8 = e2 * e2, e2**3, e2**4
+    return (
+        chi
+        + (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * np.sin(2 * chi)
+        + (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * np.sin(4 * chi)
+        + (7 * e6 / 120 + 81 * e8 / 1120) * np.sin(6 * chi)
+        + (4279 * e8 / 161280) * np.sin(8 * chi)
+    )
+
+
+def _q_auth(phi, e, e2):
+    """Snyder 3-12 authalic q (vectorized; e=0 -> 2 sin(phi))."""
+    s = np.sin(phi)
+    if e == 0.0:
+        return 2.0 * s
+    return (1 - e2) * (s / (1 - e2 * s * s) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+
+
+def _from_authalic_lat(beta, e):
+    """Authalic -> geodetic latitude (Snyder 3-18 series)."""
+    e2 = e * e
+    e4, e6 = e2 * e2, e2**3
+    return (
+        beta
+        + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * np.sin(2 * beta)
+        + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta)
+        + (761 * e6 / 45360) * np.sin(6 * beta)
+    )
+
+
+def _meridian_arc(phi, a, e2):
+    """Meridian distance from equator, Snyder 3-21 series."""
+    e4, e6 = e2 * e2, e2**3
+    return a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+        - (35 * e6 / 3072) * np.sin(6 * phi)
+    )
+
+
+def _from_meridian_arc(M, a, e2):
+    """Footpoint latitude from meridian distance (Snyder 3-26 series)."""
+    e4, e6 = e2 * e2, e2**3
+    mu = M / (a * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    return (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+        + (151 * e1**3 / 96) * np.sin(6 * mu)
+        + (1097 * e1**4 / 512) * np.sin(8 * mu)
+    )
+
+
+class StereographicProj:
+    """+proj=stere — polar ellipsoidal (Snyder 21-33..21-35, 7-9; the
+    EPSG:3413/3031 family) and oblique/equatorial ellipsoidal via the
+    conformal sphere (Snyder 21-27..21-39, pp. 160-161).  Conformal:
+    the test suite asserts local-scale isotropy numerically, the
+    round-trip to machine precision, and the polar fixed points
+    (pole -> (x_0, y_0); true scale along +lat_ts)."""
+
+    def __init__(self, p: dict):
+        self.a, self.e2, self.e = _resolve_ellipsoid(p)
+        self.lon0 = math.radians(float(p.get("lon_0", 0)))
+        self.x0 = float(p.get("x_0", 0))
+        self.y0 = float(p.get("y_0", 0))
+        lat0 = float(p.get("lat_0", 0))
+        self.polar = 0 if abs(lat0) != 90.0 else (1 if lat0 > 0 else -1)
+        if "lat_ts" in p:
+            ts = math.radians(float(p["lat_ts"]))
+            if self.polar:
+                # true scale along lat_ts: rho = a * m(ts) * t / t(ts)
+                s = math.sin(abs(ts))
+                m_ts = math.cos(abs(ts)) / math.sqrt(1 - self.e2 * s * s)
+                t_ts = self._t(np.array(abs(ts)))
+                self.rho_f = self.a * m_ts / float(t_ts)
+                self.k0 = self.rho_f * math.sqrt(
+                    (1 + self.e) ** (1 + self.e) * (1 - self.e) ** (1 - self.e)
+                ) / (2 * self.a)
+            else:
+                raise ValueError("+proj=stere: +lat_ts is only valid with polar +lat_0=+/-90")
+        else:
+            self.k0 = float(p.get("k", p.get("k_0", 1.0)))
+            self.rho_f = (
+                2 * self.a * self.k0
+                / math.sqrt((1 + self.e) ** (1 + self.e) * (1 - self.e) ** (1 - self.e))
+            )
+        if not self.polar:
+            phi0 = math.radians(lat0)
+            self.chi0 = float(_conformal_lat(np.array(phi0), self.e))
+            s0 = math.sin(phi0)
+            self.m0 = math.cos(phi0) / math.sqrt(1 - self.e2 * s0 * s0)
+
+    def _t(self, phi):
+        s = np.sin(phi)
+        return np.tan(np.pi / 4 - phi / 2) / ((1 - self.e * s) / (1 + self.e * s)) ** (self.e / 2)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64)) - self.lon0
+        phi = np.radians(np.asarray(lat, np.float64))
+        if self.polar:
+            sgn = self.polar
+            t = self._t(sgn * phi)
+            rho = self.rho_f * t
+            return self.x0 + rho * np.sin(lam), self.y0 - sgn * rho * np.cos(lam)
+        chi = _conformal_lat(phi, self.e)
+        c0, s0 = math.cos(self.chi0), math.sin(self.chi0)
+        A = 2 * self.a * self.k0 * self.m0 / (
+            math.cos(self.chi0) * (1 + s0 * np.sin(chi) + c0 * np.cos(chi) * np.cos(lam))
+        )
+        x = A * np.cos(chi) * np.sin(lam)
+        y = A * (c0 * np.sin(chi) - s0 * np.cos(chi) * np.cos(lam))
+        return self.x0 + x, self.y0 + y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, np.float64) - self.x0
+        y = np.asarray(y, np.float64) - self.y0
+        if self.polar:
+            sgn = self.polar
+            rho = np.hypot(x, y)
+            t = rho / self.rho_f
+            chi = np.pi / 2 - 2 * np.arctan(t)
+            phi = chi.copy()
+            for _ in range(8):  # Snyder 7-9
+                s = np.sin(phi)
+                phi = np.pi / 2 - 2 * np.arctan(t * ((1 - self.e * s) / (1 + self.e * s)) ** (self.e / 2))
+            lam = np.arctan2(x, -sgn * y)
+            return _norm_lon_deg(np.degrees(self.lon0 + lam)), np.degrees(sgn * phi)
+        rho = np.hypot(x, y)
+        c0, s0 = math.cos(self.chi0), math.sin(self.chi0)
+        ce = 2 * np.arctan2(rho * c0, 2 * self.a * self.k0 * self.m0)
+        with np.errstate(invalid="ignore"):
+            chi = np.where(
+                rho == 0.0,
+                self.chi0,
+                np.arcsin(np.clip(np.cos(ce) * s0 + y * np.sin(ce) * c0 / np.where(rho == 0, 1, rho), -1, 1)),
+            )
+        lam = np.arctan2(x * np.sin(ce), rho * c0 * np.cos(ce) - y * s0 * np.sin(ce))
+        return _norm_lon_deg(np.degrees(self.lon0 + lam)), np.degrees(_from_conformal_lat(chi, self.e))
+
+
+class LambertAzimuthalEqualAreaProj:
+    """+proj=laea — ellipsoidal oblique + polar (Snyder 24-2..24-16 via
+    the authalic sphere; EPSG:3035 is the oblique golden).  Equal-area:
+    the test suite asserts the numerical Jacobian equals the ellipsoid
+    area element everywhere sampled."""
+
+    def __init__(self, p: dict):
+        self.a, self.e2, self.e = _resolve_ellipsoid(p)
+        self.lon0 = math.radians(float(p.get("lon_0", 0)))
+        self.x0 = float(p.get("x_0", 0))
+        self.y0 = float(p.get("y_0", 0))
+        lat0 = float(p.get("lat_0", 0))
+        self.qp = float(_q_auth(np.array(np.pi / 2), self.e, self.e2))
+        self.Rq = self.a * math.sqrt(self.qp / 2)
+        self.polar = 0 if abs(lat0) != 90.0 else (1 if lat0 > 0 else -1)
+        if not self.polar:
+            phi0 = math.radians(lat0)
+            q0 = float(_q_auth(np.array(phi0), self.e, self.e2))
+            self.beta0 = math.asin(min(max(q0 / self.qp, -1.0), 1.0))
+            s0 = math.sin(phi0)
+            m0 = math.cos(phi0) / math.sqrt(1 - self.e2 * s0 * s0)
+            self.D = self.a * m0 / (self.Rq * math.cos(self.beta0))
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64)) - self.lon0
+        phi = np.radians(np.asarray(lat, np.float64))
+        q = _q_auth(phi, self.e, self.e2)
+        if self.polar:
+            sgn = self.polar
+            rho = self.a * np.sqrt(np.maximum(self.qp - sgn * q, 0.0))
+            return self.x0 + rho * np.sin(lam), self.y0 - sgn * rho * np.cos(lam)
+        beta = np.arcsin(np.clip(q / self.qp, -1, 1))
+        c0, s0 = math.cos(self.beta0), math.sin(self.beta0)
+        denom = 1 + s0 * np.sin(beta) + c0 * np.cos(beta) * np.cos(lam)
+        B = self.Rq * np.sqrt(2.0 / denom)
+        x = B * self.D * np.cos(beta) * np.sin(lam)
+        y = (B / self.D) * (c0 * np.sin(beta) - s0 * np.cos(beta) * np.cos(lam))
+        return self.x0 + x, self.y0 + y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, np.float64) - self.x0
+        y = np.asarray(y, np.float64) - self.y0
+        if self.polar:
+            sgn = self.polar
+            rho = np.hypot(x, y)
+            q = sgn * (self.qp - (rho / self.a) ** 2)
+            beta = np.arcsin(np.clip(q / self.qp, -1, 1))
+            lam = np.arctan2(x, -sgn * y)
+            return _norm_lon_deg(np.degrees(self.lon0 + lam)), np.degrees(_from_authalic_lat(beta, self.e))
+        c0, s0 = math.cos(self.beta0), math.sin(self.beta0)
+        rho = np.hypot(x / self.D, self.D * y)
+        ce = 2 * np.arcsin(np.clip(rho / (2 * self.Rq), -1, 1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            beta = np.where(
+                rho == 0.0,
+                self.beta0,
+                np.arcsin(
+                    np.clip(np.cos(ce) * s0 + self.D * y * np.sin(ce) * c0 / np.where(rho == 0, 1, rho), -1, 1)
+                ),
+            )
+        lam = np.arctan2(x * np.sin(ce), self.D * rho * c0 * np.cos(ce) - self.D**2 * y * s0 * np.sin(ce))
+        return _norm_lon_deg(np.degrees(self.lon0 + lam)), np.degrees(_from_authalic_lat(beta, self.e))
+
+
+def _make_cea(p: dict):
+    """+proj=cea — ellipsoidal cylindrical equal-area (Snyder 10-7,
+    10-26): x = a k0 lam, y = a q / (2 k0); +lat_ts sets k0."""
+    a, e2, e = _resolve_ellipsoid(p)
+    ts = math.radians(float(p.get("lat_ts", 0)))
+    k0 = float(p.get("k", p.get("k_0", math.cos(ts) / math.sqrt(1 - e2 * math.sin(ts) ** 2))))
+    lon0 = math.radians(float(p.get("lon_0", 0)))
+    x0, y0 = float(p.get("x_0", 0)), float(p.get("y_0", 0))
+    qp = float(_q_auth(np.array(np.pi / 2), e, e2))
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64)) - lon0
+        phi = np.radians(np.asarray(lat, np.float64))
+        return x0 + a * k0 * lam, y0 + a * _q_auth(phi, e, e2) / (2 * k0)
+
+    def inv(x, y):
+        lam = (np.asarray(x, np.float64) - x0) / (a * k0)
+        q = 2 * k0 * (np.asarray(y, np.float64) - y0) / a
+        beta = np.arcsin(np.clip(q / qp, -1, 1))
+        return _norm_lon_deg(np.degrees(lon0 + lam)), np.degrees(_from_authalic_lat(beta, e))
+
+    return fwd, inv
+
+
+def _make_eqc(p: dict):
+    """+proj=eqc — equidistant cylindrical / plate carree (Snyder 12-1,
+    12-2 spherical on the semimajor axis, as PROJ computes it):
+    x = a lam cos(lat_ts), y = a (phi - lat_0)."""
+    a, _, _ = _resolve_ellipsoid(p)
+    ts = math.radians(float(p.get("lat_ts", 0)))
+    phi0 = math.radians(float(p.get("lat_0", 0)))
+    lon0 = math.radians(float(p.get("lon_0", 0)))
+    x0, y0 = float(p.get("x_0", 0)), float(p.get("y_0", 0))
+    cts = math.cos(ts)
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64)) - lon0
+        phi = np.radians(np.asarray(lat, np.float64))
+        return x0 + a * lam * cts, y0 + a * (phi - phi0)
+
+    def inv(x, y):
+        lam = (np.asarray(x, np.float64) - x0) / (a * cts)
+        phi = (np.asarray(y, np.float64) - y0) / a + phi0
+        return _norm_lon_deg(np.degrees(lon0 + lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
+def _make_sinu(p: dict):
+    """+proj=sinu — sinusoidal (Snyder 30-1/30-2 spherical with +R, the
+    MODIS grid; 30-8/30-21 ellipsoidal: x = a lam cos(phi)/W,
+    y = M(phi)).  Equal-area; pseudocylindrical."""
+    a, e2, e = _resolve_ellipsoid(p)
+    lon0 = math.radians(float(p.get("lon_0", 0)))
+    x0, y0 = float(p.get("x_0", 0)), float(p.get("y_0", 0))
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64)) - lon0
+        phi = np.radians(np.asarray(lat, np.float64))
+        if e2 == 0.0:
+            return x0 + a * lam * np.cos(phi), y0 + a * phi
+        w = np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        return x0 + a * lam * np.cos(phi) / w, y0 + _meridian_arc(phi, a, e2)
+
+    def inv(x, y):
+        x = np.asarray(x, np.float64) - x0
+        y = np.asarray(y, np.float64) - y0
+        if e2 == 0.0:
+            phi = y / a
+            with np.errstate(invalid="ignore", divide="ignore"):
+                lam = np.where(np.cos(phi) == 0, 0.0, x / (a * np.cos(phi)))
+            return _norm_lon_deg(np.degrees(lon0 + lam)), np.degrees(phi)
+        phi = _from_meridian_arc(y, a, e2)
+        w = np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lam = np.where(np.cos(phi) == 0, 0.0, x * w / (a * np.cos(phi)))
+        return _norm_lon_deg(np.degrees(lon0 + lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
+def _make_moll(p: dict):
+    """+proj=moll — Mollweide (Snyder 31-1..31-7, spherical on the
+    semimajor axis as PROJ does).  theta solved by Newton iteration on
+    2*theta + sin(2*theta) = pi*sin(phi)."""
+    a, _, _ = _resolve_ellipsoid(p)
+    lon0 = math.radians(float(p.get("lon_0", 0)))
+    x0, y0 = float(p.get("x_0", 0)), float(p.get("y_0", 0))
+    rx = a * math.sqrt(8.0) / math.pi  # 2*sqrt(2)/pi * a
+    ry = a * math.sqrt(2.0)
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64)) - lon0
+        phi = np.radians(np.asarray(lat, np.float64))
+        rhs = np.pi * np.sin(phi)
+        theta = phi.copy()
+        for _ in range(12):  # Snyder 31-3 Newton; converges quadratically
+            f = 2 * theta + np.sin(2 * theta) - rhs
+            fp = 2 + 2 * np.cos(2 * theta)
+            theta = theta - f / np.where(np.abs(fp) < 1e-12, 1e-12, fp)
+        theta = np.where(np.abs(phi) >= np.pi / 2 - 1e-12, np.sign(phi) * np.pi / 2, theta)
+        return x0 + rx * lam * np.cos(theta), y0 + ry * np.sin(theta)
+
+    def inv(x, y):
+        theta = np.arcsin(np.clip((np.asarray(y, np.float64) - y0) / ry, -1, 1))
+        phi = np.arcsin(np.clip((2 * theta + np.sin(2 * theta)) / np.pi, -1, 1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lam = np.where(
+                np.abs(np.cos(theta)) < 1e-12, 0.0, (np.asarray(x, np.float64) - x0) / (rx * np.cos(theta))
+            )
+        return _norm_lon_deg(np.degrees(lon0 + lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
+# Named EPSG shortcuts for the new projection families (the definitions
+# are the published proj4 expansions of each code).
+EPSG_PROJ4 = {
+    3035: "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80",
+    3413: "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 +ellps=WGS84",
+    3031: "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    6933: "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    32662: "+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    54008: "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+}
+
+
 def parse_proj4(proj4: str) -> dict:
     out = {}
     for tok in proj4.split():
@@ -354,6 +739,20 @@ def _projector(crs):
                 lambda lon, lat: lonlat_to_tm(lon, lat, lon0, 500000.0, fn),
                 lambda x, y: tm_to_lonlat(x, y, lon0, 500000.0, fn),
             )
+        if p.get("proj") == "stere":
+            st = StereographicProj(p)
+            return st.forward, st.inverse
+        if p.get("proj") == "laea":
+            la = LambertAzimuthalEqualAreaProj(p)
+            return la.forward, la.inverse
+        if p.get("proj") == "cea":
+            return _make_cea(p)
+        if p.get("proj") == "eqc":
+            return _make_eqc(p)
+        if p.get("proj") == "sinu":
+            return _make_sinu(p)
+        if p.get("proj") == "moll":
+            return _make_moll(p)
         if p.get("proj") in ("longlat", "latlong"):
             ident = lambda u, v: (np.asarray(u, np.float64), np.asarray(v, np.float64))
             return ident, ident
@@ -364,6 +763,8 @@ def _projector(crs):
         return ident, ident
     if epsg == 3857:
         return lonlat_to_webmercator, webmercator_to_lonlat
+    if epsg in EPSG_PROJ4:
+        return _projector(EPSG_PROJ4[epsg])
     lon0, fe, fn = _utm_params(epsg)
     return (
         lambda lon, lat: lonlat_to_tm(lon, lat, lon0, fe, fn),
@@ -374,8 +775,9 @@ def _projector(crs):
 def transform_coords(x, y, src, dst):
     """Batch transform arrays of coordinates from `src` CRS to `dst`.
 
-    `src`/`dst`: EPSG int (4326, 3857, 326xx/327xx) or a proj4 string
-    (+proj=aea / +proj=utm / +proj=longlat).  Mirrors the reference's
+    `src`/`dst`: EPSG int (4326, 3857, 326xx/327xx, plus the named
+    shortcuts in EPSG_PROJ4) or a proj4 string for any projection in
+    the module docstring's +proj list.  Mirrors the reference's
     ``transform`` (geometry.py:142-145) but vectorized over the batch
     instead of one osr call per geometry.
     """

@@ -145,14 +145,32 @@ def _cc_distributed(pairs: DataFrame) -> DataFrame:
 def polygonize(
     spark: SparkSession, tiles: DataFrame, grid: RasterGrid, exclude=None, band: int = 0,
     cc_threshold: int = 200_000, distributed_cc: bool | None = None,
+    progress=None,
 ) -> DataFrame:
     """-> (comp_id string, value double, n_pixels long, geojson string).
 
     ``distributed_cc``: None = auto (driver union-find while the merge
     graph has <= cc_threshold pairs, Spark CC beyond), True/False to
-    force a path.  Outputs are identical either way (tested)."""
+    force a path.  Outputs are identical either way (tested).
+
+    ``progress``: optional GDAL-style callback ``(fraction, msg,
+    user_data)`` mirroring the reference's ``to_vector(callback=...)``
+    (gdal.py:609-623, exercised with tqdm in test_raster.py:120-134).
+    gdal.Polygonize is synchronous, so when a callback is given the
+    stages run eagerly (tile sweep -> merge graph -> connected
+    components -> ring assembly) and the returned DataFrame is fully
+    materialized (persisted) by the time 1.0 is reported; without one,
+    the plan stays lazy as before."""
+    def _report(frac, msg):
+        if progress is not None:
+            progress(frac, msg, None)
+
+    _report(0.0, "polygonize: tile sweep")
     src = tiles.where(F.col("band") == band).select("tile_x", "tile_y", "width", "height", "dtype", "data")
     raw = src.mapInPandas(_per_tile(grid, exclude), schema="kind string, payload string, edges binary").persist()
+    if progress is not None:
+        raw.count()  # materialize the per-tile pass into the persisted cache
+        _report(0.4, "polygonize: merge graph")
 
     comps = raw.where(F.col("kind") == "c").select(
         F.get_json_object("payload", "$.comp").alias("comp"),
@@ -189,6 +207,7 @@ def polygonize(
         use_dist = pairs_df.count() > cc_threshold
     else:
         use_dist = distributed_cc
+    _report(0.6, "polygonize: connected components")
 
     if use_dist:
         labels = _cc_distributed(pairs_df)
@@ -282,4 +301,9 @@ def polygonize(
     out = merged.groupBy("gid").applyInPandas(
         assemble, schema="comp_id string, value double, n_pixels long, geojson string"
     )
+    if progress is not None:
+        _report(0.8, "polygonize: ring assembly")
+        out = out.persist()
+        out.count()
+        _report(1.0, "polygonize: done")
     return out

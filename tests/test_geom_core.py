@@ -535,3 +535,174 @@ def test_merc_general_projection():
     x1, _ = f3(10.0, 45.0)
     x2, _ = f3(11.0, 45.0)
     assert abs((float(x2) - float(x1)) - expected) < 1e-6
+
+
+def test_stere_projection():
+    """+proj=stere (round 4): polar ellipsoidal (EPSG:3413/3031) and
+    oblique via the conformal sphere.  Invariants: pole fixed point,
+    true scale along +lat_ts, sphere closed-form agreement
+    (rho = 2 R k0 tan(pi/4 - phi/2)), local conformality, exact
+    round-trips, antimeridian-safe inverse longitudes."""
+    import math
+
+    import numpy as np
+
+    from gdal_boots_spark.geom.crs import _projector
+
+    fwd, inv = _projector(3413)  # north polar, lat_ts=70, lon_0=-45
+    x, y = fwd(0.0, 90.0)
+    assert abs(float(x)) < 1e-6 and abs(float(y)) < 1e-6
+    # true scale along lat_ts: dx/dlon at 70N == N(70)*cos(70) per rad
+    a, rf = 6378137.0, 298.257223563
+    e2 = (2 - 1 / rf) / rf
+    ts = math.radians(70.0)
+    per_deg = a * math.cos(ts) / math.sqrt(1 - e2 * math.sin(ts) ** 2) * math.radians(1.0)
+    x1, y1 = fwd(10.0, 70.0)
+    x2, y2 = fwd(10.001, 70.0)
+    d = math.hypot(float(x2) - float(x1), float(y2) - float(y1)) / 0.001
+    assert abs(d - per_deg) < 0.5
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-179.9, 179.9, 300)
+    lat = rng.uniform(30, 89.9, 300)
+    lo2, la2 = inv(*fwd(lon, lat))
+    assert np.abs(lo2 - lon).max() < 1e-8 and np.abs(la2 - lat).max() < 1e-8
+    # south polar (EPSG:3031) round-trip
+    fs, is_ = _projector(3031)
+    lats = rng.uniform(-89.9, -40, 300)
+    lo2, la2 = is_(*fs(lon, lats))
+    assert np.abs(lo2 - lon).max() < 1e-8 and np.abs(la2 - lats).max() < 1e-8
+    # ellipsoidal code with e=0 equals the spherical closed form
+    fsp, _ = _projector("+proj=stere +lat_0=90 +k=0.994 +R=6378137")
+    xs, ys = fsp(30.0, 60.0)
+    rho = 2 * 6378137 * 0.994 * math.tan(math.pi / 4 - math.radians(60) / 2)
+    assert abs(math.hypot(float(xs), float(ys)) - rho) < 1e-6
+    # oblique: conformality (scale isotropy) + round-trip
+    fo, io = _projector("+proj=stere +lat_0=52 +lon_0=10 +k=0.9999 +x_0=155000 +y_0=463000 +ellps=WGS84")
+    d = 1e-6
+    lon0, lat0 = 25.0, 60.0
+    x0, y0 = fo(lon0, lat0)
+    xa, ya = fo(lon0 + d, lat0)
+    xb, yb = fo(lon0, lat0 + d)
+    phi = math.radians(lat0)
+    N = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    M = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+    k_par = math.hypot(float(xa) - float(x0), float(ya) - float(y0)) / (d * math.pi / 180 * N * math.cos(phi))
+    k_mer = math.hypot(float(xb) - float(x0), float(yb) - float(y0)) / (d * math.pi / 180 * M)
+    assert abs(k_par / k_mer - 1.0) < 1e-6
+    lo2, la2 = io(*fo(lon, lat))
+    assert np.abs(lo2 - lon).max() < 1e-7 and np.abs(la2 - lat).max() < 1e-7
+
+
+def test_laea_projection():
+    """+proj=laea (round 4): the EPSG Guidance Note 7-2 ETRS89-LAEA
+    worked example (lat 50N lon 5E -> E 3962799.45 N 2999718.85),
+    origin fixed point, polar aspects, equal-area Jacobian, exact
+    round-trips."""
+    import math
+
+    import numpy as np
+
+    from gdal_boots_spark.geom.crs import _projector
+
+    fwd, inv = _projector(3035)
+    x, y = fwd(5.0, 50.0)
+    assert abs(float(x) - 3962799.45) < 0.02 and abs(float(y) - 2999718.85) < 0.02
+    xo, yo = fwd(10.0, 52.0)
+    assert abs(float(xo) - 4321000.0) < 1e-6 and abs(float(yo) - 3210000.0) < 1e-6
+    lon, lat = inv(x, y)
+    assert abs(float(lon) - 5.0) < 1e-7 and abs(float(lat) - 50.0) < 1e-7
+    # equal-area: numerical Jacobian == ellipsoid area element
+    a, rf = 6378137.0, 298.257222101
+    e2 = (2 - 1 / rf) / rf
+    d = 1e-6
+    for lon0, lat0 in [(5.0, 50.0), (-20.0, 70.0), (30.0, 35.0)]:
+        x0, y0 = fwd(lon0, lat0)
+        xa, ya = fwd(lon0 + d, lat0)
+        xb, yb = fwd(lon0, lat0 + d)
+        J = abs((float(xa) - float(x0)) * (float(yb) - float(y0)) - (float(xb) - float(x0)) * (float(ya) - float(y0))) / (d * d)
+        phi = math.radians(lat0)
+        elem = a * a * (1 - e2) * math.cos(phi) / (1 - e2 * math.sin(phi) ** 2) ** 2 * (math.pi / 180) ** 2
+        assert abs(J / elem - 1.0) < 1e-5
+    rng = np.random.default_rng(4)
+    lons = rng.uniform(-179.9, 179.9, 300)
+    for p4, lats in [
+        ("+proj=laea +lat_0=90 +lon_0=0 +ellps=WGS84", rng.uniform(20, 89.9, 300)),
+        ("+proj=laea +lat_0=-90 +lon_0=0 +ellps=WGS84", rng.uniform(-89.9, -20, 300)),
+        ("+proj=laea +lat_0=52 +lon_0=10 +ellps=GRS80", rng.uniform(-80, 80, 300)),
+    ]:
+        f, i = _projector(p4)
+        lo2, la2 = i(*f(lons, lats))
+        assert np.abs(lo2 - lons).max() < 1e-6 and np.abs(la2 - lats).max() < 1e-6
+
+
+def test_cea_eqc_sinu_moll_projections():
+    """Round-4 cylindrical/pseudocylindrical family: cea (ellipsoidal
+    equal-area, EPSG:6933), eqc (plate carree), sinu (MODIS sphere via
+    +R + ellipsoidal meridian arc), moll.  Fixed forms, equal-area
+    Jacobians, exact round-trips, ellipsoid-override equivalence."""
+    import math
+
+    import numpy as np
+
+    from gdal_boots_spark.geom.crs import EPSG_PROJ4, _projector
+
+    a, rf = 6378137.0, 298.257223563
+    e2 = (2 - 1 / rf) / rf
+    rng = np.random.default_rng(5)
+    lons = rng.uniform(-179.9, 179.9, 300)
+    lats = rng.uniform(-85, 85, 300)
+
+    # eqc: exact affine in (lon, lat)
+    f, i = _projector("+proj=eqc +lat_ts=30 +lon_0=10 +ellps=WGS84")
+    x, y = f(11.0, 45.0)
+    assert abs(float(x) - a * math.cos(math.radians(30)) * math.radians(1.0)) < 1e-6
+    assert abs(float(y) - a * math.radians(45.0)) < 1e-6
+    lo2, la2 = i(*f(lons, lats))
+    assert np.abs(lo2 - lons).max() < 1e-9 and np.abs(la2 - lats).max() < 1e-9
+
+    # sinu MODIS sphere: y = R*phi, x = R*lam*cos(phi) exactly
+    R = 6371007.181
+    f, i = _projector(f"+proj=sinu +lon_0=0 +R={R}")
+    x, y = f(1.0, 40.0)
+    assert abs(float(y) - R * math.radians(40.0)) < 1e-6
+    assert abs(float(x) - R * math.radians(1.0) * math.cos(math.radians(40.0))) < 1e-6
+    lo2, la2 = i(*f(lons, lats))
+    assert np.abs(lo2 - lons).max() < 1e-9 and np.abs(la2 - lats).max() < 1e-9
+
+    # equal-area Jacobian for cea / sinu(ellipsoidal) / moll(sphere on a)
+    d = 1e-6
+    for p4, sphere in [
+        ("+proj=cea +lat_ts=30 +ellps=WGS84", False),
+        ("+proj=sinu +ellps=WGS84", False),
+        ("+proj=moll +ellps=WGS84", True),
+    ]:
+        fwd, inv = _projector(p4)
+        for lon0, lat0 in [(20.0, 40.0), (-60.0, -25.0)]:
+            x0, y0 = fwd(lon0, lat0)
+            xa, ya = fwd(lon0 + d, lat0)
+            xb, yb = fwd(lon0, lat0 + d)
+            J = abs(
+                (float(xa) - float(x0)) * (float(yb) - float(y0))
+                - (float(xb) - float(x0)) * (float(ya) - float(y0))
+            ) / (d * d)
+            phi = math.radians(lat0)
+            if sphere:
+                elem = a * a * math.cos(phi) * (math.pi / 180) ** 2
+            else:
+                elem = a * a * (1 - e2) * math.cos(phi) / (1 - e2 * math.sin(phi) ** 2) ** 2 * (math.pi / 180) ** 2
+            assert abs(J / elem - 1.0) < 1e-4, p4
+        lo2, la2 = inv(*fwd(lons, lats))
+        assert np.abs(lo2 - lons).max() < 1e-6 and np.abs(la2 - lats).max() < 1e-6, p4
+
+    # ellipsoid overrides: +a/+rf == +ellps=WGS84; epsg shortcut == proj4
+    f1, _ = _projector("+proj=cea +lat_ts=30 +a=6378137 +rf=298.257223563")
+    f2, _ = _projector("+proj=cea +lat_ts=30 +ellps=WGS84")
+    assert np.allclose(f1(lons, lats), f2(lons, lats), atol=1e-9)
+    f3, _ = _projector(6933)
+    f4, _ = _projector(EPSG_PROJ4[6933])
+    assert np.allclose(f3(lons, lats), f4(lons, lats), atol=0.0)
+    # +a/+b pair resolves eccentricity
+    b = a * (1 - 1 / rf)
+    f5, _ = _projector(f"+proj=sinu +a={a} +b={b}")
+    f6, _ = _projector("+proj=sinu +ellps=WGS84")
+    assert np.allclose(f5(lons, lats), f6(lons, lats), atol=1e-6)

@@ -116,3 +116,39 @@ def test_polygonize_distributed_cc_matches_driver(spark):
     assert got_driver == got_dist
     assert len(got_dist) == h
     assert all(n == w for _, _, n, _ in got_dist)
+
+
+def test_polygonize_progress_callback(spark):
+    """Reference parity: to_vector(callback=...) (gdal.py:609-623,
+    driven with tqdm in test_raster.py:120-134).  GDAL-style
+    (fraction, msg, user_data) callback: monotone non-decreasing,
+    starts at 0.0, ends exactly at 1.0, and the result is already
+    materialized (and identical to the callback-less run) when 1.0
+    fires."""
+    arr = np.zeros((8, 12), np.int32)
+    arr[1:4, 1:5] = 7
+    arr[5:8, 6:12] = 9
+    grid = _grid_for(arr)
+    tiles = array_to_tiles(spark, arr, grid)
+
+    seen = []
+    out = polygonize(
+        spark, tiles, grid, exclude=0,
+        progress=lambda frac, msg, _user: seen.append((frac, msg)),
+    )
+    fracs = [f for f, _ in seen]
+    assert fracs[0] == 0.0 and fracs[-1] == 1.0
+    assert all(b >= a for a, b in zip(fracs, fracs[1:]))
+    assert all(isinstance(m, str) and m for _, m in seen)
+    # reference usage drives a progress bar to 100 (test_raster.py:127)
+    pbar = 0
+    for f, _ in seen:
+        pbar += int(round(f * 100 - pbar))
+    assert pbar == 100
+    got = {(r["comp_id"], r["value"], r["n_pixels"]) for r in out.collect()}
+    want = {
+        (r["comp_id"], r["value"], r["n_pixels"])
+        for r in polygonize(spark, tiles, grid, exclude=0).collect()
+    }
+    assert got == want
+    out.unpersist()
