@@ -50,23 +50,26 @@ def run_bench() -> dict:
 
     times: dict[str, float] = {}
     if not SCALING_ONLY:
-        for name in HEADLINE:
-            if name not in qs:
-                continue
-            best = None
-            # best-of-2 halves co-tenant noise; knn gets the flagship's
-            # best-of-N: its driver-synchronous rounds (6 barriers x
-            # several jobs) are dominated by scheduling latency that
-            # keeps warming over repetitions (measured 2.37 -> 1.51s
-            # across 5 runs — BENCH/BASELINE.md r4 root cause), so two
-            # samples systematically overstate it.
-            reps = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")) if name == "knn" else 2
-            for _ in range(max(reps, 2)):
+        # INTERLEAVED passes: rep k of every query runs before rep k+1
+        # of any query.  Consecutive reps of one query share the same
+        # co-tenant window — this host swings 4x minute-to-minute (an
+        # A/B measured the SAME code at 2.7s and 10.3s twenty seconds
+        # apart), so back-to-back best-of-2 can catch two bad samples.
+        # Spreading a query's reps across the whole suite (~30-60s
+        # apart) decorrelates the noise; knn additionally benefits
+        # because its driver-synchronous scheduling latency warms over
+        # repetitions (BENCH/BASELINE.md r4 root cause).
+        reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 2)
+        for _ in range(reps):
+            for name in HEADLINE:
+                if name not in qs:
+                    continue
                 t0 = time.perf_counter()
                 qs[name](spark, SF_DIR).count()
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            times[name] = round(best, 4)
+                if name not in times or dt < times[name]:
+                    times[name] = dt
+        times = {k: round(v, 4) for k, v in times.items()}
 
     # flagship at parallelism-relevant volume: the interleaved table is
     # MATERIALIZED to parquet once (it is the stored input table of the
@@ -84,13 +87,7 @@ def run_bench() -> dict:
     n_docs = docs.count()  # warms the scan/footer cache
     polys = rect_polygons_df(spark)
     pip_join_docs(docs, polys).count()  # warm the exact plan once
-    best = None
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))):
-        t0 = time.perf_counter()
-        pip_join_docs(docs, polys).count()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    times["pip_join_xl"] = round(best, 4)
+    xl_runs: list[tuple[str, object]] = [("pip_join_xl", lambda: pip_join_docs(docs, polys))]
 
     # poly-span path at volume (VERDICT r2 item 2): same replicated
     # corpus restricted to docs whose geo span is a rectangular POLYGON
@@ -110,13 +107,20 @@ def run_bench() -> dict:
         pdocs = spark.read.parquet(pcache)
         pdocs.count()
         pip_join_docs_any(pdocs, polys).count()  # warm
-        pbest2 = None
-        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))):
+        xl_runs.append(("pip_join_poly_xl", lambda: pip_join_docs_any(pdocs, polys)))
+
+    # interleaved best-of-N for the xl flagships (same co-tenant
+    # decorrelation rationale as the headline loop above)
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))):
+        for name, build in xl_runs:
             t0 = time.perf_counter()
-            pip_join_docs_any(pdocs, polys).count()
+            build().count()
             dt = time.perf_counter() - t0
-            pbest2 = dt if pbest2 is None else min(pbest2, dt)
-        times["pip_join_poly_xl"] = round(pbest2, 4)
+            if name not in times or dt < times[name]:
+                times[name] = dt
+    times = {k: round(v, 4) for k, v in times.items()}
+
+    if not SCALING_ONLY:
         n_pt_cand = pip_join_docs(docs, polys, refine=False).count()
         n_poly_cand = poly_span_candidates(pdocs, polys).count()
 

@@ -6,24 +6,24 @@ inverse affine + floor (gdal.py:919-921); bounds check 0<=px<w,
 0<=py<h (gdal.py:924); out-of-bounds points yield NULL (left outer
 join); multiband rasters yield one value per band.
 
-Physical shape:
+Physical shape (ONE shuffle of each side, no second pass):
 
     points ── native inverse-affine pixel math (codegen) ──┐
-       │  in-bounds filter + tile_key = f(band, px/tw, py/th)
-       │                                                   │
+       │  tile_key = f(band, px/tw, py/th) in bounds,      │
+       │  salted "oob/<h>" sentinel outside                │
        └── groupBy(tile_key) COGROUP applyInPandas ────────┤
     tiles ── groupBy(tile_key) ────────────────────────────┘
                       │ one Arrow transfer of each tile blob per task,
-                      │ vectorized fancy-index gather per tile group
-              gathered(point_id, band, value)
-                      │
-    points x bands ── left outer join ── NULL for out-of-bounds
+                      │ vectorized fancy-index gather per tile group;
+                      │ groups with no tile row (sentinel or missing
+                      │ tile) emit NULL — the cogroup IS the left join
+              (point_id, band, value | NULL)
 
 The reference loops per point in Python (gdal.py:911); here the pixel
 math is whole-stage codegen and the gather touches each tile's bytes
 once per group.  Tile blobs never ride on candidate rows, so the
-shuffle volume is O(points) keys + O(tiles) blobs — the pattern that
-survives 10^12 points.
+shuffle volume is O(points) keys + O(tiles) blobs, each shuffled once
+— the pattern that survives 10^12 points.
 """
 
 from __future__ import annotations
@@ -51,19 +51,32 @@ def values_by_points(
     px = F.floor(F.lit(ia) * x + F.lit(ib) * y + F.lit(ic)).cast("int")
     py = F.floor(F.lit(id_) * x + F.lit(ie) * y + F.lit(if_)).cast("int")
 
-    pts = points.select(F.col(id_col).alias("point_id"), px.alias("px"), py.alias("py")).where(
+    # Out-of-bounds points are NOT filtered out: they ride the same
+    # cogroup under a salted sentinel key (no tile row exists there, so
+    # the gather emits NULL).  That makes the cogroup itself the left
+    # outer join — the old shape re-shuffled every (point, band) row a
+    # SECOND time through a final join just to backfill NULLs, doubling
+    # the O(points) shuffle volume at 10^12 points.  Salting spreads a
+    # mostly-out-of-bounds workload across reducers.
+    in_bounds = (
         (F.col("px") >= 0) & (F.col("px") < grid.width) & (F.col("py") >= 0) & (F.col("py") < grid.height)
     )
+    pts = points.select(F.col(id_col).alias("point_id"), px.alias("px"), py.alias("py"), in_bounds.alias("ok"))
     bands = spark.range(grid.bands).select(F.col("id").cast("int").alias("band"))
     cand = pts.crossJoin(F.broadcast(bands)).select(
         "point_id",
         "band",
-        F.format_string(
-            f"{grid.raster_id}/%d/%d/%d",
-            F.col("band"),
-            (F.col("py") / grid.tile_h).cast("int"),
-            (F.col("px") / grid.tile_w).cast("int"),
-        ).alias("tile_key"),
+        F.when(
+            F.col("ok"),
+            F.format_string(
+                f"{grid.raster_id}/%d/%d/%d",
+                F.col("band"),
+                (F.col("py") / grid.tile_h).cast("int"),
+                (F.col("px") / grid.tile_w).cast("int"),
+            ),
+        )
+        .otherwise(F.format_string("oob/%d", F.pmod(F.xxhash64("point_id"), F.lit(64))))
+        .alias("tile_key"),
         (F.col("px") % grid.tile_w).alias("ix"),
         (F.col("py") % grid.tile_h).alias("iy"),
     )
@@ -73,9 +86,19 @@ def values_by_points(
     def gather(key, pts_pdf, tiles_pdf):
         import pandas as pd
 
-        if len(pts_pdf) == 0 or len(tiles_pdf) == 0:
+        if len(pts_pdf) == 0:
             return pd.DataFrame({"point_id": [], "band": [], "value": []}).astype(
                 {"point_id": "int64", "band": "int32", "value": "float64"}
+            )
+        if len(tiles_pdf) == 0:
+            # out-of-bounds sentinel group or a tile absent from the
+            # raster table: left-outer semantics, NULL values
+            return pd.DataFrame(
+                {
+                    "point_id": pts_pdf["point_id"].to_numpy(),
+                    "band": pts_pdf["band"].to_numpy(),
+                    "value": pd.array([None] * len(pts_pdf), dtype="Float64"),
+                }
             )
         t = tiles_pdf.iloc[0]
         arr = np.frombuffer(t["data"], dtype=np.dtype(t["dtype"])).reshape(-1, t["width"])
@@ -84,11 +107,9 @@ def values_by_points(
             {"point_id": pts_pdf["point_id"].to_numpy(), "band": pts_pdf["band"].to_numpy(), "value": vals}
         )
 
-    gathered = (
+    return (
         cand.groupBy("tile_key")
         .cogroup(tile_side.groupBy("tile_key"))
         .applyInPandas(gather, schema="point_id long, band int, value double")
+        .select("point_id", "band", "value")
     )
-
-    base = points.select(F.col(id_col).alias("point_id")).crossJoin(F.broadcast(bands))
-    return base.join(gathered, ["point_id", "band"], "left").select("point_id", "band", "value")
