@@ -32,6 +32,29 @@ SCALING_ONLY = os.environ.get("SPARK_GRAFT_SCALING_ONLY", "") == "1"
 HEADLINE = ["pip_join", "cell_assign", "geo_extract", "span_counts", "rasterize_hist", "point_sampling", "knn", "bbox_join"]
 
 
+def _gate_on_load() -> dict:
+    """Wait (bounded) for a quiet co-tenant window before measuring.
+
+    This VM swings 4x minute-to-minute; an A/B measured the SAME code
+    at 7.7s and 16.4s in adjacent windows.  1-min loadavg taken BEFORE
+    Spark starts is pure co-tenant signal, so a short bounded wait
+    moves the run out of a storm.  Gate and ceiling are env-tunable;
+    progress goes to stderr (stdout stays the one JSON line)."""
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "600"))
+    t0 = time.time()
+    load = None
+    try:
+        load = float(open("/proc/loadavg").read().split()[0])
+        while load > gate and time.time() - t0 < max_wait:
+            print(f"bench: load {load:.1f} > gate {gate}, waiting...", file=sys.stderr, flush=True)
+            time.sleep(20)
+            load = float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        pass
+    return {"load_at_start": load, "load_waited_s": round(time.time() - t0, 1)}
+
+
 def run_bench() -> dict:
     import numpy as np
     from pyspark.sql import functions as F
@@ -41,6 +64,7 @@ def run_bench() -> dict:
     from gdal_boots_spark.session import get_spark
     from gdal_boots_spark.sources.synth import interleaved_docs, rect_polygons_df
 
+    gate_info = _gate_on_load()
     spark = get_spark("gbs-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("WARN")
     qs = entrymod.queries()
@@ -192,6 +216,7 @@ def run_bench() -> dict:
         "replicate": replicate,
         "docs_per_sec": round(n_docs / flagship, 1),
         "cpus": int(CPUS),
+        **gate_info,
         **percand,
     }
     spark.stop()
