@@ -277,3 +277,48 @@ def test_any_geometry_codec_roundtrip_property(geom):
 
     pg = from_geojson(json.dumps(geom))
     assert to_geojson(pg) == geom
+
+
+# --- round-4 projection families: parameterized inverse round-trips ----
+_proj_family = st.sampled_from(["stere_polar", "stere_obl", "laea", "cea", "eqc", "sinu", "moll"])
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    _proj_family,
+    st.floats(-179.0, 179.0, allow_nan=False),
+    st.floats(-84.0, 84.0, allow_nan=False),
+    st.floats(-170.0, 170.0, allow_nan=False),  # lon_0
+    st.floats(15.0, 75.0, allow_nan=False),     # |lat_0| / lat_ts seed
+    st.booleans(),                              # southern variant
+)
+def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
+    """forward∘inverse == identity for every round-4 projection family
+    under randomized projection parameters (not just the fixed EPSG
+    forms the goldens pin)."""
+    from gdal_boots_spark.geom.crs import _projector
+
+    sgn = -1.0 if south else 1.0
+    if fam == "stere_polar":
+        p4 = f"+proj=stere +lat_0={90 * sgn} +lat_ts={p0 * sgn} +lon_0={lon0} +ellps=WGS84"
+        la = sgn * (90.0 - abs(la) * 0.6 - 0.5)  # keep on the pole side
+    elif fam == "stere_obl":
+        p4 = f"+proj=stere +lat_0={p0 * sgn} +lon_0={lon0} +k=0.9996 +ellps=WGS84"
+    elif fam == "laea":
+        p4 = f"+proj=laea +lat_0={p0 * sgn} +lon_0={lon0} +ellps=GRS80"
+        # keep away from the antipodal singularity of the azimuthal map
+        if abs(lon - lon0) > 120.0:
+            lon = lon0 + ((lon - lon0) % 120.0) - 60.0
+    elif fam == "cea":
+        p4 = f"+proj=cea +lat_ts={p0} +lon_0={lon0} +ellps=WGS84"
+    elif fam == "eqc":
+        p4 = f"+proj=eqc +lat_ts={p0} +lat_0=0 +lon_0={lon0} +ellps=WGS84"
+    elif fam == "sinu":
+        p4 = f"+proj=sinu +lon_0={lon0} +ellps=WGS84"
+    else:
+        p4 = f"+proj=moll +lon_0={lon0} +ellps=WGS84"
+    fwd, inv = _projector(p4)
+    x, y = fwd(np.array([lon]), np.array([la]))
+    lo2, la2 = inv(x, y)
+    dlon = abs(((float(lo2[0]) - lon + 180.0) % 360.0) - 180.0)
+    assert dlon < 1e-6 and abs(float(la2[0]) - la) < 1e-6
