@@ -373,6 +373,11 @@ class StereographicProj:
         self.y0 = float(p.get("y_0", 0))
         lat0 = float(p.get("lat_0", 0))
         self.polar = 0 if abs(lat0) != 90.0 else (1 if lat0 > 0 else -1)
+        if "lat_ts" in p and abs(float(p["lat_ts"])) == 90.0:
+            # the standard parallel degenerates to the pole itself:
+            # m(90)=0 and t(90)=0 make rho 0/0.  PROJ folds this case
+            # into plain k0=1; match it.
+            p = {k: v for k, v in p.items() if k != "lat_ts"}
         if "lat_ts" in p:
             ts = math.radians(float(p["lat_ts"]))
             if self.polar:
@@ -514,6 +519,8 @@ def _make_cea(p: dict):
     """+proj=cea — ellipsoidal cylindrical equal-area (Snyder 10-7,
     10-26): x = a k0 lam, y = a q / (2 k0); +lat_ts sets k0."""
     a, e2, e = _resolve_ellipsoid(p)
+    if abs(float(p.get("lat_ts", 0))) >= 90.0:
+        raise ValueError("+proj=cea: +lat_ts at a pole makes the cylinder degenerate (k_0 = 0)")
     ts = math.radians(float(p.get("lat_ts", 0)))
     k0 = float(p.get("k", p.get("k_0", math.cos(ts) / math.sqrt(1 - e2 * math.sin(ts) ** 2))))
     lon0 = math.radians(float(p.get("lon_0", 0)))
@@ -539,6 +546,8 @@ def _make_eqc(p: dict):
     12-2 spherical on the semimajor axis, as PROJ computes it):
     x = a lam cos(lat_ts), y = a (phi - lat_0)."""
     a, _, _ = _resolve_ellipsoid(p)
+    if abs(float(p.get("lat_ts", 0))) >= 90.0:
+        raise ValueError("+proj=eqc: +lat_ts at a pole collapses the x axis (cos(lat_ts) = 0)")
     ts = math.radians(float(p.get("lat_ts", 0)))
     phi0 = math.radians(float(p.get("lat_0", 0)))
     lon0 = math.radians(float(p.get("lon_0", 0)))

@@ -706,3 +706,22 @@ def test_cea_eqc_sinu_moll_projections():
     f5, _ = _projector(f"+proj=sinu +a={a} +b={b}")
     f6, _ = _projector("+proj=sinu +ellps=WGS84")
     assert np.allclose(f5(lons, lats), f6(lons, lats), atol=1e-6)
+
+
+def test_projection_degenerate_params():
+    """Degenerate proj4 parameters answer with a clear error (cea/eqc
+    +lat_ts at a pole) or PROJ's own fold-to-k0=1 (polar stere
+    +lat_ts=90) instead of 0/0."""
+    import numpy as np
+    import pytest
+
+    from gdal_boots_spark.geom.crs import _projector
+
+    with pytest.raises(ValueError, match="cea"):
+        _projector("+proj=cea +lat_ts=90 +ellps=WGS84")
+    with pytest.raises(ValueError, match="eqc"):
+        _projector("+proj=eqc +lat_ts=90 +ellps=WGS84")
+    f1, _ = _projector("+proj=stere +lat_0=90 +lat_ts=90 +ellps=WGS84")
+    f2, _ = _projector("+proj=stere +lat_0=90 +k=1 +ellps=WGS84")
+    assert np.allclose(f1(45.0, 70.0), f2(45.0, 70.0), atol=0.0)
+    assert np.isfinite(np.asarray(f1(45.0, 70.0))).all()
