@@ -171,6 +171,32 @@ def test_bbox_join_no_duplicates_multi_cell(spark):
     assert [(r["lid"], r["rid"]) for r in rows] == [(1, 7)]
 
 
+def test_bbox_join_auto_res_identical(spark):
+    """res=None (data-driven auto_res) returns the exact same pair set
+    as any fixed resolution; the picked res is sane and scales with the
+    rect size (smaller rects -> finer cells)."""
+    from gdal_boots_spark.operators.bbox_join import auto_res, bbox_overlap_join
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    def mk(n, size, prefix, ident):
+        xs = rng.uniform(20, 30, n); ys = rng.uniform(50, 58, n)
+        return spark.createDataFrame(
+            [(int(i), float(x), float(y), float(x + size), float(y + size)) for i, (x, y) in enumerate(zip(xs, ys))],
+            f"{ident} long, {prefix}minx double, {prefix}miny double, {prefix}maxx double, {prefix}maxy double",
+        )
+
+    left = mk(300, 0.04, "l", "lid")
+    right = mk(200, 0.05, "r", "rid")
+    fixed = {(r["lid"], r["rid"]) for r in bbox_overlap_join(left, right, res=9).select("lid", "rid").collect()}
+    auto = {(r["lid"], r["rid"]) for r in bbox_overlap_join(left, right, res=None).select("lid", "rid").collect()}
+    assert fixed == auto and len(auto) > 0
+    r_small = auto_res(mk(100, 0.01, "l", "lid"), mk(100, 0.01, "r", "rid"))
+    r_big = auto_res(mk(100, 1.0, "l", "lid"), mk(100, 1.0, "r", "rid"))
+    assert 4 <= r_big < r_small <= 18
+
+
 def test_zonal_stats_vs_oracle(spark):
     df = entrymod.queries()["zonal_stats"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.oracle_sql()["zonal_stats"], SF_ORACLE, float_cols=("mean",), atol=1e-9)
