@@ -494,7 +494,7 @@ def poly_span_candidates(docs: DataFrame, polys: DataFrame, res: int | None = No
 
 
 def pip_join_docs_any(
-    docs: DataFrame, polys: DataFrame, res: int | None = None, refine_mode: str = "where"
+    docs: DataFrame, polys: DataFrame, res: int | None = None, refine_mode: str = "split"
 ) -> DataFrame:
     """Interleaved documents x polygons -> (doc_id, span_pos, poly_id)
     for geo spans of ANY geometry type (crop/rasterize in the reference
@@ -507,13 +507,20 @@ def pip_join_docs_any(
     the cell containing the bbox-intersection lower-left corner), then
     exact GEOS-Intersects refinement against the broadcast packed dims.
 
-    ``refine_mode``: "where" (default) refines with a BOOLEAN pandas
+    ``refine_mode``: "split" (default) materializes the candidates
+    once (persist) and accepts rect-span x rect-polygon pairs directly
+    in the JVM — the bbox filter already decided them — so at
+    rect-heavy corpus shapes ~90% of candidate rows never cross Arrow
+    (A/B: 4.80s vs 5.81s vs 7.00s split/where/arrow at 4.66M
+    candidates, same-run controls).  "where" refines with a BOOLEAN pandas
     UDF inside a WHERE — the Point path's pattern: only the argument
     columns (poly_id, rect flag, bbox, geometry struct — empty for the
     rect-span majority) cross Arrow and one byte returns per row, so
     doc_id/span_pos strings never leave the JVM.  "arrow" keeps the
     mapInArrow row-filter variant (zero-copy flat geometry buffers —
-    preferable when most spans carry real polygon payloads).
+    preferable when most spans carry real polygon payloads).  (A plain
+    where()-split would recompute the candidate subtree twice — the
+    persist is the documented price of branching, cf. CLAUDE gotchas.)
     """
     from ..functions.geometry_fns import cell_id_col, geojson_decode_udf, geom_bounds_udf, point_xy_native
 
@@ -559,12 +566,12 @@ def pip_join_docs_any(
         F.when(~both_rect, F.col("geom")).otherwise(empty_geom).alias("geom"),
         # rect spans travel payload-free (geometry blanked at decode);
         # the refine rebuilds their test from these four doubles
-        "rect", "minx", "miny", "maxx", "maxy",
+        "rect", "prect", "minx", "miny", "maxx", "maxy",
     )
 
     bpolys = spark.sparkContext.broadcast(packed)
 
-    if refine_mode == "where":
+    if refine_mode in ("where", "split"):
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("boolean")
@@ -663,6 +670,28 @@ def pip_join_docs_any(
                         )
             return pd.Series(keep)
 
+        if refine_mode == "split":
+            # materialize once, branch: rect-x-rect pairs are already
+            # decided by the bbox filter the candidates passed — accept
+            # them JVM-side; only the remainder crosses Arrow.
+            # persist (NOT localCheckpoint): lineage survives, so an
+            # executor loss on a 1000-node cluster recomputes the lost
+            # partitions instead of failing the job; spill-to-disk
+            # bounds memory; the ContextCleaner unpersists when the
+            # plan is released.
+            from pyspark.storagelevel import StorageLevel
+
+            c = cand.persist(StorageLevel.MEMORY_AND_DISK)
+            brc = F.col("rect") & F.col("prect")
+            fast = c.where(brc).select("doc_id", "span_pos", "poly_id")
+            slow = c.where(~brc).where(
+                poly_ok(
+                    F.col("poly_id"), F.col("rect"),
+                    F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
+                    F.col("geom"),
+                )
+            ).select("doc_id", "span_pos", "poly_id")
+            return pt_pairs.unionByName(fast).unionByName(slow)
         poly_pairs = cand.where(
             poly_ok(
                 F.col("poly_id"), F.col("rect"),
