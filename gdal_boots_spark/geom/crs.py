@@ -15,7 +15,8 @@ tests/test_raster.py:489-495).
 Round-4 widening toward the reference's "any proj4 via osr"
 (gdal.py:124): +proj= longlat, merc (ellipsoidal, +lat_ts), tmerc,
 utm, aea, lcc, stere (polar ellipsoidal + oblique via the conformal
-sphere), laea (oblique + polar, authalic sphere), cea, eqc, sinu
+sphere), sterea (EPSG 9809 double stereographic, the Dutch RD
+grid), laea (oblique + polar, authalic sphere), cea, eqc, sinu
 (ellipsoidal meridian arc; MODIS sphere with +R), moll — all Snyder
 closed forms, all with +a/+b/+rf/+R/+ellps ellipsoid overrides.
 Anything else raises a clear ValueError naming the string.
@@ -34,6 +35,7 @@ ELLIPSOIDS = {
     "GRS80": (6378137.0, 298.257222101),
     "clrk66": (6378206.4, 294.9786982),
     "airy": (6377563.396, 299.3249646),
+    "bessel": (6377397.155, 299.1528128),
 }
 
 _R_WEB = 6378137.0  # Web-Mercator sphere radius
@@ -451,6 +453,78 @@ class StereographicProj:
         return _norm_lon_deg(np.degrees(self.lon0 + lam)), np.degrees(_from_conformal_lat(chi, self.e))
 
 
+class ObliqueStereographicProj:
+    """+proj=sterea — Roussilhe / EPSG "Oblique Stereographic" (method
+    9809): double projection through the conformal sphere at the
+    origin, per EPSG Guidance Note 7-2.  This is the Dutch RD grid
+    (EPSG:28992) and differs from Snyder's +proj=stere for oblique
+    ellipsoidal cases.  Golden: the GN7-2 Amersfoort worked example
+    (53N 6E -> E 196105.283 N 557057.739) reproduced to the mm."""
+
+    def __init__(self, p: dict):
+        self.a, self.e2, self.e = _resolve_ellipsoid(p)
+        e, e2 = self.e, self.e2
+        lat0 = float(p.get("lat_0", 0))
+        self.lam0 = math.radians(float(p.get("lon_0", 0)))
+        self.k0 = float(p.get("k", p.get("k_0", 1.0)))
+        self.x0 = float(p.get("x_0", 0))
+        self.y0 = float(p.get("y_0", 0))
+        phi0 = math.radians(lat0)
+        s0 = math.sin(phi0)
+        rho0 = self.a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+        nu0 = self.a / math.sqrt(1 - e2 * s0 * s0)
+        self.R = math.sqrt(rho0 * nu0)
+        self.n = math.sqrt(1 + e2 * math.cos(phi0) ** 4 / (1 - e2))
+        w1 = (((1 + s0) / (1 - s0)) * ((1 - e * s0) / (1 + e * s0)) ** e) ** self.n
+        sin_chi0 = (w1 - 1) / (w1 + 1)
+        self.c = (self.n + s0) * (1 - sin_chi0) / ((self.n - s0) * (1 + sin_chi0))
+        w2 = self.c * w1
+        self.chi0 = math.asin((w2 - 1) / (w2 + 1))
+
+    def _chi(self, phi):
+        s = np.sin(phi)
+        w = self.c * (((1 + s) / (1 - s)) * ((1 - self.e * s) / (1 + self.e * s)) ** self.e) ** self.n
+        return np.arcsin((w - 1) / (w + 1))
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64))
+        Lam = self.n * (lam - self.lam0)
+        chi = self._chi(phi)
+        c0, s0 = math.cos(self.chi0), math.sin(self.chi0)
+        B = 1 + np.sin(chi) * s0 + np.cos(chi) * c0 * np.cos(Lam)
+        g = 2 * self.R * self.k0 / B
+        return self.x0 + g * np.cos(chi) * np.sin(Lam), self.y0 + g * (
+            np.sin(chi) * c0 - np.cos(chi) * s0 * np.cos(Lam)
+        )
+
+    def inverse(self, x, y):
+        x = np.asarray(x, np.float64) - self.x0
+        y = np.asarray(y, np.float64) - self.y0
+        c0, s0 = math.cos(self.chi0), math.sin(self.chi0)
+        rho = np.hypot(x, y)
+        ce = 2 * np.arctan2(rho, 2 * self.R * self.k0)
+        with np.errstate(invalid="ignore"):
+            chi = np.where(
+                rho == 0.0,
+                self.chi0,
+                np.arcsin(np.clip(np.cos(ce) * s0 + y * np.sin(ce) * c0 / np.where(rho == 0, 1, rho), -1, 1)),
+            )
+        Lam = np.arctan2(x * np.sin(ce), rho * c0 * np.cos(ce) - y * s0 * np.sin(ce))
+        lam = self.lam0 + Lam / self.n
+        # conformal-sphere chi -> geodetic phi: invert w = c*(Sa*Sb^e)^n
+        # by fixed-point iteration on sin(phi) (GN7-2 iterative step)
+        w = (1 + np.sin(chi)) / (1 - np.sin(chi))
+        t = (w / self.c) ** (1.0 / self.n)
+        phi = chi.copy()
+        for _ in range(10):
+            s = np.sin(phi)
+            sb = ((1 - self.e * s) / (1 + self.e * s)) ** self.e
+            sa = t / sb
+            phi = np.arcsin(np.clip((sa - 1) / (sa + 1), -1, 1))
+        return _norm_lon_deg(np.degrees(lam)), np.degrees(phi)
+
+
 class LambertAzimuthalEqualAreaProj:
     """+proj=laea — ellipsoidal oblique + polar (Snyder 24-2..24-16 via
     the authalic sphere; EPSG:3035 is the oblique golden).  Equal-area:
@@ -638,6 +712,8 @@ def _make_moll(p: dict):
 # are the published proj4 expansions of each code).
 EPSG_PROJ4 = {
     3035: "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80",
+    28992: "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+           "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel",
     3413: "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 +ellps=WGS84",
     3031: "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
     6933: "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
@@ -750,6 +826,9 @@ def _projector(crs):
             )
         if p.get("proj") == "stere":
             st = StereographicProj(p)
+            return st.forward, st.inverse
+        if p.get("proj") == "sterea":
+            st = ObliqueStereographicProj(p)
             return st.forward, st.inverse
         if p.get("proj") == "laea":
             la = LambertAzimuthalEqualAreaProj(p)

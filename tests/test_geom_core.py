@@ -725,3 +725,50 @@ def test_projection_degenerate_params():
     f2, _ = _projector("+proj=stere +lat_0=90 +k=1 +ellps=WGS84")
     assert np.allclose(f1(45.0, 70.0), f2(45.0, 70.0), atol=0.0)
     assert np.isfinite(np.asarray(f1(45.0, 70.0))).all()
+
+
+def test_sterea_projection():
+    """+proj=sterea (EPSG method 9809, double stereographic through the
+    conformal sphere — the Dutch RD grid EPSG:28992, NOT the same as
+    Snyder +proj=stere for oblique ellipsoidal cases): EPSG Guidance
+    Note 7-2 Amersfoort worked example (53N 6E -> E 196105.283
+    N 557057.739) to the mm, conformality isotropy, machine-precision
+    round-trip, divergence from +proj=stere."""
+    import math
+
+    import numpy as np
+
+    from gdal_boots_spark.geom.crs import EPSG_PROJ4, _projector
+
+    fwd, inv = _projector(28992)
+    x, y = fwd(6.0, 53.0)
+    assert abs(float(x) - 196105.283) < 0.002 and abs(float(y) - 557057.739) < 0.002
+    lon, lat = inv(x, y)
+    assert abs(float(lon) - 6.0) < 1e-9 and abs(float(lat) - 53.0) < 1e-9
+    # origin fixed point
+    xo, yo = fwd(5.38763888888889, 52.15616055555555)
+    assert abs(float(xo) - 155000.0) < 1e-6 and abs(float(yo) - 463000.0) < 1e-6
+    # conformal: local scale isotropy on the bessel ellipsoid
+    a, rf = 6377397.155, 299.1528128
+    e2 = (2 - 1 / rf) / rf
+    d = 1e-6
+    lon0, lat0 = 5.0, 52.0
+    x0, y0 = fwd(lon0, lat0)
+    xa, ya = fwd(lon0 + d, lat0)
+    xb, yb = fwd(lon0, lat0 + d)
+    phi = math.radians(lat0)
+    N = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    M = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+    k_par = math.hypot(float(xa) - float(x0), float(ya) - float(y0)) / (d * math.pi / 180 * N * math.cos(phi))
+    k_mer = math.hypot(float(xb) - float(x0), float(yb) - float(y0)) / (d * math.pi / 180 * M)
+    assert abs(k_par / k_mer - 1.0) < 1e-6
+    # wide-range exact round-trip
+    rng = np.random.default_rng(6)
+    lons = rng.uniform(-170, 170, 300)
+    lats = rng.uniform(-80, 80, 300)
+    lo2, la2 = inv(*fwd(lons, lats))
+    assert np.abs(lo2 - lons).max() < 1e-8 and np.abs(la2 - lats).max() < 1e-8
+    # sterea and stere genuinely differ away from the origin
+    fs, _ = _projector(EPSG_PROJ4[28992].replace("sterea", "stere"))
+    xs, ys = fs(6.0, 53.0)
+    assert abs(float(xs) - float(x)) > 0.01 or abs(float(ys) - float(y)) > 0.01

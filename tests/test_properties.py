@@ -280,7 +280,7 @@ def test_any_geometry_codec_roundtrip_property(geom):
 
 
 # --- round-4 projection families: parameterized inverse round-trips ----
-_proj_family = st.sampled_from(["stere_polar", "stere_obl", "laea", "cea", "eqc", "sinu", "moll"])
+_proj_family = st.sampled_from(["stere_polar", "stere_obl", "sterea", "laea", "cea", "eqc", "sinu", "moll"])
 
 
 @settings(deadline=None, max_examples=60)
@@ -304,6 +304,8 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
         la = sgn * (90.0 - abs(la) * 0.6 - 0.5)  # keep on the pole side
     elif fam == "stere_obl":
         p4 = f"+proj=stere +lat_0={p0 * sgn} +lon_0={lon0} +k=0.9996 +ellps=WGS84"
+    elif fam == "sterea":
+        p4 = f"+proj=sterea +lat_0={p0 * sgn} +lon_0={lon0} +k=0.9999 +ellps=bessel"
     elif fam == "laea":
         p4 = f"+proj=laea +lat_0={p0 * sgn} +lon_0={lon0} +ellps=GRS80"
         # keep away from the antipodal singularity of the azimuthal map
