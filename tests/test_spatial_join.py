@@ -488,9 +488,10 @@ def test_pip_join_docs_any_geometry_collection_spans(spark):
 
 
 def test_poly_refine_modes_identical(spark):
-    """refine_mode='where' (boolean-UDF filter, default) and 'arrow'
-    (mapInArrow row filter) produce identical pairs on mixed Point /
-    rect-Polygon / GeometryCollection spans."""
+    """refine_mode='split' (persist-branch, default), 'where'
+    (boolean-UDF filter) and 'arrow' (mapInArrow row filter) produce
+    identical pairs on mixed Point / rect-Polygon /
+    GeometryCollection spans."""
     from gdal_boots_spark.operators.spatial_join import pip_join_docs_any
     from gdal_boots_spark.sources.synth import interleaved_docs, rect_polygons_df
 
@@ -504,4 +505,8 @@ def test_poly_refine_modes_identical(spark):
         tuple(r)
         for r in pip_join_docs_any(docs, polys, refine_mode="where").collect()
     }
-    assert a == b and len(a) > 0
+    c = {
+        tuple(r)
+        for r in pip_join_docs_any(docs, polys, refine_mode="split").collect()
+    }
+    assert a == b == c and len(a) > 0
