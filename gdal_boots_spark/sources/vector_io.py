@@ -123,9 +123,11 @@ class VectorDataset:
     name, written layer-by-layer in to_file gdal.py:1259; 5-layer GPKG
     fixture test_vector.py:35-60).
 
-    Persistence is a directory with one NDJSON subdir per layer
-    (layer name == subdir name) — the splittable scale format; GPKG/OSM
-    containers are out of scope without GDAL (documented in SURVEY §2.1).
+    Persistence: a directory with one NDJSON subdir per layer
+    (layer name == subdir name) — the splittable scale format — or a
+    GeoPackage file via to_gpkg/from_gpkg (sources/gpkg.py: stdlib
+    sqlite3 container + from-scratch WKB codec, no GDAL; dimension-
+    scale, driver-side).  OSM XML remains out of scope (SURVEY §2.1).
     """
 
     def __init__(self, layers: dict[str, DataFrame] | None = None):
@@ -179,6 +181,19 @@ class VectorDataset:
             shutil.rmtree(path)
         for name, df in self._layers.items():
             write_ndjson(df, os.path.join(path, name))
+
+    def to_gpkg(self, path: str, overwrite: bool = False, srs_id: int = 4326) -> None:
+        """reference ``to_file(name, GPKG())`` (gdal.py:1225-1263)."""
+        from .gpkg import write_gpkg
+
+        write_gpkg(self, path, overwrite=overwrite, srs_id=srs_id)
+
+    @classmethod
+    def from_gpkg(cls, spark: SparkSession, path: str, layers: list[str] | None = None) -> "VectorDataset":
+        """reference ``VectorDataset.open`` on .gpkg (gdal.py:1197-1205)."""
+        from .gpkg import read_gpkg
+
+        return read_gpkg(spark, path, layers=layers)
 
     @classmethod
     def from_path(cls, spark: SparkSession, path: str) -> "VectorDataset":

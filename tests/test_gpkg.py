@@ -1,0 +1,174 @@
+"""GeoPackage driver (sources/gpkg.py) — closes the SURVEY §2.1 GPKG
+scope exclusion without GDAL: stdlib sqlite3 container + from-scratch
+WKB codec.
+
+Reference contract: VectorDataset.open on .gpkg (gdal.py:1197-1205),
+to_file(..., GPKG()) with overwrite semantics (gdal.py:1225-1263,
+test_raster.py:138-140), the 5-layer fixture (test_vector.py:35-60)
+and to_epsg over a gpkg dataset (test_vector.py:21-27).  The
+minsk-boundary.gpkg fixture is cross-validated against its
+minsk-boundary.geojson sibling: identical coordinate content.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gdal_boots_spark.sources.gpkg import (
+    geojson_to_wkb,
+    make_gpkg_blob,
+    parse_gpkg_blob,
+    read_gpkg,
+    wkb_to_geojson,
+    write_gpkg,
+)
+from gdal_boots_spark.sources.vector_io import VectorDataset
+
+FIXTURE = "/root/reference/tests/fixtures/minsk-boundary.gpkg"
+FIXTURE_GJ = "/root/reference/tests/fixtures/minsk-boundary.geojson"
+
+GEOMS = [
+    {"type": "Point", "coordinates": [1.5, 2.5]},
+    {"type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 1.0], [2.0, 0.5]]},
+    {
+        "type": "Polygon",
+        "coordinates": [
+            [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 0.0]],
+            [[1.0, 1.0], [2.0, 1.0], [1.0, 2.0], [1.0, 1.0]],
+        ],
+    },
+    {"type": "MultiPoint", "coordinates": [[1.0, 2.0], [3.0, 4.0]]},
+    {"type": "MultiLineString", "coordinates": [[[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0], [3.0, 3.0]]]},
+    {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+            [[[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 5.0]]],
+        ],
+    },
+    {
+        "type": "GeometryCollection",
+        "geometries": [
+            {"type": "Point", "coordinates": [1.0, 2.0]},
+            {"type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 1.0]]},
+        ],
+    },
+]
+
+
+def test_wkb_roundtrip_all_types():
+    for g in GEOMS:
+        assert wkb_to_geojson(geojson_to_wkb(g)) == g
+    # big-endian WKB parses too: flip a little-endian Point by hand
+    import struct
+
+    be = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 1.5, 2.5)
+    assert wkb_to_geojson(be) == {"type": "Point", "coordinates": [1.5, 2.5]}
+    # ISO Z offset (1001) and OGC Z flag both flatten to 2-D
+    z_iso = b"\x01" + struct.pack("<I", 1001) + struct.pack("<ddd", 1.0, 2.0, 9.0)
+    z_ogc = b"\x01" + struct.pack("<I", 0x80000001) + struct.pack("<ddd", 1.0, 2.0, 9.0)
+    for buf in (z_iso, z_ogc):
+        assert wkb_to_geojson(buf) == {"type": "Point", "coordinates": [1.0, 2.0]}
+
+
+def test_gpkg_blob_roundtrip():
+    for g in GEOMS:
+        blob = make_gpkg_blob(g, srs_id=4326)
+        assert blob[:2] == b"GP"
+        assert parse_gpkg_blob(blob) == g
+    assert parse_gpkg_blob(None) is None
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="reference fixtures not mounted")
+def test_read_reference_fixture(spark):
+    """The reference 5-layer OSM gpkg: layer catalog, feature counts,
+    properties (incl. non-ASCII), and the Minsk boundary MultiPolygon's
+    coordinate content EXACTLY matching the .geojson sibling."""
+    vds = read_gpkg(spark, FIXTURE)
+    assert sorted(vds.layer_names) == sorted(
+        ["points", "lines", "multilinestrings", "multipolygons", "other_relations"]
+    )
+    assert vds["points"].count() == 7
+    assert vds["lines"].count() == 25
+    assert vds["multipolygons"].count() == 5
+    assert vds["multilinestrings"].count() == 0
+    rows = vds["multipolygons"].collect()
+    minsk = next(r for r in rows if json.loads(r["props_json"]).get("name") == "Минск")
+    g = json.loads(minsk["geojson"])
+    assert minsk["gtype"] == "MultiPolygon" and len(g["coordinates"]) == 3
+    ref = json.load(open(FIXTURE_GJ))
+    mp = next(ft["geometry"] for ft in ref["features"] if ft["geometry"]["type"] == "MultiPolygon")
+    a = np.array(sorted((p[0], p[1]) for part in g["coordinates"] for ring in part for p in ring))
+    b = np.array(sorted((p[0], p[1]) for part in mp["coordinates"] for ring in part for p in ring))
+    assert len(a) == len(b) == 1949
+    # identical coordinate content (export part/ring ORDER differs):
+    # every gpkg vertex appears exactly in the geojson and vice versa
+    sa = {tuple(p) for p in a.tolist()}
+    sb = {tuple(p) for p in b.tolist()}
+    assert sa == sb
+    assert np.allclose(a.min(0), b.min(0)) and np.allclose(a.max(0), b.max(0))
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    """Multi-layer write -> sqlite spec tables -> read back identical
+    (fid, gtype, geojson, typed props incl. NULL geometry rows)."""
+    rows_a = [
+        (1, "Point", '{"type":"Point","coordinates":[27.5,53.9]}', '{"name":"a","pop":100,"w":1.5}'),
+        (2, "Point", '{"type":"Point","coordinates":[27.6,53.8]}', '{"name":"б","pop":200,"w":2.5}'),
+        (3, None, None, '{"name":"no-geom","pop":0,"w":0.0}'),
+    ]
+    rows_b = [
+        (10, "Polygon", '{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]]]}', "{}"),
+    ]
+    schema = "fid long, gtype string, geojson string, props_json string"
+    vds = VectorDataset(
+        {"pts": spark.createDataFrame(rows_a, schema), "polys": spark.createDataFrame(rows_b, schema)}
+    )
+    path = str(tmp_path / "out.gpkg")
+    write_gpkg(vds, path)
+    # overwrite semantics (reference gdal.py:1250-1256)
+    with pytest.raises(FileExistsError):
+        write_gpkg(vds, path)
+    write_gpkg(vds, path, overwrite=True)
+
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    assert con.execute("PRAGMA application_id").fetchone()[0] == 0x47504B47
+    reg = dict(con.execute("SELECT table_name, geometry_type_name FROM gpkg_geometry_columns"))
+    assert reg == {"pts": "POINT", "polys": "POLYGON"}
+    minx, miny, maxx, maxy = con.execute(
+        "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents WHERE table_name='pts'"
+    ).fetchone()
+    assert (minx, miny, maxx, maxy) == (27.5, 53.8, 27.6, 53.9)
+    con.close()
+
+    back = read_gpkg(spark, path)
+    got = sorted(tuple(r) for r in back["pts"].collect())
+    want = sorted(rows_a)
+    for g_, w in zip(got, want):
+        assert g_[0] == w[0] and g_[1] == w[1]
+        assert (g_[2] is None) == (w[2] is None)
+        if g_[2]:
+            assert json.loads(g_[2]) == json.loads(w[2])
+        assert json.loads(g_[3]) == json.loads(w[3])
+    assert back["polys"].count() == 1
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="reference fixtures not mounted")
+def test_gpkg_to_epsg(spark):
+    """Reference test_vector.py:21-27: open a gpkg, to_epsg(3857) —
+    every layer's coordinates equal the direct batch transform."""
+    from gdal_boots_spark.geom.crs import transform_coords
+
+    vds = read_gpkg(spark, FIXTURE, layers=["points"])
+    out = vds.to_epsg(4326, 3857)
+    src = {r["fid"]: json.loads(r["geojson"]) for r in vds["points"].collect() if r["geojson"]}
+    dst = {r["fid"]: json.loads(r["geojson"]) for r in out["points"].collect() if r["geojson"]}
+    assert set(src) == set(dst) and len(src) == 7
+    for fid, s in src.items():
+        x, y = transform_coords(np.array([s["coordinates"][0]]), np.array([s["coordinates"][1]]), 4326, 3857)
+        d = dst[fid]["coordinates"]
+        assert abs(d[0] - float(x[0])) < 1e-6 and abs(d[1] - float(y[0])) < 1e-6
