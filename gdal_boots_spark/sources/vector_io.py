@@ -126,8 +126,10 @@ class VectorDataset:
     Persistence: a directory with one NDJSON subdir per layer
     (layer name == subdir name) — the splittable scale format — or a
     GeoPackage file via to_gpkg/from_gpkg (sources/gpkg.py: stdlib
-    sqlite3 container + from-scratch WKB codec, no GDAL; dimension-
-    scale, driver-side).  OSM XML remains out of scope (SURVEY §2.1).
+    sqlite3 container + from-scratch WKB codec, no GDAL) or OSM XML
+    ingest via from_osm (sources/osm.py: the OGR 5-layer model,
+    feature-parity-tested against the reference's own fixture pair).
+    Both are dimension-scale, driver-side.
     """
 
     def __init__(self, layers: dict[str, DataFrame] | None = None):
@@ -187,6 +189,13 @@ class VectorDataset:
         from .gpkg import write_gpkg
 
         write_gpkg(self, path, overwrite=overwrite, srs_id=srs_id)
+
+    @classmethod
+    def from_osm(cls, spark: SparkSession, path: str) -> "VectorDataset":
+        """OSM XML -> the 5-layer OGR-compatible model (sources/osm.py)."""
+        from .osm import read_osm
+
+        return read_osm(spark, path)
 
     @classmethod
     def from_gpkg(cls, spark: SparkSession, path: str, layers: list[str] | None = None) -> "VectorDataset":

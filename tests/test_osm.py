@@ -1,0 +1,144 @@
+"""OSM XML driver (sources/osm.py) — closes the SURVEY §2.1 OSM scope
+exclusion without GDAL.
+
+The oracle is the reference fixture PAIR: minsk-boundary.osm and
+minsk-boundary.gpkg (the latter converted with OGR's osm driver), so
+layer counts, per-feature attribute columns (including the
+hstore-style other_tags and z_order), line geometries and the
+relation-assembled multipolygon rings are checked against OGR's own
+output feature-by-feature.
+"""
+
+import json
+import os
+import sqlite3
+
+import pytest
+
+from gdal_boots_spark.sources.osm import read_osm
+
+OSM = "/root/reference/tests/fixtures/minsk-boundary.osm"
+GPKG = "/root/reference/tests/fixtures/minsk-boundary.gpkg"
+
+needs_fixtures = pytest.mark.skipif(
+    not (os.path.exists(OSM) and os.path.exists(GPKG)), reason="reference fixtures not mounted"
+)
+
+
+@needs_fixtures
+def test_osm_layer_parity_with_ogr_gpkg(spark):
+    vds = read_osm(spark, OSM)
+    con = sqlite3.connect(GPKG)
+    con.text_factory = lambda b: b.decode("utf-8", "replace")
+    for name in ["points", "lines", "multilinestrings", "multipolygons", "other_relations"]:
+        assert vds[name].count() == con.execute(f"SELECT COUNT(*) FROM {name}").fetchone()[0], name
+
+    # points: every attribute column identical (incl. other_tags hstore)
+    gcols = ["osm_id", "name", "barrier", "highway", "ref", "address", "is_in", "place", "man_made", "other_tags"]
+    gp = {r[0]: dict(zip(gcols, r)) for r in con.execute(f"SELECT {','.join(gcols)} FROM points")}
+    for row in vds["points"].collect():
+        p = json.loads(row["props_json"])
+        g = gp[p["osm_id"]]
+        for c in gcols:
+            assert (p.get(c) or None) == (g.get(c) or None), (p["osm_id"], c)
+
+    # lines: columns + z_order + coordinate-exact geometry
+    from gdal_boots_spark.sources.gpkg import parse_gpkg_blob
+
+    gcols = ["osm_id", "name", "highway", "waterway", "aerialway", "barrier", "man_made", "z_order", "other_tags"]
+    gl = {r[0]: dict(zip(gcols, r)) for r in con.execute(f"SELECT {','.join(gcols)} FROM lines")}
+    ggeo = {r[0]: parse_gpkg_blob(r[1]) for r in con.execute("SELECT osm_id, geom FROM lines")}
+    for row in vds["lines"].collect():
+        p = json.loads(row["props_json"])
+        g = gl[p["osm_id"]]
+        for c in gcols:
+            assert (p.get(c) if p.get(c) is not None else None) == (
+                g.get(c) if g.get(c) is not None else None
+            ), (p["osm_id"], c)
+        assert json.loads(row["geojson"])["coordinates"] == ggeo[p["osm_id"]]["coordinates"], p["osm_id"]
+
+    # multipolygons: (osm_id, osm_way_id) identity, coordinate content
+    # and per-part ring structure (part/ring ORDER is export-dependent)
+    gm = {
+        (r[0], r[1]): parse_gpkg_blob(r[2])
+        for r in con.execute("SELECT osm_id, osm_way_id, geom FROM multipolygons")
+    }
+    seen = set()
+    for row in vds["multipolygons"].collect():
+        p = json.loads(row["props_json"])
+        key = (p["osm_id"], p["osm_way_id"])
+        seen.add(key)
+        g = gm[key]
+        mine = json.loads(row["geojson"])
+        a = {(c[0], c[1]) for part in mine["coordinates"] for ring in part for c in ring}
+        b = {(c[0], c[1]) for part in g["coordinates"] for ring in part for c in ring}
+        assert a == b, key
+        assert sorted(len(part) for part in mine["coordinates"]) == sorted(
+            len(part) for part in g["coordinates"]
+        ), key
+    assert seen == set(gm)
+    # the boundary relation row assembles 3 outer parts, one carrying
+    # the inner enclaves (oracle: gpkg part structure 1/7/1 rings)
+    rel = next(r for r in vds["multipolygons"].collect() if json.loads(r["props_json"])["osm_id"] == "59195")
+    assert sorted(len(p) for p in json.loads(rel["geojson"])["coordinates"]) == [1, 1, 7]
+
+
+def test_osm_synthetic_rules(spark, tmp_path):
+    """Rules the fixture cannot pin: area=yes forces a closed highway
+    way to polygon, area=no blocks an area-key way, route relations
+    land in multilinestrings, unknown relation types in
+    other_relations (geometry-less)."""
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6">
+ <node id="1" lat="0.0" lon="0.0"/>
+ <node id="2" lat="0.0" lon="1.0"/>
+ <node id="3" lat="1.0" lon="1.0"/>
+ <node id="4" lat="1.0" lon="0.0"/>
+ <way id="10"><nd ref="1"/><nd ref="2"/><nd ref="3"/><nd ref="4"/><nd ref="1"/>
+  <tag k="highway" v="pedestrian"/><tag k="area" v="yes"/></way>
+ <way id="11"><nd ref="1"/><nd ref="2"/><nd ref="3"/><nd ref="4"/><nd ref="1"/>
+  <tag k="landuse" v="park"/><tag k="area" v="no"/></way>
+ <way id="12"><nd ref="1"/><nd ref="2"/><nd ref="3"/>
+  <tag k="highway" v="primary"/><tag k="bridge" v="yes"/><tag k="layer" v="1"/></way>
+ <relation id="20"><member type="way" ref="12" role=""/>
+  <tag k="type" v="route"/><tag k="route" v="bus"/><tag k="name" v="r20"/></relation>
+ <relation id="21"><member type="way" ref="12" role=""/>
+  <tag k="type" v="site"/><tag k="name" v="r21"/></relation>
+</osm>"""
+    path = str(tmp_path / "synthetic.osm")
+    with open(path, "w") as f:
+        f.write(xml)
+    vds = read_osm(spark, path)
+    mp = vds["multipolygons"].collect()
+    assert len(mp) == 1 and json.loads(mp[0]["props_json"])["osm_way_id"] == "10"
+    lines = {json.loads(r["props_json"])["osm_id"]: json.loads(r["props_json"]) for r in vds["lines"].collect()}
+    assert set(lines) == {"11", "12"}  # area=no stays a line
+    # z_order: primary (7) + layer*10 + bridge(+10) = 27
+    assert lines["12"]["z_order"] == 27
+    mls = vds["multilinestrings"].collect()
+    assert len(mls) == 1
+    m = json.loads(mls[0]["props_json"])
+    assert m["osm_id"] == "20" and m["type"] == "route" and m["name"] == "r20"
+    assert json.loads(mls[0]["geojson"])["type"] == "MultiLineString"
+    other = vds["other_relations"].collect()
+    assert len(other) == 1 and json.loads(other[0]["props_json"])["type"] == "site"
+
+
+@needs_fixtures
+def test_osm_to_gpkg_round_trip(spark, tmp_path):
+    """read_osm -> write_gpkg -> read_gpkg preserves every layer's
+    features (the reference flow: open OSM, persist as GPKG)."""
+    from gdal_boots_spark.sources.gpkg import read_gpkg, write_gpkg
+
+    vds = read_osm(spark, OSM)
+    path = str(tmp_path / "osm.gpkg")
+    write_gpkg(vds, path)
+    back = read_gpkg(spark, path)
+    for name in vds.layer_names:
+        a = sorted(
+            (r["gtype"], r["geojson"], r["props_json"]) for r in vds[name].collect()
+        )
+        b = sorted(
+            (r["gtype"], r["geojson"], r["props_json"]) for r in back[name].collect()
+        )
+        assert a == b, name
