@@ -190,6 +190,28 @@ class VectorDataset:
 
         write_gpkg(self, path, overwrite=overwrite, srs_id=srs_id)
 
+    def to_shp(self, path: str, overwrite: bool = False) -> None:
+        """Directory of one .shp/.shx/.dbf per layer — OGR's ESRI
+        Shapefile datasource model (reference ESRIShape marker,
+        options.py:126-130)."""
+        from .shp import write_shp
+
+        if os.path.exists(path) and not overwrite:
+            raise FileExistsError(path)
+        os.makedirs(path, exist_ok=True)
+        for name, df in self._layers.items():
+            write_shp(df, os.path.join(path, name), overwrite=overwrite)
+
+    @classmethod
+    def from_shp(cls, spark: SparkSession, path: str) -> "VectorDataset":
+        from .shp import read_shp
+
+        if os.path.isdir(path):
+            names = sorted(f[:-4] for f in os.listdir(path) if f.endswith(".shp"))
+            return cls({n: read_shp(spark, os.path.join(path, n)) for n in names})
+        name = os.path.basename(path)[:-4] if path.endswith(".shp") else os.path.basename(path)
+        return cls({name: read_shp(spark, path)})
+
     @classmethod
     def from_osm(cls, spark: SparkSession, path: str) -> "VectorDataset":
         """OSM XML -> the 5-layer OGR-compatible model (sources/osm.py)."""
