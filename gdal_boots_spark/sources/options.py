@@ -60,3 +60,18 @@ class GeoJSONOptions(DriverOptions):
 
     coordinate_precision: int = 15
     write_bbox: bool = False
+
+
+@dataclass
+class GPKGOptions(DriverOptions):
+    """GeoPackage driver marker (reference GPKG, options.py:141-146);
+    dispatched by VectorDataset.to_file -> sources/gpkg.write_gpkg."""
+
+    srs_id: int = 4326
+
+
+@dataclass
+class ESRIShapeOptions(DriverOptions):
+    """ESRI Shapefile driver marker (reference ESRIShape,
+    options.py:126-130); dispatched by VectorDataset.to_file ->
+    sources/shp (one .shp/.shx/.dbf per layer)."""

@@ -184,6 +184,32 @@ class VectorDataset:
         for name, df in self._layers.items():
             write_ndjson(df, os.path.join(path, name))
 
+    def to_file(self, path: str, options=None, overwrite: bool = False) -> None:
+        """Driver-option dispatch — the reference's
+        ``to_file(filename, options, overwrite)`` (gdal.py:1225-1263):
+        a GPKGOptions marker writes GeoPackage, ESRIShapeOptions a
+        shapefile datasource directory, GeoJSONOptions (or None with a
+        .geojson path) one FeatureCollection per layer; anything else
+        falls back to the NDJSON layer directory."""
+        from .options import ESRIShapeOptions, GeoJSONOptions, GPKGOptions
+
+        if isinstance(options, GPKGOptions) or (options is None and path.endswith(".gpkg")):
+            srs = options.srs_id if isinstance(options, GPKGOptions) else 4326
+            self.to_gpkg(path, overwrite=overwrite, srs_id=srs)
+        elif isinstance(options, ESRIShapeOptions) or (options is None and path.endswith(".shp")):
+            self.to_shp(path[:-4] if path.endswith(".shp") else path, overwrite=overwrite)
+        elif isinstance(options, GeoJSONOptions) or (options is None and path.endswith(".geojson")):
+            if len(self._layers) == 1:
+                write_geojson(self.first(), path, overwrite=overwrite)
+            else:
+                if os.path.exists(path) and not overwrite:
+                    raise FileExistsError(path)
+                os.makedirs(path, exist_ok=True)
+                for name, df in self._layers.items():
+                    write_geojson(df, os.path.join(path, f"{name}.geojson"), overwrite=overwrite)
+        else:
+            self.to_path(path, overwrite=overwrite)
+
     def to_gpkg(self, path: str, overwrite: bool = False, srs_id: int = 4326) -> None:
         """reference ``to_file(name, GPKG())`` (gdal.py:1225-1263)."""
         from .gpkg import write_gpkg

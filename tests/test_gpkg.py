@@ -172,3 +172,37 @@ def test_gpkg_to_epsg(spark):
         x, y = transform_coords(np.array([s["coordinates"][0]]), np.array([s["coordinates"][1]]), 4326, 3857)
         d = dst[fid]["coordinates"]
         assert abs(d[0] - float(x[0])) < 1e-6 and abs(d[1] - float(y[0])) < 1e-6
+
+
+def test_to_file_driver_dispatch(spark, tmp_path):
+    """Reference to_file(filename, options, overwrite) dispatch
+    (gdal.py:1225-1263): GPKGOptions -> gpkg, ESRIShapeOptions -> shp
+    datasource dir, GeoJSONOptions -> FeatureCollection; overwrite
+    raises when the target exists (test_raster.py:138-140)."""
+    from gdal_boots_spark.sources.options import ESRIShapeOptions, GeoJSONOptions, GPKGOptions
+    from gdal_boots_spark.sources.shp import read_shp
+    from gdal_boots_spark.sources.vector_io import read_geojson
+
+    df = spark.createDataFrame(
+        [(1, "Point", '{"type":"Point","coordinates":[1.5,2.5]}', '{"name":"a"}')],
+        "fid long, gtype string, geojson string, props_json string",
+    )
+    vds = VectorDataset({"layer1": df})
+
+    gpkg = str(tmp_path / "d.gpkg")
+    vds.to_file(gpkg, GPKGOptions())
+    assert read_gpkg(spark, gpkg)["layer1"].count() == 1
+    with pytest.raises(FileExistsError):
+        vds.to_file(gpkg, GPKGOptions())
+
+    shp_dir = str(tmp_path / "d_shp")
+    vds.to_file(shp_dir, ESRIShapeOptions())
+    assert read_shp(spark, os.path.join(shp_dir, "layer1")).count() == 1
+
+    gj = str(tmp_path / "d.geojson")
+    vds.to_file(gj, GeoJSONOptions())
+    assert read_geojson(spark, gj).count() == 1
+    # extension-based dispatch with options=None
+    gpkg2 = str(tmp_path / "e.gpkg")
+    vds.to_file(gpkg2)
+    assert read_gpkg(spark, gpkg2)["layer1"].count() == 1
