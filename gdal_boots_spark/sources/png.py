@@ -1,4 +1,4 @@
-"""Minimal pure-Python PNG codec (grayscale 8/16-bit, RGB 8-bit).
+"""Minimal pure-Python PNG codec (grayscale 8/16-bit, RGB/RGBA 8-bit).
 
 Replaces the reference's GDAL PNG driver for to_bytes/from_bytes
 (gdal.py:566-607): real decode(encode(x)) == x round-trips stand in for
@@ -29,15 +29,18 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def encode_png(arr: np.ndarray, zlevel: int = 6) -> bytes:
-    """(h, w) uint8/uint16 grayscale or (h, w, 3) uint8 RGB -> PNG."""
+    """(h, w) uint8/uint16 grayscale, (h, w, 3) uint8 RGB or
+    (h, w, 4) uint8 RGBA -> PNG."""
     if arr.ndim == 2 and arr.dtype == np.uint8:
         color, depth, raw = 0, 8, arr
     elif arr.ndim == 2 and arr.dtype == np.uint16:
         color, depth, raw = 0, 16, arr.astype(">u2")
     elif arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8:
         color, depth, raw = 2, 8, arr
+    elif arr.ndim == 3 and arr.shape[2] == 4 and arr.dtype == np.uint8:
+        color, depth, raw = 6, 8, arr
     else:
-        raise ValueError("supported: uint8/uint16 gray, uint8 RGB")
+        raise ValueError("supported: uint8/uint16 gray, uint8 RGB/RGBA")
     h, w = arr.shape[:2]
     body = raw.tobytes()
     stride = len(body) // h
@@ -70,6 +73,8 @@ def decode_png(data: bytes) -> np.ndarray:
         channels = 1
     elif color == 2:
         channels = 3
+    elif color == 6:
+        channels = 4
     else:
         raise ValueError(f"color type {color} unsupported")
     bpp = channels * (depth // 8)
@@ -110,8 +115,8 @@ def decode_png(data: bytes) -> np.ndarray:
         prev = cur
     if depth == 16:
         arr = out.view(">u2").astype(np.uint16).reshape(h, w)
-    elif channels == 3:
-        arr = out.reshape(h, w, 3)
+    elif channels in (3, 4):
+        arr = out.reshape(h, w, channels)
     else:
         arr = out.reshape(h, w)
     return arr

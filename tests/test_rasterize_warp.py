@@ -170,3 +170,77 @@ def test_rasterize_broadcast_vs_distributed(spark):
         ra = {r["tile_key"]: bytes(r["data"]) for r in a.collect()}
         rb = {r["tile_key"]: bytes(r["data"]) for r in b.collect()}
         assert ra == rb and len(ra) > 0
+
+
+def test_read_by_geom_composite_flow(spark, tmp_path):
+    """Reference test_utils.py:14-26 (test_read_by_geom) — permanently
+    skipped upstream for lack of its "extra" satellite fixture; ported
+    here with a synthesized band over the same Minsk polygon fixture:
+    open a 1-band raster, stack an RGBA 4-band dataset from it
+    (__setitem__ band writes + full-opacity alpha), crop_by_geometry
+    with the minsk-polygon.geojson fixture, write the crop as PNG and
+    GeoTIFF, and re-read both bit-exact."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    fx = "/root/reference/tests/fixtures/minsk-polygon.geojson"
+    if not _os.path.exists(fx):
+        _pytest.skip("reference fixtures not mounted")
+    geometry = _json.load(open(fx))["geometry"]
+    from pyspark.sql import functions as F
+
+    from gdal_boots_spark.operators.crop import crop_by_geometry
+    from gdal_boots_spark.operators.raster_ops import write_window
+    from gdal_boots_spark.sources.gtiff import write_gtiff
+    from gdal_boots_spark.sources.png import decode_png, encode_png
+    from gdal_boots_spark.sources.tiles import RasterGrid, array_to_tiles, tiles_to_array
+
+    # synthesized "B04" band over the polygon's neighborhood
+    rng = np.random.default_rng(42)
+    band = rng.integers(0, 255, size=(40, 50), dtype=np.int64).astype(np.uint8)
+
+    # RGBA stack: three copies of the band + alpha written as the
+    # reference does (ds[3, :] = max — scalar-broadcast __setitem__,
+    # the engine's write_window)
+    from dataclasses import replace
+
+    grid4 = RasterGrid(
+        "rgba", 4326, (0.01, 0.0, 27.3, 0.0, -0.01, 54.1), 50, 40, tile_w=16, tile_h=16,
+        bands=4, dtype="uint8",
+    )
+    rgba_arr = np.stack([band, band, band, np.zeros_like(band)])
+    rgba = array_to_tiles(spark, rgba_arr, grid4)
+    rgba = write_window(rgba, grid4, (0, 0, 50, 40), 255, band=3)
+
+    cropped, mask, out_grid = crop_by_geometry(spark, rgba, grid4, geometry)
+    assert out_grid.width > 0 and out_grid.height > 0
+    planes = [
+        tiles_to_array(
+            cropped.where(F.col("band") == b).withColumn("band", F.lit(0)), replace(out_grid, bands=1)
+        )
+        for b in range(4)
+    ]
+    # inside-polygon pixels carry the band; bands 0-2 identical
+    assert np.array_equal(planes[0], planes[1]) and np.array_equal(planes[1], planes[2])
+    assert (planes[3] == 255).any()
+
+    # PNG write/read round-trip of the cropped RGBA
+    img = np.stack(planes, axis=-1)
+    png_path = str(tmp_path / "cropped_by_polygon.png")
+    with open(png_path, "wb") as f:
+        f.write(encode_png(img))
+    back = decode_png(open(png_path, "rb").read())
+    assert np.array_equal(back, img)
+
+    # GeoTIFF write/read round-trip (real container; decode bit-exact)
+    from gdal_boots_spark.sources.gtiff import decode_gtiff
+
+    tif_path = str(tmp_path / "warped_by_mask.tif")
+    write_gtiff(cropped, replace(out_grid, raster_id="crop4"), tif_path)
+    arr2, transform2, epsg2, _ = decode_gtiff(open(tif_path, "rb").read())
+    assert arr2.shape == (4, out_grid.height, out_grid.width)
+    assert epsg2 == 4326 and tuple(transform2) == tuple(out_grid.transform)
+    for b in range(4):
+        assert np.array_equal(arr2[b], planes[b]), b
