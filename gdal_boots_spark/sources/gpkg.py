@@ -268,6 +268,8 @@ def write_gpkg(
         if not overwrite:
             raise FileExistsError(path)
         os.remove(path)
+    from ..geom.packed import from_geojson
+
     layers = dataset._layers if isinstance(dataset, VectorDataset) else dataset
     con = sqlite3.connect(path)
     cur = con.cursor()
@@ -320,8 +322,6 @@ def write_gpkg(
             if r["geojson"]:
                 geom = json.loads(r["geojson"])
                 blob = make_gpkg_blob(geom, srs_id)
-                from ..geom.packed import from_geojson
-
                 pg = from_geojson(geom)
                 if pg.coords.size:
                     c = pg.coords.reshape(-1, 2)

@@ -179,9 +179,22 @@ def _dbf_write(path: str, names: list[str], types: dict, rows: list[dict]) -> No
                     if v is None:
                         s = b" " * width
                     elif dec:
-                        s = f"{float(v):.{dec}f}"[:width].rjust(width).encode()
+                        # fixed-decimal first; magnitudes that overflow
+                        # the field fall back to shorter %g forms
+                        # instead of silently truncating to garbage
+                        txt = f"{float(v):.{dec}f}"
+                        for sig in (17, 15, 12, 9, 6):
+                            if len(txt) <= width:
+                                break
+                            txt = f"{float(v):.{sig}g}"
+                        if len(txt) > width:
+                            raise ValueError(f"numeric value {v!r} does not fit DBF field width {width}")
+                        s = txt.rjust(width).encode()
                     else:
-                        s = str(int(v))[:width].rjust(width).encode()
+                        txt = str(int(v))
+                        if len(txt) > width:
+                            raise ValueError(f"integer value {v!r} does not fit DBF field width {width}")
+                        s = txt.rjust(width).encode()
                 else:
                     s = str(v if v is not None else "").encode("utf-8")[:width].ljust(width)
                 f.write(s)
