@@ -1,0 +1,93 @@
+"""Deterministic split/sample operators (operators/dataset_split.py):
+engine-portable md5-prefix assignment, DuckDB-oracle exact.
+"""
+
+import duckdb
+import pytest
+
+from gdal_boots_spark.operators.dataset_split import (
+    deterministic_sample,
+    hash_split,
+    split_oracle_sql,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hash_split_matches_duckdb_oracle(spark):
+    """The SAME predicate evaluated by DuckDB assigns every row to the
+    identical split (md5 is bit-identical across engines; fixed-width
+    lowercase hex compares lexicographically == numerically)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", frac, seed="s1").select("doc_id", "split").collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    case = split_oracle_sql("doc_id", frac, seed="s1")
+    want = dict(con.execute(f"SELECT doc_id, {case} FROM documents").fetchall())
+    assert got == want and len(got) > 0
+    # deterministic: same seed -> same assignment; new seed -> differs
+    again = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", frac, seed="s1").select("doc_id", "split").collect()
+    }
+    assert again == got
+    other = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", frac, seed="s2").select("doc_id", "split").collect()
+    }
+    assert other != got
+    # fractions approximately honored
+    n = len(got)
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert abs(n_train / n - 0.8) < 0.08
+    assert all(v in ("train", "val", "test") for v in got.values())  # sums to 1.0 -> no NULLs
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(docs, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_deterministic_sample_stable_and_subset(spark):
+    """Rate-r sample is a stable subset: partitioning/order-independent
+    (unlike df.sample) and nested rates nest (keys kept at 5% are a
+    subset of keys kept at 20%)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s20 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.20).select("doc_id").collect()}
+    s05 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.05).select("doc_id").collect()}
+    assert s05 <= s20
+    n = docs.count()
+    assert abs(len(s20) / n - 0.20) < 0.06
+    # repartitioning does not change membership
+    s20b = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(7), "doc_id", 0.20).select("doc_id").collect()
+    }
+    assert s20b == s20
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    """Per-stratum keep rates apply independently; strata absent from
+    the rate map are dropped entirely; matches the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "stratum", (F.col("doc_id").cast("long") % 3).cast("int")
+    )
+    out = stratified_sample(docs, "doc_id", "stratum", {0: 0.5, 1: 0.1}, seed="z")
+    got = {(r["doc_id"], r["stratum"]) for r in out.select("doc_id", "stratum").collect()}
+    assert all(s in (0, 1) for _, s in got)  # stratum 2 dropped
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    from gdal_boots_spark.operators.dataset_split import _hex_cutoff
+
+    want = set(
+        con.execute(
+            "SELECT doc_id, CAST(CAST(doc_id AS BIGINT) % 3 AS INTEGER) AS s FROM documents "
+            f"WHERE (CAST(doc_id AS BIGINT) % 3 = 0 AND substr(md5('z' || doc_id), 1, 8) < '{_hex_cutoff(0.5)}') "
+            f"OR (CAST(doc_id AS BIGINT) % 3 = 1 AND substr(md5('z' || doc_id), 1, 8) < '{_hex_cutoff(0.1)}')"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
