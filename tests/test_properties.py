@@ -324,3 +324,46 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
     lo2, la2 = inv(x, y)
     dlon = abs(((float(lo2[0]) - lon + 180.0) % 360.0) - 180.0)
     assert dlon < 1e-6 and abs(float(la2[0]) - la) < 1e-6
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    star_polygon(),
+    st.lists(st.tuples(coord, lat), min_size=1, max_size=6),
+    st.integers(0, 3),
+)
+def test_wkb_gpkg_shp_codec_property(poly, pts, shape_kind):
+    """Round-4 container codecs under randomized geometries: WKB and
+    the GPKG blob round-trip exactly; the shapefile record codec
+    preserves coordinate content and ring structure (winding is
+    normalized to the spec, so compare content)."""
+    from gdal_boots_spark.sources.gpkg import geojson_to_wkb, make_gpkg_blob, parse_gpkg_blob, wkb_to_geojson
+    from gdal_boots_spark.sources.shp import _geom_to_shp, _shp_to_geom
+
+    if shape_kind == 0:
+        geom = poly
+    elif shape_kind == 1:
+        geom = {"type": "MultiPoint", "coordinates": [[x, y] for x, y in pts]}
+    elif shape_kind == 2:
+        geom = {"type": "LineString", "coordinates": [[x, y] for x, y in pts] + [[0.0, 0.0], [1.0, 1.0]]}
+    else:
+        geom = {"type": "MultiPolygon", "coordinates": [poly["coordinates"]]}
+    # WKB + GPKG blob: exact round-trip
+    assert wkb_to_geojson(geojson_to_wkb(geom)) == geom
+    assert parse_gpkg_blob(make_gpkg_blob(geom)) == geom
+    # shapefile record: content-preserving (winding/type normalization)
+    st_, body = _geom_to_shp(geom)
+    back = _shp_to_geom(st_, body)
+
+    def pts_of(g):
+        if g["type"] == "Point":
+            return {tuple(g["coordinates"])}
+        if g["type"] == "MultiPoint":
+            return {tuple(p) for p in g["coordinates"]}
+        if g["type"] == "LineString":
+            return {tuple(p) for p in g["coordinates"]}
+        if g["type"] in ("MultiLineString", "Polygon"):
+            return {tuple(p) for part in g["coordinates"] for p in part}
+        return {tuple(p) for poly_ in g["coordinates"] for ring in poly_ for p in ring}
+
+    assert pts_of(back) == pts_of(geom)
