@@ -393,3 +393,37 @@ def test_ndjson_synthetic_fid_never_collides_with_explicit(spark, tmp_path):
     assert len(fids) == 10 and len(set(fids)) == 10
     assert sorted(f for f in fids if f >= 0) == [0, 1, 2, 3, 4]
     assert sum(1 for f in fids if f < 0) == 5
+
+
+def test_reference_binary_fixtures_decode(spark):
+    """The reference's own GDAL-produced binary fixtures decode with
+    the from-scratch codecs (test_raster.py:24-49 goldens): the
+    big-endian lena512color.tiff and lena512color.png both yield
+    (3, 512, 512) uint8 with IDENTICAL pixels (cross-codec bit-exact),
+    window slices match the reference shape rule, and a zlevel=9
+    re-encode round-trips bit-exact."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from gdal_boots_spark.sources.gtiff import decode_gtiff
+    from gdal_boots_spark.sources.png import decode_png, encode_png
+
+    png_path = "/root/reference/tests/fixtures/lena512color.png"
+    tif_path = "/root/reference/tests/fixtures/lena512color.tiff"
+    if not (os.path.exists(png_path) and os.path.exists(tif_path)):
+        pytest.skip("reference fixtures not mounted")
+    png = decode_png(open(png_path, "rb").read())
+    assert png.shape == (512, 512, 3) and png.dtype == np.uint8
+    tif, transform, epsg, nodata = decode_gtiff(open(tif_path, "rb").read())
+    assert tif.shape == (3, 512, 512) and tif.dtype == np.uint8  # golden test_raster.py:27
+    assert np.array_equal(np.moveaxis(tif, 0, -1), png)
+    # ds[:, :100, :100].shape == (3, 100, 100) (golden test_raster.py:28)
+    assert tif[:, :100, :100].shape == (3, 100, 100)
+    # to_bytes(PNG(zlevel=9)) path: re-encode decodes bit-exact and
+    # beats the raw pixel volume (on photographic data zlib level 9
+    # can exceed level 1 by a hair, so no cross-level ordering here)
+    z9 = encode_png(png, zlevel=9)
+    assert np.array_equal(decode_png(z9), png)
+    assert len(z9) < png.nbytes
