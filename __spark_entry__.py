@@ -1002,13 +1002,26 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver-verified board caps at 50 queries (CORRECTNESS_r03 silently
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment over the documents table
+    (operators/dataset_split.py): md5-prefix buckets, a pure function
+    of (seed, doc_id) — the identical CASE expression is the DuckDB
+    oracle, so assignment matches byte-for-byte across engines."""
+    from gdal_boots_spark.operators.dataset_split import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="r4").select(
+        "doc_id", "split"
+    )
+
+
 # dropped the last two of 52).  pip_join_shuffle and crs_3857 each verify
 # an operator that already has a green twin on the board (pip_join's
 # broadcast path exercises the same join; to_epsg subsumes the 3857
 # transform), so they are consolidated into extra_queries() — still
 # pytest-verified against their oracles every run — keeping every
 # DISTINCT operator driver-verified, lang_id + fingerprint included.
-_EXTRA_QUERIES = ("pip_join_shuffle", "crs_3857")
+_EXTRA_QUERIES = ("pip_join_shuffle", "crs_3857", "hash_split")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1077,6 +1090,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "media_resize": q_media_resize,
         "text_quality": q_text_quality,
+        "hash_split": q_hash_split,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
     }
@@ -1324,6 +1338,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _all_oracle_sql() -> dict[str, str]:
+    from gdal_boots_spark.operators.dataset_split import split_oracle_sql
+
+    hash_split_case = split_oracle_sql("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="r4")
     md5 = _SQL_MD5
     text_ctes = f"""
         d AS (
@@ -1514,6 +1531,7 @@ def _all_oracle_sql() -> dict[str, str]:
             WITH {text_ctes}
             SELECT doc_id, {md5.format(x='norm')} AS fp, len(w) AS n_tokens FROM d
         """,
+        "hash_split": f"SELECT doc_id, {hash_split_case} AS split FROM documents",
     }
     out = dedup_text_oracles | {
         "pip_join": f"""

@@ -91,3 +91,21 @@ def test_stratified_sample_per_stratum_rates(spark):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_hash_split_entry_surface(spark):
+    """hash_split is registered on the entry surface (extra_queries /
+    extra_oracle_sql) and held to the driver's exact-equality contract."""
+    import duckdb as _duckdb
+
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.extra_queries()["hash_split"](spark, SF).toPandas()
+    con = _duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    odf = con.execute(entrymod.extra_oracle_sql()["hash_split"]).df()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b) and len(a) > 0
+    assert len(entrymod.queries()) == 50  # board unchanged
