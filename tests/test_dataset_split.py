@@ -109,3 +109,31 @@ def test_hash_split_entry_surface(spark):
     b = odf[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b) and len(a) > 0
     assert len(entrymod.queries()) == 50  # board unchanged
+
+
+def test_pack_shards_matches_duckdb_oracle(spark):
+    """Contiguous token-budget packing == the ANSI window-function
+    oracle, plus the packing invariants: shards are contiguous in key
+    order, monotone, and under-budget before their last document."""
+    from gdal_boots_spark.operators.packing import pack_oracle_sql, pack_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = pack_shards(docs, budget=5000).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.execute(pack_oracle_sql(5000)).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b) and len(a) > 0
+    # invariants
+    srt = got.sort_values("doc_id").reset_index(drop=True)
+    assert (srt["shard"].diff().dropna() >= 0).all()  # monotone in key order
+    sums = srt.groupby("shard")["n_tokens"].sum()
+    # every shard except possibly the last started under budget
+    starts = srt.groupby("shard").first()
+    prior = sums.cumsum().shift(1).fillna(0)
+    assert ((prior % 5000 + 0) < 5000).all()
+    assert srt["n_tokens"].sum() == sums.sum()
+    with pytest.raises(ValueError, match="budget"):
+        pack_shards(docs, budget=0)
