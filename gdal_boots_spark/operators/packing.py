@@ -61,14 +61,23 @@ def pack_shards(
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += int(totals[pid])
-    off_map = F.create_map(
-        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
-    ) if offsets else F.create_map()
     w = Window.partitionBy("_pid").orderBy(F.col(key_col)).rowsBetween(Window.unboundedPreceding, -1)
-    cum_before = F.coalesce(off_map[F.col("_pid")], F.lit(0)) + F.coalesce(
-        F.sum("n_tokens").over(w), F.lit(0)
-    )
-    return ranged.select(
+    if len(offsets) <= 256:
+        off_map = F.create_map(
+            *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+        ) if offsets else F.create_map()
+        off_col = F.coalesce(off_map[F.col("_pid")], F.lit(0))
+        src = ranged
+    else:
+        # thousands of partitions would bloat the plan with a literal
+        # map; ship the offsets as a broadcast dimension instead
+        off_df = spark.createDataFrame(
+            sorted(offsets.items()), "_pid int, _off long"
+        )
+        src = ranged.join(F.broadcast(off_df), "_pid", "left")
+        off_col = F.coalesce(F.col("_off"), F.lit(0))
+    cum_before = off_col + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return src.select(
         key_col, "n_tokens", F.floor(cum_before / budget).alias("shard")
     )
 
