@@ -122,28 +122,47 @@ def _is_area(tags: dict) -> bool:
 
 def _assemble_rings(seqs: list[list[int]]) -> list[list[int]]:
     """Stitch way node-id sequences into closed rings by shared
-    endpoints (unclosed leftovers are dropped, as OGR does)."""
-    pool = [list(s) for s in seqs if len(s) >= 2]
-    rings = []
+    endpoints (unclosed leftovers are dropped, as OGR does).
+
+    Endpoint-indexed: each join is O(1) via a node-id -> pending-way
+    index, so a 10k-way boundary relation stitches in O(total nodes)
+    rather than the quadratic scan of the naive pool walk."""
+    rings_pre = [list(s) for s in seqs if len(s) >= 4 and s[0] == s[-1]]
+    pool: dict[int, list[int]] = {
+        i: list(s) for i, s in enumerate(seqs) if len(s) >= 2 and s[0] != s[-1]
+    }
+    by_end: dict[int, set[int]] = {}
+    for i, s in pool.items():
+        by_end.setdefault(s[0], set()).add(i)
+        by_end.setdefault(s[-1], set()).add(i)
+
+    def _unindex(i: int, s: list[int]) -> None:
+        for node in (s[0], s[-1]):
+            ids = by_end.get(node)
+            if ids:
+                ids.discard(i)
+                if not ids:
+                    del by_end[node]
+
+    rings = list(rings_pre)
     while pool:
-        cur = pool.pop()
-        progress = True
-        while cur[0] != cur[-1] and progress:
-            progress = False
-            for i, w in enumerate(pool):
-                if w[0] == cur[-1]:
-                    cur += w[1:]
-                elif w[-1] == cur[-1]:
-                    cur += w[-2::-1]
-                elif w[-1] == cur[0]:
-                    cur = w[:-1] + cur
-                elif w[0] == cur[0]:
-                    cur = w[::-1][:-1] + cur
-                else:
-                    continue
-                pool.pop(i)
-                progress = True
+        i, cur = pool.popitem()
+        _unindex(i, cur)
+        while cur[0] != cur[-1]:
+            cand = by_end.get(cur[-1]) or by_end.get(cur[0])
+            if not cand:
                 break
+            j = next(iter(cand))
+            w = pool.pop(j)
+            _unindex(j, w)
+            if w[0] == cur[-1]:
+                cur += w[1:]
+            elif w[-1] == cur[-1]:
+                cur += w[-2::-1]
+            elif w[-1] == cur[0]:
+                cur = w[:-1] + cur
+            else:
+                cur = w[::-1][:-1] + cur
         if cur[0] == cur[-1] and len(cur) >= 4:
             rings.append(cur)
     return rings
