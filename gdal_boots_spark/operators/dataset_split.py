@@ -42,12 +42,16 @@ def hash_split(
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
     b = _bucket(F.col(key_col), seed)
-    # CASE WHEN chain in declaration order
+    # CASE WHEN chain in declaration order; when the fractions sum to 1
+    # the LAST range's upper bound becomes inclusive-of-everything ('g'
+    # sorts above any hex digit) so the 1-in-4B key whose md5 prefix is
+    # exactly 'ffffffff' cannot fall out of the split
     acc = 0.0
     conds = []
     for name, frac in fractions.items():
         lo, acc = acc, acc + frac
-        conds.append((name, _hex_cutoff(lo), _hex_cutoff(acc)))
+        hi = "g" if acc >= 1.0 - 1e-9 else _hex_cutoff(acc)
+        conds.append((name, _hex_cutoff(lo), hi))
     out = F.lit(None).cast("string")
     for name, lo, hi in reversed(conds):
         out = F.when((b >= F.lit(lo)) & (b < F.lit(hi)), F.lit(name)).otherwise(out)
@@ -83,8 +87,9 @@ def split_oracle_sql(key_sql: str, fractions: dict[str, float], seed: str = "spl
     whens = []
     for name, frac in fractions.items():
         lo, acc = acc, acc + frac
+        hi = "g" if acc >= 1.0 - 1e-9 else _hex_cutoff(acc)
         whens.append(
             f"WHEN substr(md5('{seed}' || {key_sql}), 1, 8) >= '{_hex_cutoff(lo)}' "
-            f"AND substr(md5('{seed}' || {key_sql}), 1, 8) < '{_hex_cutoff(acc)}' THEN '{name}'"
+            f"AND substr(md5('{seed}' || {key_sql}), 1, 8) < '{hi}' THEN '{name}'"
         )
     return "CASE " + " ".join(whens) + " ELSE NULL END"
