@@ -419,9 +419,14 @@ class StereographicProj:
             return self.x0 + rho * np.sin(lam), self.y0 - sgn * rho * np.cos(lam)
         chi = _conformal_lat(phi, self.e)
         c0, s0 = math.cos(self.chi0), math.sin(self.chi0)
-        A = 2 * self.a * self.k0 * self.m0 / (
-            math.cos(self.chi0) * (1 + s0 * np.sin(chi) + c0 * np.cos(chi) * np.cos(lam))
-        )
+        # Domain guard (r5): same antipode singularity class as laea —
+        # the 1 + cos(angular distance) factor vanishes at the point
+        # opposite the projection center (stereographic maps it to
+        # infinity).  NaN inside the ~0.8 deg ill-conditioned disk.
+        denom = 1 + s0 * np.sin(chi) + c0 * np.cos(chi) * np.cos(lam)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = np.where(denom < 1e-4, np.nan, denom)
+        A = 2 * self.a * self.k0 * self.m0 / (math.cos(self.chi0) * denom)
         x = A * np.cos(chi) * np.sin(lam)
         y = A * (c0 * np.sin(chi) - s0 * np.cos(chi) * np.cos(lam))
         return self.x0 + x, self.y0 + y
@@ -480,6 +485,8 @@ class ObliqueStereographicProj:
         self.c = (self.n + s0) * (1 - sin_chi0) / ((self.n - s0) * (1 + sin_chi0))
         w2 = self.c * w1
         self.chi0 = math.asin((w2 - 1) / (w2 + 1))
+        # injective longitude domain of the double projection (degrees)
+        self.dlam_max_deg = 180.0 / self.n
 
     def _chi(self, phi):
         s = np.sin(phi)
@@ -489,10 +496,24 @@ class ObliqueStereographicProj:
     def forward(self, lon, lat):
         phi = np.radians(np.asarray(lat, np.float64))
         lam = np.radians(np.asarray(lon, np.float64))
-        Lam = self.n * (lam - self.lam0)
+        dlam = np.mod(lam - self.lam0 + np.pi, 2 * np.pi) - np.pi
+        # Domain guard (r5, VERDICT r4 item 1): the double projection
+        # scales longitude by n > 1, so the map is only injective for
+        # |dlam| <= pi/n.  Beyond that, sin/cos silently alias Lam onto
+        # the wrong side of the conformal sphere (forward x flips sign
+        # and the inverse's principal-branch arctan2 lands
+        # 2*(180 - 180/n) degrees away).  Refuse to return silently
+        # wrong coordinates: out-of-domain -> NaN, mirroring the
+        # degenerate-cone ValueError guard for aea/lcc.
+        with np.errstate(invalid="ignore"):
+            Lam = np.where(np.abs(dlam) > np.pi / self.n, np.nan, self.n * dlam)
         chi = self._chi(phi)
         c0, s0 = math.cos(self.chi0), math.sin(self.chi0)
         B = 1 + np.sin(chi) * s0 + np.cos(chi) * c0 * np.cos(Lam)
+        # conformal-sphere antipode (B -> 0): same singular-disk NaN
+        # guard as stere/laea.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            B = np.where(B < 1e-4, np.nan, B)
         g = 2 * self.R * self.k0 / B
         return self.x0 + g * np.cos(chi) * np.sin(Lam), self.y0 + g * (
             np.sin(chi) * c0 - np.cos(chi) * s0 * np.cos(Lam)
@@ -559,6 +580,14 @@ class LambertAzimuthalEqualAreaProj:
         beta = np.arcsin(np.clip(q / self.qp, -1, 1))
         c0, s0 = math.cos(self.beta0), math.sin(self.beta0)
         denom = 1 + s0 * np.sin(beta) + c0 * np.cos(beta) * np.cos(lam)
+        # Domain guard (r5): denom = 1 + cos(angular distance to the
+        # projection center) -> 0 at the antipode, where the map is
+        # singular and the round-trip is ill-conditioned (measured
+        # up to 0.05 deg of silent error inside ~0.05 deg of the
+        # antipode).  denom < 1e-4 is an ~0.8 deg disk around the
+        # antipode: NaN there instead of silently wrong coordinates.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = np.where(denom < 1e-4, np.nan, denom)
         B = self.Rq * np.sqrt(2.0 / denom)
         x = B * self.D * np.cos(beta) * np.sin(lam)
         y = (B / self.D) * (c0 * np.sin(beta) - s0 * np.cos(beta) * np.cos(lam))

@@ -64,7 +64,10 @@ def deterministic_sample(
     """Keep a deterministic ``rate`` fraction of rows by hashed key —
     the engine-portable replacement for ``df.sample`` (whose output
     depends on partitioning)."""
-    return df.where(_bucket(F.col(key_col), seed) < F.lit(_hex_cutoff(rate)))
+    # rate >= 1: keep everything — same 'g' sentinel as hash_split so
+    # the 1-in-2^32 key whose md5 prefix is 'ffffffff' is not dropped
+    cutoff = "g" if rate >= 1.0 - 1e-9 else _hex_cutoff(rate)
+    return df.where(_bucket(F.col(key_col), seed) < F.lit(cutoff))
 
 
 def stratified_sample(
@@ -76,7 +79,8 @@ def stratified_sample(
     b = _bucket(F.col(key_col), seed)
     keep = F.lit(False)
     for value, rate in rates.items():
-        keep = keep | ((F.col(stratum_col) == F.lit(value)) & (b < F.lit(_hex_cutoff(rate))))
+        cutoff = "g" if rate >= 1.0 - 1e-9 else _hex_cutoff(rate)
+        keep = keep | ((F.col(stratum_col) == F.lit(value)) & (b < F.lit(cutoff)))
     return df.where(keep)
 
 

@@ -77,9 +77,24 @@ def pack_shards(
         src = ranged.join(F.broadcast(off_df), "_pid", "left")
         off_col = F.coalesce(F.col("_off"), F.lit(0))
     cum_before = off_col + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return src.select(
-        key_col, "n_tokens", F.floor(cum_before / budget).alias("shard")
+    # integer shard arithmetic (ADVICE r4): floor(double / budget)
+    # loses ulps once cumulative tokens pass 2^53 (plausible at 10^12
+    # docs); `div` stays in 64-bit integers end-to-end.  cum_before is
+    # non-negative so floor == integer division.
+    res = src.select(
+        key_col,
+        "n_tokens",
+        cum_before.cast("long").alias("_cum"),
+    ).select(
+        key_col, "n_tokens", F.expr(f"_cum div CAST({int(budget)} AS BIGINT)").alias("shard")
     )
+    # NOTE: `ranged` stays persisted until the caller is done — the
+    # collected per-partition offsets are only valid for the cached
+    # partition boundaries, so unpersisting before the result is
+    # consumed would risk a recompute with different boundaries.
+    # Callers that care can unpersist via this handle afterwards.
+    res._pack_cache = ranged
+    return res
 
 
 def pack_oracle_sql(budget: int, key_sql: str = "doc_id", tokens_sql: str | None = None) -> str:
@@ -92,8 +107,8 @@ def pack_oracle_sql(budget: int, key_sql: str = "doc_id", tokens_sql: str | None
     return f"""
         SELECT {key_sql},
                CAST({tokens_sql} AS BIGINT) AS n_tokens,
-               CAST(FLOOR(COALESCE(SUM(CAST({tokens_sql} AS BIGINT)) OVER (
+               CAST(COALESCE(SUM(CAST({tokens_sql} AS BIGINT)) OVER (
                    ORDER BY {key_sql} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) / {budget}) AS BIGINT) AS shard
+               ), 0) // CAST({budget} AS BIGINT) AS BIGINT) AS shard
         FROM documents
     """

@@ -206,18 +206,23 @@ def read_osm(spark: SparkSession, path: str) -> VectorDataset:
     # ways consumed as OUTER rings of an emitted polygon relation are
     # not duplicated as standalone polygons (inner-role ways with their
     # own tags ARE — verified on the fixture: the boundary's outer way
-    # is absorbed, its 4 tagged inner enclaves stay)
+    # is absorbed, its 4 tagged inner enclaves stay).  Populated inside
+    # the emission loop (ADVICE r4): a relation that is skipped — not
+    # _significant, or no assemblable outer ring — absorbs nothing, so
+    # its tagged closed member ways still emit as standalone polygons.
     consumed_outer: set[int] = set()
-    for rid, (members, tags) in rels.items():
-        rtype = tags.get("type")
-        if rtype in ("multipolygon", "boundary"):
-            for mtype, ref, role in members:
-                if mtype == "way" and role in ("outer", ""):
-                    consumed_outer.add(ref)
 
     for rid, (members, tags) in rels.items():
         rtype = tags.get("type")
-        if not _significant(tags):
+        if rtype in ("multipolygon", "boundary"):
+            # OGR "old-style multipolygon" rule: the structural `type`
+            # tag alone does not make the relation a feature — a
+            # relation with no other significant tags emits nothing
+            # and its tagged member ways keep their own features
+            # (reachable form of the ADVICE r4 consumed_outer leak).
+            if not _significant({k: v for k, v in tags.items() if k != "type"}):
+                continue
+        elif not _significant(tags):
             continue
         if rtype in ("multipolygon", "boundary"):
             outer_seqs = [ways[r][0] for t, r, role in members if t == "way" and role in ("outer", "") and r in ways]
@@ -251,6 +256,9 @@ def read_osm(spark: SparkSession, path: str) -> VectorDataset:
                     {"osm_id": str(rid), "osm_way_id": None},
                 )
             )
+            for mtype, ref, role in members:
+                if mtype == "way" and role in ("outer", ""):
+                    consumed_outer.add(ref)
         elif rtype in ("route", "multilinestring"):
             seqs = [coords_of(ways[r][0]) for t, r, _ in members if t == "way" and r in ways]
             seqs = [s for s in seqs if len(s) >= 2]

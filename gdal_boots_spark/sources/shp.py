@@ -163,7 +163,17 @@ def _dbf_write(path: str, names: list[str], types: dict, rows: list[dict]) -> No
         elif t == "REAL":
             fields.append((k, k[:10], b"N", 24, 15))
         else:
-            width = max([1] + [len(str(r.get(k) or "").encode("utf-8")) for r in rows])
+            # width from str(v) for every non-NULL value — `v or ""`
+            # gave falsy non-nulls (False, 0 routed to TEXT) width 0
+            # and truncated them on write (ADVICE r4)
+            width = max(
+                [1]
+                + [
+                    len(str(r[k]).encode("utf-8"))
+                    for r in rows
+                    if r.get(k) is not None
+                ]
+            )
             fields.append((k, k[:10], b"C", min(width, 254), 0))
     reclen = 1 + sum(f[3] for f in fields)
     with open(path, "wb") as f:
@@ -196,7 +206,11 @@ def _dbf_write(path: str, names: list[str], types: dict, rows: list[dict]) -> No
                             raise ValueError(f"integer value {v!r} does not fit DBF field width {width}")
                         s = txt.rjust(width).encode()
                 else:
-                    s = str(v if v is not None else "").encode("utf-8")[:width].ljust(width)
+                    b = str(v if v is not None else "").encode("utf-8")[:width]
+                    # never split a multi-byte UTF-8 character at the
+                    # truncation boundary (ADVICE r4): drop any
+                    # incomplete trailing sequence
+                    s = b.decode("utf-8", "ignore").encode("utf-8").ljust(width)
                 f.write(s)
         f.write(b"\x1a")
 

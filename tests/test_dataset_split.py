@@ -137,3 +137,25 @@ def test_pack_shards_matches_duckdb_oracle(spark):
     assert srt["n_tokens"].sum() == sums.sum()
     with pytest.raises(ValueError, match="budget"):
         pack_shards(docs, budget=0)
+
+
+def test_sample_rate_one_keeps_everything(spark):
+    """ADVICE r4: rate=1.0 must keep every row — the 'g' sentinel from
+    hash_split applies to deterministic_sample/stratified_sample too
+    (strict '< ffffffff' drops 1-in-2^32 keys)."""
+    from gdal_boots_spark.operators.dataset_split import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    assert deterministic_sample(df, "k", 1.0).count() == 2000
+    df2 = df.withColumn("s", (F.col("k") % 2).cast("string"))
+    out = stratified_sample(df2, "k", "s", {"0": 1.0, "1": 0.5})
+    assert out.where("s = '0'").count() == 1000
+    assert 0 < out.where("s = '1'").count() < 1000
+    # the plan stays a pure filter: no shuffle, no UDF
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

@@ -142,3 +142,40 @@ def test_osm_to_gpkg_round_trip(spark, tmp_path):
             (r["gtype"], r["geojson"], r["props_json"]) for r in back[name].collect()
         )
         assert a == b, name
+
+
+def test_osm_skipped_relation_does_not_consume_ways(spark, tmp_path):
+    """A tagged closed area way that is an outer member of a relation
+    which never emits (not _significant, or no assemblable outer ring)
+    must still appear as a standalone polygon (ADVICE r4: the old
+    pre-pass consumed it into no layer at all)."""
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6">
+ <node id="1" lat="0.0" lon="0.0"/>
+ <node id="2" lat="0.0" lon="1.0"/>
+ <node id="3" lat="1.0" lon="1.0"/>
+ <node id="4" lat="1.0" lon="0.0"/>
+ <way id="10"><nd ref="1"/><nd ref="2"/><nd ref="3"/><nd ref="4"/><nd ref="1"/>
+  <tag k="landuse" v="park"/></way>
+ <way id="11"><nd ref="1"/><nd ref="2"/><nd ref="3"/><nd ref="4"/><nd ref="1"/>
+  <tag k="building" v="yes"/></way>
+ <relation id="20"><member type="way" ref="10" role="outer"/>
+  <tag k="type" v="multipolygon"/><tag k="note" v="tags-only-ignored-keys"/></relation>
+ <relation id="21"><member type="way" ref="11" role="outer"/>
+  <tag k="type" v="multipolygon"/><tag k="landuse" v="forest"/></relation>
+</osm>"""
+    path = str(tmp_path / "skiprel.osm")
+    with open(path, "w") as f:
+        f.write(xml)
+    vds = read_osm(spark, path)
+    mp = {}
+    for r in vds["multipolygons"].collect():
+        p = json.loads(r["props_json"])
+        mp[(p.get("osm_id"), p.get("osm_way_id"))] = p
+    # relation 20 is insignificant (note is an IGNORED key) -> not
+    # emitted, so way 10 keeps its standalone polygon; relation 21
+    # emits and absorbs way 11
+    assert ("20", None) not in mp
+    assert (None, "10") in mp and mp[(None, "10")]["landuse"] == "park"
+    assert ("21", None) in mp
+    assert (None, "11") not in mp

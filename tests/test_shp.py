@@ -140,3 +140,27 @@ def test_shp_gpkg_cross_driver(spark, tmp_path):
         for r in read_gpkg(spark, str(tmp_path / "cd.gpkg"))["cd"].collect()
     )
     assert a == b
+
+
+def test_shp_dbf_falsy_and_utf8_truncation(spark, tmp_path):
+    """ADVICE r4: DBF C-field width must come from str(v) for non-NULL
+    falsy values (False/0-as-text would get width 0 and truncate to
+    'F'), and the 254-byte truncation must never split a multi-byte
+    UTF-8 character."""
+    long_cyr = "б" * 200  # 400 utf-8 bytes -> truncated at 254
+    rows = [
+        (1, "Point", '{"type":"Point","coordinates":[0.0,0.0]}',
+         json.dumps({"flag": False, "note": long_cyr})),
+        (2, "Point", '{"type":"Point","coordinates":[1.0,1.0]}',
+         json.dumps({"flag": True, "note": "short"})),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    base = str(tmp_path / "falsy")
+    write_shp(df, base)
+    back = sorted(read_shp(spark, base + ".shp").collect(), key=lambda r: r["fid"])
+    p1 = json.loads(back[0]["props_json"])
+    p2 = json.loads(back[1]["props_json"])
+    assert p1["flag"] == "False" and p2["flag"] == "True"
+    # truncation lands on a character boundary: 254 // 2 = 127 chars
+    assert p1["note"] == "б" * 127
+    assert p2["note"] == "short"
