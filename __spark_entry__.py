@@ -1015,13 +1015,25 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing over the documents table
+    (operators/packing.py): contiguous-by-key shards whose cumulative
+    token count fills a fixed budget — distributed prefix sum (range
+    partition + per-partition totals + broadcast offsets), never a
+    single-partition global window."""
+    from gdal_boots_spark.operators.packing import pack_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_shards(docs, budget=5000)
+
+
 # dropped the last two of 52).  pip_join_shuffle and crs_3857 each verify
 # an operator that already has a green twin on the board (pip_join's
 # broadcast path exercises the same join; to_epsg subsumes the 3857
 # transform), so they are consolidated into extra_queries() — still
 # pytest-verified against their oracles every run — keeping every
 # DISTINCT operator driver-verified, lang_id + fingerprint included.
-_EXTRA_QUERIES = ("pip_join_shuffle", "crs_3857", "hash_split")
+_EXTRA_QUERIES = ("pip_join_shuffle", "crs_3857", "hash_split", "pack_shards")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1091,6 +1103,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "text_quality": q_text_quality,
         "hash_split": q_hash_split,
+        "pack_shards": q_pack_shards,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
     }
@@ -1337,6 +1350,12 @@ def oracle_sql() -> dict[str, str]:
     return {k: v for k, v in _all_oracle_sql().items() if k in keep}
 
 
+def _pack_oracle() -> str:
+    from gdal_boots_spark.operators.packing import pack_oracle_sql
+
+    return pack_oracle_sql(5000)
+
+
 def _all_oracle_sql() -> dict[str, str]:
     from gdal_boots_spark.operators.dataset_split import split_oracle_sql
 
@@ -1532,6 +1551,7 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT doc_id, {md5.format(x='norm')} AS fp, len(w) AS n_tokens FROM d
         """,
         "hash_split": f"SELECT doc_id, {hash_split_case} AS split FROM documents",
+        "pack_shards": _pack_oracle(),
     }
     out = dedup_text_oracles | {
         "pip_join": f"""

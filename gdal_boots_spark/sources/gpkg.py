@@ -207,12 +207,27 @@ def make_gpkg_blob(geom: dict, srs_id: int = 4326) -> bytes:
 
 
 # --- container read / write ------------------------------------------
-def read_gpkg(spark: SparkSession, path: str, layers: list[str] | None = None) -> VectorDataset:
+def read_gpkg(
+    spark: SparkSession, path: str, layers: list[str] | None = None, max_bytes: int = 4 << 30
+) -> VectorDataset:
     """GPKG file -> VectorDataset of features DataFrames (one per
     feature table registered in gpkg_geometry_columns).  Properties =
     every non-fid non-geometry column; NULL geometry rows keep a NULL
     geojson (the reference keeps such features, they just carry no
-    geometry)."""
+    geometry).
+
+    Driver-side by the dimension-size contract (module docstring):
+    refuse continent-scale containers early instead of OOMing the
+    driver mid-parse."""
+    size = os.path.getsize(path)
+    if size > max_bytes:
+        raise ValueError(
+            f"GPKG file is {size / 2**30:.1f} GiB (> {max_bytes / 2**30:.1f} GiB): SQLite "
+            "containers are whole-file (not splittable), so read_gpkg "
+            "is driver-side and for dimension-sized layers only. "
+            "Export planet-scale layers to the splittable NDJSON layer "
+            "directory (sources/vector_io.py) instead."
+        )
     con = sqlite3.connect(path)
     con.text_factory = lambda b: b.decode("utf-8", "replace")
     cur = con.cursor()

@@ -168,8 +168,24 @@ def _assemble_rings(seqs: list[list[int]]) -> list[list[int]]:
     return rings
 
 
-def read_osm(spark: SparkSession, path: str) -> VectorDataset:
-    """OSM XML file -> VectorDataset with the 5 OGR-compatible layers."""
+def read_osm(spark: SparkSession, path: str, max_bytes: int = 1 << 30) -> VectorDataset:
+    """OSM XML file -> VectorDataset with the 5 OGR-compatible layers.
+
+    Driver-side parse by the documented dimension-size contract: OSM
+    XML needs global node/way/relation resolution, so it is not
+    splittable.  A planet-scale file would OOM the driver — refuse it
+    early with a pointer at the splittable path instead."""
+    import os as _os
+
+    size = _os.path.getsize(path)
+    if size > max_bytes:
+        raise ValueError(
+            f"OSM file is {size / 2**30:.1f} GiB (> {max_bytes / 2**30:.1f} GiB): "
+            "driver-side XML parse is for dimension-sized extracts. "
+            "Convert planet-scale data to the splittable NDJSON layer "
+            "directory (sources/vector_io.py) upstream, or raise "
+            "max_bytes explicitly if the driver has the memory."
+        )
     from ..geom.pip import points_in_polygon
 
     nodes: dict[int, tuple[float, float, dict]] = {}

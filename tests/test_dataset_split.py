@@ -159,3 +159,22 @@ def test_sample_rate_one_keeps_everything(spark):
     # the plan stays a pure filter: no shuffle, no UDF
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_pack_shards_entry_surface(spark):
+    """pack_shards is registered on the entry surface (extra_queries /
+    extra_oracle_sql — VERDICT r4 item 4) and held to the driver's
+    exact-equality contract; the 50-query board is unchanged."""
+    import duckdb as _duckdb
+
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.extra_queries()["pack_shards"](spark, SF).toPandas()
+    con = _duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    odf = con.execute(entrymod.extra_oracle_sql()["pack_shards"]).df()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b) and len(a) > 0
+    assert len(entrymod.queries()) == 50  # board unchanged
