@@ -81,8 +81,17 @@ def point_xy_native(text):
     """
     # a GeometryCollection may carry a Point CHILD and still must take
     # the decode path — '"Point"' alone would misroute it here (the
-    # child's type matches the substring; MultiPoint does not)
-    is_point = text.contains('"Point"') & ~text.contains('"GeometryCollection"')
+    # child's type matches the substring; MultiPoint does not).
+    # Canonical compact spans short-circuit on a 15-char StartsWith
+    # (codegen evaluates || lazily): the root type being Point rules
+    # out the GC-child case without either full-string scan — the two
+    # contains() scans cost ~15-30% of geo_extract/cell_assign (r5
+    # interleaved A/B).  The trailing quote in the prefix blocks
+    # "PointX"-style false positives; non-canonical forms (whitespace,
+    # reordered keys) fall through to the exact two-scan predicate.
+    is_point = text.startswith('{"type":"Point"') | (
+        text.contains('"Point"') & ~text.contains('"GeometryCollection"')
+    )
     inner = F.substring_index(F.substring_index(text, "[", -1), "]", 1)
     parts = F.split(inner, ",")
     return parts[0].cast("double"), parts[1].cast("double"), is_point
