@@ -1015,6 +1015,17 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition stats over the documents table
+    (operators/repetition.py): word/distinct-word counts shuffle-free,
+    top-bigram count via explode -> two partial-agg groupBys.  Integer
+    outputs keep the DuckDB oracle hash-exact."""
+    from gdal_boots_spark.operators.repetition import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing over the documents table
     (operators/packing.py): contiguous-by-key shards whose cumulative
@@ -1033,7 +1044,7 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transform), so they are consolidated into extra_queries() — still
 # pytest-verified against their oracles every run — keeping every
 # DISTINCT operator driver-verified, lang_id + fingerprint included.
-_EXTRA_QUERIES = ("pip_join_shuffle", "crs_3857", "hash_split", "pack_shards")
+_EXTRA_QUERIES = ("pip_join_shuffle", "crs_3857", "hash_split", "pack_shards", "repetition_stats")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1104,6 +1115,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "hash_split": q_hash_split,
         "pack_shards": q_pack_shards,
+        "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
     }
@@ -1350,6 +1362,12 @@ def oracle_sql() -> dict[str, str]:
     return {k: v for k, v in _all_oracle_sql().items() if k in keep}
 
 
+def _repetition_oracle() -> str:
+    from gdal_boots_spark.operators.repetition import repetition_oracle_sql
+
+    return repetition_oracle_sql()
+
+
 def _pack_oracle() -> str:
     from gdal_boots_spark.operators.packing import pack_oracle_sql
 
@@ -1552,6 +1570,7 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "hash_split": f"SELECT doc_id, {hash_split_case} AS split FROM documents",
         "pack_shards": _pack_oracle(),
+        "repetition_stats": _repetition_oracle(),
     }
     out = dedup_text_oracles | {
         "pip_join": f"""

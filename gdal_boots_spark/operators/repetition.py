@@ -1,0 +1,91 @@
+"""Intra-document repetition statistics — the Gopher-style repetition
+quality filter (dup-word and most-frequent-bigram counts) a
+training-data pipeline runs before dedup.
+
+Reference scope note: the reference engine (gdal-boots) has no text
+ops; this belongs to the engine's first-class LLM-pipeline family
+(SURVEY §8 extras) next to quality_features/token_stats
+(functions/text_fns.py).
+
+Scale shape (10^12 docs): one narrow projection computes the
+array-local counts (n_words, n_distinct_words) with ZERO shuffle;
+only the top-bigram count pays shuffles — explode -> partial-agg
+groupBy(doc, bigram) -> groupBy(doc) — both with map-side combine,
+keys salted naturally by the bigram dimension, no driver collect.
+Outputs are all BIGINT counts (no float ratios), so the DuckDB oracle
+is hash-exact; callers derive ratios downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_fns import shingles, tokens
+
+
+def repetition_stats(docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (key, n_words, n_distinct_words, top_bigram_count) per doc.
+
+    ``n_words`` / ``n_distinct_words`` follow the canonical
+    normalize_text tokenization every dedup op keys on (lower, trim,
+    collapse whitespace; empty text tokenizes to one empty token —
+    consistency with fingerprint/token semantics beats prettiness).
+    ``top_bigram_count`` is the occurrence count of the most frequent
+    word bigram (0 when the doc has fewer than 2 words).  Ratios like
+    dup_word_frac = 1 - n_distinct/n or top_bigram_char_frac are one
+    cheap expression away and left to callers so the outputs stay
+    integer-exact across engines."""
+    t = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(key_col),
+        F.size(t).cast("long").alias("n_words"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_words"),
+        shingles(F.col(text_col), 2).alias("_bg"),
+    )
+    # explode_outer keeps empty-bigram docs alive as one NULL row so
+    # the final aggregate emits their 0 without a re-join against the
+    # doc table
+    bg = base.select(key_col, "n_words", "n_distinct_words", F.explode_outer("_bg").alias("_b"))
+    cnt = bg.groupBy(key_col, "_b").agg(
+        F.first("n_words").alias("n_words"),
+        F.first("n_distinct_words").alias("n_distinct_words"),
+        F.count("*").alias("_c"),
+    )
+    return cnt.groupBy(key_col).agg(
+        F.first("n_words").alias("n_words"),
+        F.first("n_distinct_words").alias("n_distinct_words"),
+        F.max(
+            F.when(F.col("_b").isNull(), F.lit(0)).otherwise(F.col("_c"))
+        ).cast("long").alias("top_bigram_count"),
+    )
+
+
+def repetition_oracle_sql(key_sql: str = "doc_id") -> str:
+    """Exact DuckDB equivalent (integer counts, same tokenization)."""
+    return f"""
+        WITH d AS (
+          SELECT {key_sql} AS k,
+                 lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+          FROM documents
+        ),
+        w AS (SELECT k, string_split(norm, ' ') AS ws FROM d),
+        stats AS (
+          SELECT k,
+                 CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+                 ws
+          FROM w
+        ),
+        bg AS (
+          SELECT k, ws[CAST(i AS BIGINT)] || ' ' || ws[CAST(i AS BIGINT) + 1] AS b
+          FROM stats, UNNEST(range(1, len(ws))) AS t(i)
+        ),
+        bc AS (SELECT k, b, COUNT(*) AS c FROM bg GROUP BY k, b),
+        top AS (SELECT k, MAX(c) AS tc FROM bc GROUP BY k)
+        SELECT s.k AS doc_id,
+               s.n_words,
+               s.n_distinct_words,
+               CAST(COALESCE(top.tc, 0) AS BIGINT) AS top_bigram_count
+        FROM stats s LEFT JOIN top ON s.k = top.k
+    """
