@@ -19,6 +19,11 @@ sphere), sterea (EPSG 9809 double stereographic, the Dutch RD
 grid), laea (oblique + polar, authalic sphere), cea, eqc, sinu
 (ellipsoidal meridian arc; MODIS sphere with +R), moll — all Snyder
 closed forms, all with +a/+b/+rf/+R/+ellps ellipsoid overrides.
+Round-5 adds ortho (spherical, hemisphere domain guard) and cass
+(ellipsoidal Cassini-Soldner, EPSG 9806 series, |dlam|<=4 deg guard).
+Every oblique azimuthal family NaN-guards its singular domain
+(antipodal disk; sterea's |dlam|>180/n aliasing band) instead of
+returning silently wrong coordinates.
 Anything else raises a clear ValueError naming the string.
 """
 
@@ -703,6 +708,104 @@ def _make_sinu(p: dict):
     return fwd, inv
 
 
+def _make_ortho(p: dict):
+    """+proj=ortho — orthographic, spherical form (PROJ's classic
+    semantics; sphere radius = +R if given else the ellipsoid's a).
+    Snyder 20-3..20-19.  The far hemisphere is NOT on the map: forward
+    NaNs where cos(c) < 0 instead of silently mirroring through the
+    disk (r5 out-of-domain discipline), and inverse rejects
+    rho > R."""
+    a, _, _ = _resolve_ellipsoid(p)
+    R = float(p["R"]) if "R" in p else a
+    lon0 = math.radians(float(p.get("lon_0", 0)))
+    lat0 = math.radians(float(p.get("lat_0", 0)))
+    x0, y0 = float(p.get("x_0", 0)), float(p.get("y_0", 0))
+    s0, c0 = math.sin(lat0), math.cos(lat0)
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64)) - lon0
+        phi = np.radians(np.asarray(lat, np.float64))
+        cosc = s0 * np.sin(phi) + c0 * np.cos(phi) * np.cos(lam)
+        with np.errstate(invalid="ignore"):
+            m = np.where(cosc < 0.0, np.nan, 1.0)
+        x = R * np.cos(phi) * np.sin(lam) * m
+        y = R * (c0 * np.sin(phi) - s0 * np.cos(phi) * np.cos(lam)) * m
+        return x0 + x, y0 + y
+
+    def inv(x, y):
+        x = np.asarray(x, np.float64) - x0
+        y = np.asarray(y, np.float64) - y0
+        rho = np.hypot(x, y)
+        with np.errstate(invalid="ignore"):
+            sc = np.where(rho > R * (1 + 1e-12), np.nan, np.clip(rho / R, 0, 1))
+        c = np.arcsin(sc)
+        cc, sn = np.cos(c), np.sin(c)
+        safe = np.where(rho == 0, 1.0, rho)
+        phi = np.where(
+            rho == 0, lat0, np.arcsin(np.clip(cc * s0 + y * sn * c0 / safe, -1, 1))
+        )
+        lam = np.where(rho == 0, 0.0, np.arctan2(x * sn, safe * cc * c0 - y * sn * s0))
+        return _norm_lon_deg(np.degrees(lon0 + lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
+class CassiniSoldnerProj:
+    """+proj=cass — ellipsoidal Cassini-Soldner (EPSG method 9806,
+    Snyder 13-7..13-13 truncated series).  The series is the EPSG
+    form, valid near the central meridian (Cassini grids are narrow
+    zones by construction — GN7-2); the engine guards the documented
+    domain |dlam| <= CASS_DLAM_MAX_DEG and returns NaN beyond it
+    rather than silently degrading series output.  Self-consistency
+    asserted by property round-trip; the central meridian is exact
+    (y == meridian-arc difference, x == 0)."""
+
+    CASS_DLAM_MAX_DEG = 4.0
+
+    def __init__(self, p: dict):
+        self.a, self.e2, self.e = _resolve_ellipsoid(p)
+        self.lam0 = math.radians(float(p.get("lon_0", 0)))
+        self.x0 = float(p.get("x_0", 0))
+        self.y0 = float(p.get("y_0", 0))
+        phi0 = math.radians(float(p.get("lat_0", 0)))
+        self.M0 = float(_meridian_arc(np.asarray(phi0), self.a, self.e2))
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        dlam = np.mod(np.radians(np.asarray(lon, np.float64)) - self.lam0 + np.pi, 2 * np.pi) - np.pi
+        with np.errstate(invalid="ignore"):
+            dlam = np.where(np.abs(dlam) > math.radians(self.CASS_DLAM_MAX_DEG), np.nan, dlam)
+        s, c = np.sin(phi), np.cos(phi)
+        csafe = np.where(c == 0, 1.0, c)
+        tanphi = s / csafe
+        N = self.a / np.sqrt(1 - self.e2 * s * s)
+        T = tanphi * tanphi
+        A = dlam * c
+        C = self.e2 * c * c / (1 - self.e2)
+        x = N * (A - T * A**3 / 6 - (8 - T + 8 * C) * T * A**5 / 120)
+        y = (
+            _meridian_arc(phi, self.a, self.e2)
+            - self.M0
+            + N * tanphi * (A * A / 2 + (5 - T + 6 * C) * A**4 / 24)
+        )
+        return self.x0 + x, self.y0 + y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, np.float64) - self.x0
+        y = np.asarray(y, np.float64) - self.y0
+        phi1 = _from_meridian_arc(self.M0 + y, self.a, self.e2)
+        s1, c1 = np.sin(phi1), np.cos(phi1)
+        c1safe = np.where(c1 == 0, 1.0, c1)
+        t1 = s1 / c1safe
+        T1 = t1 * t1
+        N1 = self.a / np.sqrt(1 - self.e2 * s1 * s1)
+        R1 = self.a * (1 - self.e2) / (1 - self.e2 * s1 * s1) ** 1.5
+        D = x / N1
+        phi = phi1 - (N1 * t1 / R1) * (D * D / 2 - (1 + 3 * T1) * D**4 / 24)
+        lam = (D - T1 * D**3 / 3 + (1 + 3 * T1) * T1 * D**5 / 15) / c1safe
+        return _norm_lon_deg(np.degrees(self.lam0 + lam)), np.degrees(phi)
+
+
 def _make_moll(p: dict):
     """+proj=moll — Mollweide (Snyder 31-1..31-7, spherical on the
     semimajor axis as PROJ does).  theta solved by Newton iteration on
@@ -870,6 +973,11 @@ def _projector(crs):
             return _make_sinu(p)
         if p.get("proj") == "moll":
             return _make_moll(p)
+        if p.get("proj") == "ortho":
+            return _make_ortho(p)
+        if p.get("proj") == "cass":
+            cs = CassiniSoldnerProj(p)
+            return cs.forward, cs.inverse
         if p.get("proj") in ("longlat", "latlong"):
             ident = lambda u, v: (np.asarray(u, np.float64), np.asarray(v, np.float64))
             return ident, ident

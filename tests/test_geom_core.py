@@ -772,3 +772,64 @@ def test_sterea_projection():
     fs, _ = _projector(EPSG_PROJ4[28992].replace("sterea", "stere"))
     xs, ys = fs(6.0, 53.0)
     assert abs(float(xs) - float(x)) > 0.01 or abs(float(ys) - float(y)) > 0.01
+
+
+def test_ortho_projection():
+    """+proj=ortho (spherical orthographic, Snyder 20-3..20-19): center
+    fixed point, hemisphere domain guard (far side -> NaN, never
+    mirrored coordinates), dense round-trip, and the limb radius R."""
+    import numpy as np
+
+    from gdal_boots_spark.geom.crs import _projector
+
+    fwd, inv = _projector("+proj=ortho +lat_0=40 +lon_0=-100 +ellps=WGS84")
+    x, y = fwd(-100.0, 40.0)
+    assert abs(float(x)) < 1e-9 and abs(float(y)) < 1e-9
+    # Snyder numerical example (p. 311): R=1, lat_0=40, lon_0=-100,
+    # point (30N, 110E) is on the FAR hemisphere in the ellipsoid-scale
+    # map too -> guarded
+    xf, yf = fwd(110.0, 30.0)
+    assert not np.isfinite(float(np.asarray(xf)))
+    # antipode of the center: NaN, not the center's coordinates
+    xa, ya = fwd(80.0, -40.0)
+    assert not np.isfinite(float(np.asarray(xa)))
+    # dense round-trip on the near hemisphere
+    rng = np.random.default_rng(3)
+    lons = rng.uniform(-175, -25, 2000)
+    lats = rng.uniform(-35, 85, 2000)
+    x, y = fwd(lons, lats)
+    fin = np.isfinite(np.asarray(x))
+    assert fin.mean() > 0.9
+    lo2, la2 = inv(np.asarray(x)[fin], np.asarray(y)[fin])
+    assert np.abs(lo2 - lons[fin]).max() < 1e-6
+    assert np.abs(la2 - lats[fin]).max() < 1e-6
+    # the map disk is bounded by R
+    assert float(np.nanmax(np.hypot(np.asarray(x), np.asarray(y)))) <= 6378137.0 * (1 + 1e-12)
+
+
+def test_cass_projection():
+    """+proj=cass (ellipsoidal Cassini-Soldner, EPSG 9806 / Snyder
+    13-7..13-13): central meridian exact (x==0, y==meridian-arc
+    difference), round-trip < 1e-6 deg across the documented
+    |dlam| <= 4 deg domain, NaN guard beyond it."""
+    import math
+
+    import numpy as np
+
+    from gdal_boots_spark.geom.crs import CassiniSoldnerProj, _meridian_arc, _projector
+
+    fwd, inv = _projector("+proj=cass +lat_0=40 +lon_0=-75 +x_0=1000 +y_0=2000 +ellps=WGS84")
+    cs = CassiniSoldnerProj({"lat_0": 40, "lon_0": -75, "ellps": "WGS84"})
+    # central meridian: x == x_0 exactly, y == y_0 + arc(phi) - arc(phi0)
+    x, y = fwd(-75.0, 52.0)
+    expect = float(_meridian_arc(np.array(math.radians(52.0)), cs.a, cs.e2)) - cs.M0
+    assert abs(float(x) - 1000.0) < 1e-9 and abs(float(y) - 2000.0 - expect) < 1e-9
+    # domain guard
+    xg, _ = fwd(-75.0 + 4.5, 10.0)
+    assert not np.isfinite(float(np.asarray(xg)))
+    # dense round-trip inside the domain
+    rng = np.random.default_rng(4)
+    lons = -75.0 + rng.uniform(-3.999, 3.999, 3000)
+    lats = rng.uniform(-88, 88, 3000)
+    lo2, la2 = inv(*fwd(lons, lats))
+    assert np.abs(lo2 - lons).max() < 1e-6 and np.abs(la2 - lats).max() < 1e-6

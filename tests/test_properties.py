@@ -280,7 +280,9 @@ def test_any_geometry_codec_roundtrip_property(geom):
 
 
 # --- round-4 projection families: parameterized inverse round-trips ----
-_proj_family = st.sampled_from(["stere_polar", "stere_obl", "sterea", "laea", "cea", "eqc", "sinu", "moll"])
+_proj_family = st.sampled_from(
+    ["stere_polar", "stere_obl", "sterea", "laea", "cea", "eqc", "sinu", "moll", "ortho", "cass"]
+)
 
 
 def _near_antipode(lon, lat, lon0, anti_lat, band_deg):
@@ -329,6 +331,10 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
         p4 = f"+proj=eqc +lat_ts={p0} +lat_0=0 +lon_0={lon0} +ellps=WGS84"
     elif fam == "sinu":
         p4 = f"+proj=sinu +lon_0={lon0} +ellps=WGS84"
+    elif fam == "ortho":
+        p4 = f"+proj=ortho +lat_0={p0 * sgn} +lon_0={lon0} +ellps=WGS84"
+    elif fam == "cass":
+        p4 = f"+proj=cass +lat_0={p0 * sgn} +lon_0={lon0} +ellps=WGS84"
     else:
         p4 = f"+proj=moll +lon_0={lon0} +ellps=WGS84"
     fwd, inv = _projector(p4)
@@ -352,9 +358,18 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
             )
         elif fam in ("stere_obl", "laea"):
             assert _near_antipode(lon, la, lon0, -p0 * sgn, 1.5)
+        elif fam == "ortho":
+            # far hemisphere: within 90 deg of the ANTIPODE (+ limb eps)
+            assert _near_antipode(lon, la, lon0, -p0 * sgn, 90.0 + 1e-6)
+        elif fam == "cass":
+            from gdal_boots_spark.geom.crs import CassiniSoldnerProj
+
+            assert dlam > CassiniSoldnerProj.CASS_DLAM_MAX_DEG - 1e-9
         else:
             raise AssertionError(f"unexpected NaN from {fam} at ({lon}, {la})")
         return
+    if fam == "ortho" and _near_antipode(lon, la, lon0, -p0 * sgn, 90.01):
+        return  # limb ring: forward defined but inverse ill-conditioned
     lo2, la2 = inv(x, y)
     dlon = abs(((float(lo2[0]) - lon + 180.0) % 360.0) - 180.0)
     assert dlon < 1e-6 and abs(float(la2[0]) - la) < 1e-6
