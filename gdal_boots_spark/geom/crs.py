@@ -19,8 +19,10 @@ sphere), sterea (EPSG 9809 double stereographic, the Dutch RD
 grid), laea (oblique + polar, authalic sphere), cea, eqc, sinu
 (ellipsoidal meridian arc; MODIS sphere with +R), moll — all Snyder
 closed forms, all with +a/+b/+rf/+R/+ellps ellipsoid overrides.
-Round-5 adds ortho (spherical, hemisphere domain guard) and cass
-(ellipsoidal Cassini-Soldner, EPSG 9806 series, |dlam|<=4 deg guard).
+Round-5 adds ortho (spherical, hemisphere domain guard), cass
+(ellipsoidal Cassini-Soldner, EPSG 9806 series, |dlam|<=4 deg guard)
+and aeqd (spherical form with +R; the ellipsoidal case is REFUSED
+with a clear error — it needs true geodesics, not a series).
 Every oblique azimuthal family NaN-guards its singular domain
 (antipodal disk; sterea's |dlam|>180/n aliasing band) instead of
 returning silently wrong coordinates.
@@ -806,6 +808,64 @@ class CassiniSoldnerProj:
         return _norm_lon_deg(np.degrees(self.lam0 + lam)), np.degrees(phi)
 
 
+def _make_aeqd(p: dict):
+    """+proj=aeqd — azimuthal equidistant, SPHERICAL form (Snyder
+    25-2..25-15), accepted only with an explicit sphere (+R, +a=+b, or
+    a spherical +ellps): the ellipsoidal oblique case requires true
+    geodesic computations (PROJ delegates to Karney's GeographicLib)
+    and a truncated-series stand-in would be silently wrong at range —
+    the engine refuses it with a clear error instead (same honesty
+    contract as the JP2 codec stub).  Domain: the antipode of the
+    center is the map's boundary circle; the ~0.8-deg disk around it
+    is NaN-guarded like the other azimuthal families (direction to
+    the antipode is genuinely undefined there)."""
+    a, e2, _ = _resolve_ellipsoid(p)
+    if "R" in p:
+        R = float(p["R"])
+    elif e2 == 0.0:
+        R = a
+    else:
+        raise ValueError(
+            "+proj=aeqd: only the spherical form is implemented (+R or a "
+            "sphere ellipsoid); the ellipsoidal oblique case needs true "
+            "geodesics (GeographicLib) and is refused rather than "
+            "approximated"
+        )
+    lon0 = math.radians(float(p.get("lon_0", 0)))
+    lat0 = math.radians(float(p.get("lat_0", 0)))
+    x0, y0 = float(p.get("x_0", 0)), float(p.get("y_0", 0))
+    s0, c0 = math.sin(lat0), math.cos(lat0)
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64)) - lon0
+        phi = np.radians(np.asarray(lat, np.float64))
+        cosc = s0 * np.sin(phi) + c0 * np.cos(phi) * np.cos(lam)
+        cosc = np.clip(cosc, -1, 1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cosc = np.where(cosc < -1 + 1e-4, np.nan, cosc)  # antipodal disk
+            c = np.arccos(cosc)
+            k = np.where(c == 0, 1.0, c / np.where(np.sin(c) == 0, 1.0, np.sin(c)))
+        x = R * k * np.cos(phi) * np.sin(lam)
+        y = R * k * (c0 * np.sin(phi) - s0 * np.cos(phi) * np.cos(lam))
+        return x0 + x, y0 + y
+
+    def inv(x, y):
+        x = np.asarray(x, np.float64) - x0
+        y = np.asarray(y, np.float64) - y0
+        rho = np.hypot(x, y)
+        with np.errstate(invalid="ignore"):
+            c = np.where(rho > R * np.pi, np.nan, rho / R)
+        sc, cc = np.sin(c), np.cos(c)
+        safe = np.where(rho == 0, 1.0, rho)
+        phi = np.where(
+            rho == 0, lat0, np.arcsin(np.clip(cc * s0 + y * sc * c0 / safe, -1, 1))
+        )
+        lam = np.where(rho == 0, 0.0, np.arctan2(x * sc, safe * cc * c0 - y * sc * s0))
+        return _norm_lon_deg(np.degrees(lon0 + lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
 def _make_moll(p: dict):
     """+proj=moll — Mollweide (Snyder 31-1..31-7, spherical on the
     semimajor axis as PROJ does).  theta solved by Newton iteration on
@@ -975,6 +1035,8 @@ def _projector(crs):
             return _make_moll(p)
         if p.get("proj") == "ortho":
             return _make_ortho(p)
+        if p.get("proj") == "aeqd":
+            return _make_aeqd(p)
         if p.get("proj") == "cass":
             cs = CassiniSoldnerProj(p)
             return cs.forward, cs.inverse

@@ -833,3 +833,43 @@ def test_cass_projection():
     lats = rng.uniform(-88, 88, 3000)
     lo2, la2 = inv(*fwd(lons, lats))
     assert np.abs(lo2 - lons).max() < 1e-6 and np.abs(la2 - lats).max() < 1e-6
+
+
+def test_aeqd_projection():
+    """+proj=aeqd (spherical, Snyder 25-2..25-15): center fixed point,
+    the EQUIDISTANT defining property (planar distance from center ==
+    R * central angle, everywhere), antipodal-disk guard, and the
+    honest refusal of the ellipsoidal form (needs true geodesics)."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from gdal_boots_spark.geom.crs import _projector
+
+    R = 6371000.0
+    fwd, inv = _projector("+proj=aeqd +lat_0=40 +lon_0=-100 +R=6371000")
+    x, y = fwd(np.array([-100.0]), np.array([40.0]))
+    assert abs(float(x[0])) < 1e-9 and abs(float(y[0])) < 1e-9
+    rng = np.random.default_rng(9)
+    lons = rng.uniform(-180, 180, 2000)
+    lats = rng.uniform(-85, 85, 2000)
+    x, y = fwd(lons, lats)
+    fin = np.isfinite(x)
+    la1, lo1 = np.radians(lats), np.radians(lons)
+    cosc = (
+        math.sin(math.radians(40)) * np.sin(la1)
+        + math.cos(math.radians(40)) * np.cos(la1) * np.cos(lo1 - math.radians(-100))
+    )
+    c = np.arccos(np.clip(cosc, -1, 1))
+    np.testing.assert_allclose(np.hypot(x[fin], y[fin]), R * c[fin], rtol=0, atol=1e-4)
+    # round-trip away from the boundary circle
+    ok = fin & (cosc > -1 + 1e-3)
+    lo2, la2 = inv(x[ok], y[ok])
+    assert np.abs(((lo2 - lons[ok] + 180) % 360) - 180).max() < 1e-6
+    assert np.abs(la2 - lats[ok]).max() < 1e-6
+    # antipodal disk NaN-guarded; ellipsoidal refused
+    xa, _ = fwd(np.array([80.0]), np.array([-40.0]))
+    assert not np.isfinite(xa[0])
+    with pytest.raises(ValueError, match="geodesic"):
+        _projector("+proj=aeqd +lat_0=40 +lon_0=-100 +ellps=WGS84")

@@ -281,7 +281,7 @@ def test_any_geometry_codec_roundtrip_property(geom):
 
 # --- round-4 projection families: parameterized inverse round-trips ----
 _proj_family = st.sampled_from(
-    ["stere_polar", "stere_obl", "sterea", "laea", "cea", "eqc", "sinu", "moll", "ortho", "cass"]
+    ["stere_polar", "stere_obl", "sterea", "laea", "cea", "eqc", "sinu", "moll", "ortho", "cass", "aeqd"]
 )
 
 
@@ -335,6 +335,8 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
         p4 = f"+proj=ortho +lat_0={p0 * sgn} +lon_0={lon0} +ellps=WGS84"
     elif fam == "cass":
         p4 = f"+proj=cass +lat_0={p0 * sgn} +lon_0={lon0} +ellps=WGS84"
+    elif fam == "aeqd":
+        p4 = f"+proj=aeqd +lat_0={p0 * sgn} +lon_0={lon0} +R=6371000"
     else:
         p4 = f"+proj=moll +lon_0={lon0} +ellps=WGS84"
     fwd, inv = _projector(p4)
@@ -365,11 +367,15 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
             from gdal_boots_spark.geom.crs import CassiniSoldnerProj
 
             assert dlam > CassiniSoldnerProj.CASS_DLAM_MAX_DEG - 1e-9
+        elif fam == "aeqd":
+            assert _near_antipode(lon, la, lon0, -p0 * sgn, 1.0)
         else:
             raise AssertionError(f"unexpected NaN from {fam} at ({lon}, {la})")
         return
     if fam == "ortho" and _near_antipode(lon, la, lon0, -p0 * sgn, 90.01):
         return  # limb ring: forward defined but inverse ill-conditioned
+    if fam == "aeqd" and _near_antipode(lon, la, lon0, -p0 * sgn, 3.0):
+        return  # boundary-circle neighborhood: direction ill-conditioned
     lo2, la2 = inv(x, y)
     dlon = abs(((float(lo2[0]) - lon + 180.0) % 360.0) - 180.0)
     assert dlon < 1e-6 and abs(float(la2[0]) - la) < 1e-6
