@@ -1026,6 +1026,22 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
+def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing over the documents table
+    (functions/text_fns.scrub_text): URL/email/long-digit redaction as
+    a pure codegen regexp_replace chain + per-rule match counts; the
+    identical rule set renders to the DuckDB oracle, so the redacted
+    text is byte-equal across engines."""
+    from gdal_boots_spark.functions.text_fns import scrub_counts, scrub_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        scrub_text(F.col("text")).alias("scrubbed"),
+        *[v.alias(k) for k, v in scrub_counts(F.col("text")).items()],
+    )
+
+
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing over the documents table
     (operators/packing.py): contiguous-by-key shards whose cumulative
@@ -1044,7 +1060,9 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transform), so they are consolidated into extra_queries() — still
 # pytest-verified against their oracles every run — keeping every
 # DISTINCT operator driver-verified, lang_id + fingerprint included.
-_EXTRA_QUERIES = ("pip_join_shuffle", "crs_3857", "hash_split", "pack_shards", "repetition_stats")
+_EXTRA_QUERIES = (
+    "pip_join_shuffle", "crs_3857", "hash_split", "pack_shards", "repetition_stats", "scrub_text"
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1115,6 +1133,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "hash_split": q_hash_split,
         "pack_shards": q_pack_shards,
+        "scrub_text": q_scrub_text,
         "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1362,6 +1381,16 @@ def oracle_sql() -> dict[str, str]:
     return {k: v for k, v in _all_oracle_sql().items() if k in keep}
 
 
+def _scrub_oracle() -> str:
+    from gdal_boots_spark.functions.text_fns import scrub_oracle_expr
+
+    expr, counts = scrub_oracle_expr("text")
+    return (
+        f"SELECT doc_id, {expr} AS scrubbed, {counts[0]} AS n_urls, "
+        f"{counts[1]} AS n_emails, {counts[2]} AS n_longnums FROM documents"
+    )
+
+
 def _repetition_oracle() -> str:
     from gdal_boots_spark.operators.repetition import repetition_oracle_sql
 
@@ -1571,6 +1600,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "hash_split": f"SELECT doc_id, {hash_split_case} AS split FROM documents",
         "pack_shards": _pack_oracle(),
         "repetition_stats": _repetition_oracle(),
+        "scrub_text": _scrub_oracle(),
     }
     out = dedup_text_oracles | {
         "pip_join": f"""

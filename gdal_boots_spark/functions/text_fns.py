@@ -119,3 +119,49 @@ def bpe_tokens(col) -> Column:
 
 def bpe_token_count(col) -> Column:
     return F.size(bpe_tokens(col))
+
+
+# --- PII / URL scrubbing (r5) -----------------------------------------
+# Pattern set chosen to behave IDENTICALLY under Java regex (Spark
+# codegen) and RE2 (DuckDB): no backrefs, no lookarounds, explicit
+# classes.  Order matters: URLs first (they contain @ and digits),
+# then emails, then long digit runs.
+SCRUB_RULES = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"[0-9]{7,}", "<NUM>"),
+]
+
+
+def scrub_text(col) -> Column:
+    """Redact URLs / emails / long digit runs (ids, phones) — the
+    pre-training privacy scrub pass.  Pure codegen regexp_replace
+    chain; the identical rules render to the DuckDB oracle via
+    scrub_oracle_expr, so redacted output is byte-equal across
+    engines."""
+    out = col
+    for pat, tag in SCRUB_RULES:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def scrub_counts(col) -> dict[str, Column]:
+    """Per-rule match counts (BIGINT, oracle-exact)."""
+    names = ["n_urls", "n_emails", "n_longnums"]
+    return {
+        name: F.regexp_count(col, F.lit(pat)).cast("long")
+        for name, (pat, _) in zip(names, SCRUB_RULES)
+    }
+
+
+def scrub_oracle_expr(col_sql: str) -> tuple[str, list[str]]:
+    """(scrubbed-text SQL, [count SQLs]) — the same rules in DuckDB."""
+    out = col_sql
+    counts = []
+    for pat, tag in SCRUB_RULES:
+        sq = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({col_sql}, '{sq}')) AS BIGINT)"
+        )
+        out = f"regexp_replace({out}, '{sq}', '{tag}', 'g')"
+    return out, counts
