@@ -21,8 +21,10 @@ grid), laea (oblique + polar, authalic sphere), cea, eqc, sinu
 closed forms, all with +a/+b/+rf/+R/+ellps ellipsoid overrides.
 Round-5 adds ortho (spherical, hemisphere domain guard), cass
 (ellipsoidal Cassini-Soldner, EPSG 9806 series, |dlam|<=4 deg guard)
-and aeqd (spherical form with +R; the ellipsoidal case is REFUSED
-with a clear error — it needs true geodesics, not a series).
+aeqd (spherical form with +R; the ellipsoidal case is REFUSED
+with a clear error — it needs true geodesics, not a series) and
+omerc (Hotine oblique Mercator, azimuth form, EPSG 9815 offsets /
+9812 with +no_off; two-point form refused).
 Every oblique azimuthal family NaN-guards its singular domain
 (antipodal disk; sterea's |dlam|>180/n aliasing band) instead of
 returning silently wrong coordinates.
@@ -808,6 +810,116 @@ class CassiniSoldnerProj:
         return _norm_lon_deg(np.degrees(self.lam0 + lam)), np.degrees(phi)
 
 
+class ObliqueMercatorProj:
+    """+proj=omerc — Hotine oblique Mercator, azimuth form (Snyder
+    9-6..9-39; EPSG method 9815 "variant B" offsets by default, 9812
+    with +no_off).  Parameters: +lat_0 +lonc +alpha (+gamma defaults
+    to alpha, the rectified-grid angle) +k +x_0 +y_0.  The two-point
+    form (+lon_1/+lat_1/+lon_2/+lat_2) is not implemented and raises.
+
+    Domain: like Mercator, the line perpendicular to the central
+    geodesic 90 deg away maps to infinity; |U| -> 1 there.  The
+    engine NaN-guards |U| > 1 - 1e-12 instead of emitting infinities.
+    Verified by: forward/inverse round-trip property, conformality
+    (local scale isotropy) at random points, u-axis fixed point at the
+    projection center, and degeneration consistency (alpha ~ 90 at
+    lat_0 ~ 0 approaches an equatorial Mercator-like grid)."""
+
+    def __init__(self, p: dict):
+        if "lon_1" in p or "lat_1" in p:
+            raise ValueError("+proj=omerc: two-point form not implemented (use +alpha)")
+        self.a, self.e2, self.e = _resolve_ellipsoid(p)
+        e, e2 = self.e, self.e2
+        phi0 = math.radians(float(p.get("lat_0", 0)))
+        if abs(phi0) < 1e-12:
+            # Snyder's azimuth-form constants divide by sign(phi0);
+            # PROJ special-cases lat_0=0 — keep the domain honest
+            raise ValueError("+proj=omerc: lat_0=0 degenerates (use +proj=merc/tmerc)")
+        if abs(abs(phi0) - math.pi / 2) < 1e-12:
+            raise ValueError("+proj=omerc: polar lat_0 is out of the Hotine domain")
+        lamc = math.radians(float(p.get("lonc", p.get("lon_c", 0))))
+        alpha = math.radians(float(p.get("alpha", 90.0)))
+        gamma = math.radians(float(p["gamma"])) if "gamma" in p else alpha
+        self.k0 = float(p.get("k", p.get("k_0", 1.0)))
+        self.x0 = float(p.get("x_0", 0))
+        self.y0 = float(p.get("y_0", 0))
+        self.no_off = "no_off" in p
+        s0, c0 = math.sin(phi0), math.cos(phi0)
+        self.B = math.sqrt(1 + e2 * c0**4 / (1 - e2))
+        w0 = math.sqrt(1 - e2 * s0 * s0)
+        self.A = self.a * self.B * self.k0 * math.sqrt(1 - e2) / (w0 * w0)
+        t0 = math.tan(math.pi / 4 - phi0 / 2) / ((1 - e * s0) / (1 + e * s0)) ** (e / 2)
+        D = self.B * math.sqrt(1 - e2) / (c0 * w0)
+        D2 = max(D * D, 1.0)
+        F = D + math.copysign(math.sqrt(D2 - 1.0), phi0)
+        self.E = F * t0**self.B
+        G = (F - 1.0 / F) / 2.0
+        self.g0 = math.asin(min(max(math.sin(alpha) / D, -1.0), 1.0))  # gamma_0
+        self.lam0 = lamc - math.asin(min(max(G * math.tan(self.g0), -1.0), 1.0)) / self.B
+        self.singam, self.cosgam = math.sin(self.g0), math.cos(self.g0)
+        self.sinrot, self.cosrot = math.sin(gamma), math.cos(gamma)
+        # injective longitude domain (degrees), cf. sterea
+        self.dlam_max_deg = 180.0 / self.B
+        # EPSG 9815 center offset (u_c along the gauge line)
+        if self.no_off:
+            self.uc = 0.0
+        elif abs(abs(alpha) - math.pi / 2) < 1e-12:
+            self.uc = self.A * (lamc - self.lam0)
+        else:
+            self.uc = math.copysign(
+                (self.A / self.B) * math.atan2(math.sqrt(D2 - 1.0), math.cos(alpha)), phi0
+            )
+
+    def _t(self, phi):
+        s = np.sin(phi)
+        return np.tan(np.pi / 4 - phi / 2) / ((1 - self.e * s) / (1 + self.e * s)) ** (self.e / 2)
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64))
+        dl = np.mod(lam - self.lam0 + np.pi, 2 * np.pi) - np.pi
+        # same aliasing class as sterea (r5): longitude scales by B>1,
+        # so |dl| > pi/B silently lands on the wrong side of the
+        # oblique cylinder (constant 2*(180-180/B) deg inverse error,
+        # measured) — NaN-guard the band instead
+        with np.errstate(invalid="ignore"):
+            dl = np.where(np.abs(dl) > np.pi / self.B, np.nan, dl)
+        Q = self.E / self._t(phi) ** self.B
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        V = np.sin(self.B * dl)
+        U = (-V * self.cosgam + S * self.singam) / T
+        with np.errstate(invalid="ignore", divide="ignore"):
+            U = np.where(np.abs(U) > 1 - 1e-12, np.nan, U)
+            v = self.A * np.log((1 - U) / (1 + U)) / (2 * self.B)
+        u = self.A * np.arctan2(S * self.cosgam + V * self.singam, np.cos(self.B * dl)) / self.B
+        u = u - self.uc
+        x = v * self.cosrot + u * self.sinrot
+        y = u * self.cosrot - v * self.sinrot
+        return self.x0 + x, self.y0 + y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, np.float64) - self.x0
+        y = np.asarray(y, np.float64) - self.y0
+        v = x * self.cosrot - y * self.sinrot
+        u = y * self.cosrot + x * self.sinrot + self.uc
+        Qp = np.exp(-self.B * v / self.A)
+        Sp = (Qp - 1.0 / Qp) / 2.0
+        Tp = (Qp + 1.0 / Qp) / 2.0
+        Vp = np.sin(self.B * u / self.A)
+        Up = (Vp * self.cosgam + Sp * self.singam) / Tp
+        t = (self.E / np.sqrt((1 + Up) / (1 - Up))) ** (1.0 / self.B)
+        chi = np.pi / 2 - 2 * np.arctan(t)
+        phi = chi.copy()
+        for _ in range(10):
+            s = np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(
+                t * ((1 - self.e * s) / (1 + self.e * s)) ** (self.e / 2)
+            )
+        lam = self.lam0 - np.arctan2(Sp * self.cosgam - Vp * self.singam, np.cos(self.B * u / self.A)) / self.B
+        return _norm_lon_deg(np.degrees(lam)), np.degrees(phi)
+
+
 def _make_aeqd(p: dict):
     """+proj=aeqd — azimuthal equidistant, SPHERICAL form (Snyder
     25-2..25-15), accepted only with an explicit sphere (+R, +a=+b, or
@@ -1037,6 +1149,9 @@ def _projector(crs):
             return _make_ortho(p)
         if p.get("proj") == "aeqd":
             return _make_aeqd(p)
+        if p.get("proj") == "omerc":
+            om = ObliqueMercatorProj(p)
+            return om.forward, om.inverse
         if p.get("proj") == "cass":
             cs = CassiniSoldnerProj(p)
             return cs.forward, cs.inverse

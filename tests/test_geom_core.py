@@ -873,3 +873,56 @@ def test_aeqd_projection():
     assert not np.isfinite(xa[0])
     with pytest.raises(ValueError, match="geodesic"):
         _projector("+proj=aeqd +lat_0=40 +lon_0=-100 +ellps=WGS84")
+
+
+def test_omerc_projection():
+    """+proj=omerc (Hotine oblique Mercator, Snyder 9-x / EPSG 9815):
+    projection-center fixed point under the variant-B offsets,
+    conformality (local scale isotropy), global in-domain round-trip,
+    the sterea-class |dlam| > 180/B aliasing guard, and the documented
+    refusals (lat_0=0, polar, two-point form)."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from gdal_boots_spark.geom.crs import ObliqueMercatorProj, _projector, parse_proj4
+
+    p4 = "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.316 +k=0.99984 +ellps=WGS84"
+    fwd, inv = _projector(p4)
+    om = ObliqueMercatorProj(parse_proj4(p4))
+    xc, yc = fwd(np.array([115.0]), np.array([4.0]))
+    assert abs(float(xc[0])) < 1e-6 and abs(float(yc[0])) < 1e-6  # 9815 offsets
+    # conformality at interior points
+    a_, rf = 6378137.0, 298.257223563
+    e2 = (2 - 1 / rf) / rf
+    d = 1e-6
+    for lon, lat in [(115, 4), (117, 6), (110, 0), (120, 10)]:
+        x0, y0 = fwd(np.array([float(lon)]), np.array([float(lat)]))
+        xa, ya = fwd(np.array([lon + d]), np.array([float(lat)]))
+        xb, yb = fwd(np.array([float(lon)]), np.array([lat + d]))
+        phi = math.radians(lat)
+        N = a_ / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        M = a_ * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+        k_par = math.hypot(float(xa[0] - x0[0]), float(ya[0] - y0[0])) / (d * math.pi / 180 * N * math.cos(phi))
+        k_mer = math.hypot(float(xb[0] - x0[0]), float(yb[0] - y0[0])) / (d * math.pi / 180 * M)
+        assert abs(k_par / k_mer - 1.0) < 1e-5
+    # dense global round-trip (in-domain)
+    rng = np.random.default_rng(11)
+    lons = rng.uniform(-180, 180, 4000)
+    lats = rng.uniform(-85, 85, 4000)
+    x, y = fwd(lons, lats)
+    fin = np.isfinite(x)
+    dlam = np.abs(((lons - math.degrees(om.lam0) + 180) % 360) - 180)
+    assert not ((~fin) & (dlam < om.dlam_max_deg - 1e-9)).any()  # NaN only in the band
+    lo2, la2 = inv(x[fin], y[fin])
+    assert np.abs(((lo2 - lons[fin] + 180) % 360) - 180).max() < 1e-8
+    assert np.abs(la2 - lats[fin]).max() < 1e-8
+    # refusals
+    for bad in (
+        "+proj=omerc +lat_0=0 +lonc=10 +alpha=45 +ellps=WGS84",
+        "+proj=omerc +lat_0=90 +lonc=10 +alpha=45 +ellps=WGS84",
+        "+proj=omerc +lat_0=10 +lon_1=0 +lat_1=1 +lon_2=5 +lat_2=6 +ellps=WGS84",
+    ):
+        with pytest.raises(ValueError):
+            _projector(bad)

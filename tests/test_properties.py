@@ -281,7 +281,10 @@ def test_any_geometry_codec_roundtrip_property(geom):
 
 # --- round-4 projection families: parameterized inverse round-trips ----
 _proj_family = st.sampled_from(
-    ["stere_polar", "stere_obl", "sterea", "laea", "cea", "eqc", "sinu", "moll", "ortho", "cass", "aeqd"]
+    [
+        "stere_polar", "stere_obl", "sterea", "laea", "cea", "eqc", "sinu", "moll",
+        "ortho", "cass", "aeqd", "omerc",
+    ]
 )
 
 
@@ -337,6 +340,8 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
         p4 = f"+proj=cass +lat_0={p0 * sgn} +lon_0={lon0} +ellps=WGS84"
     elif fam == "aeqd":
         p4 = f"+proj=aeqd +lat_0={p0 * sgn} +lon_0={lon0} +R=6371000"
+    elif fam == "omerc":
+        p4 = f"+proj=omerc +lat_0={p0 * sgn} +lonc={lon0} +alpha=53.0 +k=0.9998 +ellps=WGS84"
     else:
         p4 = f"+proj=moll +lon_0={lon0} +ellps=WGS84"
     fwd, inv = _projector(p4)
@@ -369,6 +374,15 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
             assert dlam > CassiniSoldnerProj.CASS_DLAM_MAX_DEG - 1e-9
         elif fam == "aeqd":
             assert _near_antipode(lon, la, lon0, -p0 * sgn, 1.0)
+        elif fam == "omerc":
+            from gdal_boots_spark.geom.crs import ObliqueMercatorProj, parse_proj4
+
+            om = ObliqueMercatorProj(parse_proj4(p4))
+            import math as _m
+
+            dlam_om = abs(((lon - _m.degrees(om.lam0) + 180.0) % 360.0) - 180.0)
+            # aliasing band beyond 180/B, or the |U|->1 singular line
+            assert dlam_om > om.dlam_max_deg - 1.5
         else:
             raise AssertionError(f"unexpected NaN from {fam} at ({lon}, {la})")
         return
