@@ -24,7 +24,9 @@ Round-5 adds ortho (spherical, hemisphere domain guard), cass
 aeqd (spherical form with +R; the ellipsoidal case is REFUSED
 with a clear error — it needs true geodesics, not a series) and
 omerc (Hotine oblique Mercator, azimuth form, EPSG 9815 offsets /
-9812 with +no_off; two-point form refused).
+9812 with +no_off; two-point form refused), somerc (Swiss oblique
+Mercator, EPSG 9814 — CH1903/LV03 EPSG:21781 and CH1903+/LV95
+EPSG:2056 shortcuts).
 Every oblique azimuthal family NaN-guards its singular domain
 (antipodal disk; sterea's |dlam|>180/n aliasing band) instead of
 returning silently wrong coordinates.
@@ -920,6 +922,86 @@ class ObliqueMercatorProj:
         return _norm_lon_deg(np.degrees(lam)), np.degrees(phi)
 
 
+class SwissObliqueMercatorProj:
+    """+proj=somerc — Swiss oblique Mercator (EPSG method 9814, the
+    CH1903/CH1903+ grids): double projection ellipsoid -> conformal
+    sphere at the origin -> rotation moving the origin to the sphere's
+    equator -> spherical Mercator.  Fixed point: (lon_0, lat_0) maps
+    exactly to (x_0, y_0) — EPSG:2056's Bern origin at
+    (2600000, 1200000), asserted in tests.
+
+    Domain guard: the conformal sphere scales longitude by
+    alpha > 1 (same class as sterea/omerc), so |dlam| > 180/alpha
+    NaNs; the rotated-pole antipode region is covered by the same
+    wrap."""
+
+    def __init__(self, p: dict):
+        self.a, self.e2, self.e = _resolve_ellipsoid(p)
+        e, e2 = self.e, self.e2
+        phi0 = math.radians(float(p.get("lat_0", 0)))
+        self.lam0 = math.radians(float(p.get("lon_0", 0)))
+        self.k0 = float(p.get("k", p.get("k_0", 1.0)))
+        self.x0 = float(p.get("x_0", 0))
+        self.y0 = float(p.get("y_0", 0))
+        s0 = math.sin(phi0)
+        self.alpha = math.sqrt(1 + e2 * math.cos(phi0) ** 4 / (1 - e2))
+        self.R = self.a * math.sqrt(1 - e2) / (1 - e2 * s0 * s0)
+        self.b0 = math.asin(s0 / self.alpha)
+        self.K = (
+            math.log(math.tan(math.pi / 4 + self.b0 / 2))
+            - self.alpha
+            * math.log(
+                math.tan(math.pi / 4 + phi0 / 2)
+                * ((1 - e * s0) / (1 + e * s0)) ** (e / 2)
+            )
+        )
+        self.sinb0, self.cosb0 = math.sin(self.b0), math.cos(self.b0)
+        self.dlam_max_deg = 180.0 / self.alpha
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64))
+        dl = np.mod(lam - self.lam0 + np.pi, 2 * np.pi) - np.pi
+        with np.errstate(invalid="ignore"):
+            dl = np.where(np.abs(dl) > np.pi / self.alpha, np.nan, dl)
+        s = np.sin(phi)
+        # ellipsoid -> conformal sphere latitude b
+        lt = self.alpha * np.log(
+            np.tan(np.pi / 4 + phi / 2) * ((1 - self.e * s) / (1 + self.e * s)) ** (self.e / 2)
+        ) + self.K
+        b = 2 * np.arctan(np.exp(lt)) - np.pi / 2
+        ls = self.alpha * dl
+        # rotate origin to the equator
+        sb = np.cos(self.b0) * np.sin(b) - np.sin(self.b0) * np.cos(b) * np.cos(ls)
+        lb = np.arctan2(np.cos(b) * np.sin(ls), self.cosb0 * np.cos(b) * np.cos(ls) + self.sinb0 * np.sin(b))
+        # spherical Mercator on the rotated sphere
+        x = self.R * self.k0 * lb
+        with np.errstate(divide="ignore", invalid="ignore"):
+            y = self.R * self.k0 * np.arctanh(np.clip(sb, -1, 1))
+        return self.x0 + x, self.y0 + y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, np.float64) - self.x0
+        y = np.asarray(y, np.float64) - self.y0
+        lb = x / (self.R * self.k0)
+        sb = np.tanh(y / (self.R * self.k0))
+        b = np.arcsin(np.clip(self.cosb0 * sb + self.sinb0 * np.sqrt(1 - sb * sb) * np.cos(lb), -1, 1))
+        ls = np.arctan2(
+            np.sqrt(1 - sb * sb) * np.sin(lb),
+            self.cosb0 * np.sqrt(1 - sb * sb) * np.cos(lb) - self.sinb0 * sb,
+        )
+        lam = self.lam0 + ls / self.alpha
+        # conformal sphere -> ellipsoid latitude (fixed point iteration)
+        lt = (np.log(np.tan(np.pi / 4 + b / 2)) - self.K) / self.alpha
+        phi = b.copy()
+        for _ in range(10):
+            s = np.sin(phi)
+            phi = 2 * np.arctan(
+                np.exp(lt - self.e / 2 * np.log((1 - self.e * s) / (1 + self.e * s)))
+            ) - np.pi / 2
+        return _norm_lon_deg(np.degrees(lam)), np.degrees(phi)
+
+
 def _make_aeqd(p: dict):
     """+proj=aeqd — azimuthal equidistant, SPHERICAL form (Snyder
     25-2..25-15), accepted only with an explicit sphere (+R, +a=+b, or
@@ -1023,6 +1105,10 @@ EPSG_PROJ4 = {
     6933: "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
     32662: "+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
     54008: "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    21781: "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 "
+           "+k_0=1 +x_0=600000 +y_0=200000 +ellps=bessel",
+    2056: "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 "
+          "+k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel",
 }
 
 
@@ -1152,6 +1238,9 @@ def _projector(crs):
         if p.get("proj") == "omerc":
             om = ObliqueMercatorProj(p)
             return om.forward, om.inverse
+        if p.get("proj") == "somerc":
+            sm = SwissObliqueMercatorProj(p)
+            return sm.forward, sm.inverse
         if p.get("proj") == "cass":
             cs = CassiniSoldnerProj(p)
             return cs.forward, cs.inverse

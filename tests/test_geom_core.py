@@ -926,3 +926,51 @@ def test_omerc_projection():
     ):
         with pytest.raises(ValueError):
             _projector(bad)
+
+
+def test_somerc_projection():
+    """+proj=somerc (Swiss oblique Mercator, EPSG 9814): the EPSG:2056
+    Bern origin fixed point at exactly (2600000, 1200000), a real-city
+    sanity box (Zurich in LV95), conformality, dense global
+    round-trip, and the EPSG shortcut table entries 2056/21781."""
+    import math
+
+    import numpy as np
+
+    from gdal_boots_spark.geom.crs import _projector
+
+    fwd, inv = _projector(2056)
+    x, y = fwd(np.array([7.439583333333333]), np.array([46.95240555555556]))
+    assert abs(float(x[0]) - 2600000) < 1e-6 and abs(float(y[0]) - 1200000) < 1e-5
+    # Zurich (8.54E, 47.38N) lies in the LV95 (2683k, 1248k) kilometre box
+    xz, yz = fwd(np.array([8.54]), np.array([47.38]))
+    assert abs(float(xz[0]) - 2683000) < 5000 and abs(float(yz[0]) - 1248000) < 5000
+    # LV03 shortcut differs only by the false origin
+    f03, _ = _projector(21781)
+    x3, y3 = f03(np.array([8.54]), np.array([47.38]))
+    assert abs(float(xz[0]) - float(x3[0]) - 2000000) < 1e-6
+    assert abs(float(yz[0]) - float(y3[0]) - 1000000) < 1e-6
+    # conformality at Swiss points
+    a_, rf = 6377397.155, 299.1528128
+    e2 = (2 - 1 / rf) / rf
+    d = 1e-6
+    for lon, lat in [(7.44, 46.95), (8.5, 47.4), (6.1, 46.2)]:
+        x0, y0 = fwd(np.array([float(lon)]), np.array([float(lat)]))
+        xa, ya = fwd(np.array([lon + d]), np.array([float(lat)]))
+        xb, yb = fwd(np.array([float(lon)]), np.array([lat + d]))
+        phi = math.radians(lat)
+        N = a_ / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        M = a_ * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+        k_par = math.hypot(float(xa[0] - x0[0]), float(ya[0] - y0[0])) / (d * math.pi / 180 * N * math.cos(phi))
+        k_mer = math.hypot(float(xb[0] - x0[0]), float(yb[0] - y0[0])) / (d * math.pi / 180 * M)
+        assert abs(k_par / k_mer - 1.0) < 1e-6
+    # dense round-trip wherever forward is finite
+    rng = np.random.default_rng(6)
+    lons = rng.uniform(-180, 180, 4000)
+    lats = rng.uniform(-85, 85, 4000)
+    x, y = fwd(lons, lats)
+    fin = np.isfinite(x) & np.isfinite(y)
+    assert fin.mean() > 0.98
+    lo2, la2 = inv(x[fin], y[fin])
+    assert np.abs(((lo2 - lons[fin] + 180) % 360) - 180).max() < 1e-8
+    assert np.abs(la2 - lats[fin]).max() < 1e-8

@@ -283,7 +283,7 @@ def test_any_geometry_codec_roundtrip_property(geom):
 _proj_family = st.sampled_from(
     [
         "stere_polar", "stere_obl", "sterea", "laea", "cea", "eqc", "sinu", "moll",
-        "ortho", "cass", "aeqd", "omerc",
+        "ortho", "cass", "aeqd", "omerc", "somerc",
     ]
 )
 
@@ -342,6 +342,8 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
         p4 = f"+proj=aeqd +lat_0={p0 * sgn} +lon_0={lon0} +R=6371000"
     elif fam == "omerc":
         p4 = f"+proj=omerc +lat_0={p0 * sgn} +lonc={lon0} +alpha=53.0 +k=0.9998 +ellps=WGS84"
+    elif fam == "somerc":
+        p4 = f"+proj=somerc +lat_0={p0 * sgn} +lon_0={lon0} +k_0=1 +ellps=bessel"
     else:
         p4 = f"+proj=moll +lon_0={lon0} +ellps=WGS84"
     fwd, inv = _projector(p4)
@@ -383,6 +385,13 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
             dlam_om = abs(((lon - _m.degrees(om.lam0) + 180.0) % 360.0) - 180.0)
             # aliasing band beyond 180/B, or the |U|->1 singular line
             assert dlam_om > om.dlam_max_deg - 1.5
+        elif fam == "somerc":
+            from gdal_boots_spark.geom.crs import SwissObliqueMercatorProj, parse_proj4
+
+            sm = SwissObliqueMercatorProj(parse_proj4(p4))
+            # alpha-scaled aliasing band, or the rotated pole points
+            # (|sb| -> 1, Mercator y -> inf) near lat ~ +/-(90 - |b0-lat|)
+            assert dlam > sm.dlam_max_deg - 1.5 or abs(la) > 80.0
         else:
             raise AssertionError(f"unexpected NaN from {fam} at ({lon}, {la})")
         return
