@@ -1042,6 +1042,16 @@ def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k frequent bigrams (operators/repetition.py):
+    explode -> one partial-agg groupBy shuffle -> TakeOrderedAndProject
+    (k rows to the driver, no global sort)."""
+    from gdal_boots_spark.operators.repetition import top_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_ngrams(docs, n=2, k=25)
+
+
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing over the documents table
     (operators/packing.py): contiguous-by-key shards whose cumulative
@@ -1061,7 +1071,8 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pytest-verified against their oracles every run — keeping every
 # DISTINCT operator driver-verified, lang_id + fingerprint included.
 _EXTRA_QUERIES = (
-    "pip_join_shuffle", "crs_3857", "hash_split", "pack_shards", "repetition_stats", "scrub_text"
+    "pip_join_shuffle", "crs_3857", "hash_split", "pack_shards", "repetition_stats", "scrub_text",
+    "top_ngrams",
 )
 
 
@@ -1134,6 +1145,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_shards": q_pack_shards,
         "scrub_text": q_scrub_text,
+        "top_ngrams": q_top_ngrams,
         "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1381,6 +1393,12 @@ def oracle_sql() -> dict[str, str]:
     return {k: v for k, v in _all_oracle_sql().items() if k in keep}
 
 
+def _top_ngrams_oracle() -> str:
+    from gdal_boots_spark.operators.repetition import top_ngrams_oracle_sql
+
+    return top_ngrams_oracle_sql(2, 25)
+
+
 def _scrub_oracle() -> str:
     from gdal_boots_spark.functions.text_fns import scrub_oracle_expr
 
@@ -1601,6 +1619,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "pack_shards": _pack_oracle(),
         "repetition_stats": _repetition_oracle(),
         "scrub_text": _scrub_oracle(),
+        "top_ngrams": _top_ngrams_oracle(),
     }
     out = dedup_text_oracles | {
         "pip_join": f"""

@@ -89,3 +89,40 @@ def repetition_oracle_sql(key_sql: str = "doc_id") -> str:
                CAST(COALESCE(top.tc, 0) AS BIGINT) AS top_bigram_count
         FROM stats s LEFT JOIN top ON s.k = top.k
     """
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -> DataFrame:
+    """-> (ngram, cnt): the corpus's k most frequent word n-grams,
+    ties broken by ngram ascending (deterministic across engines).
+
+    Scale shape: explode -> ONE partial-agg groupBy(ngram) shuffle ->
+    TakeOrderedAndProject (per-partition top-k merged at the driver,
+    k rows only — never a global sort of the distinct-ngram table)."""
+    from ..functions.text_fns import shingles
+
+    grams = shingles(F.col(text_col), n)
+    counts = (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts.orderBy(F.col("cnt").desc(), F.col("ngram")).limit(k)
+
+
+def top_ngrams_oracle_sql(n: int = 2, k: int = 20) -> str:
+    """Exact DuckDB equivalent (same tokenization + tie-break)."""
+    return f"""
+        WITH d AS (
+          SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+          FROM documents
+        ),
+        w AS (SELECT string_split(norm, ' ') AS ws FROM d),
+        bg AS (
+          SELECT list_aggregate(ws[CAST(i AS BIGINT) : CAST(i AS BIGINT) + {n} - 1], 'string_agg', ' ') AS g
+          FROM w, UNNEST(range(1, len(ws) - {n} + 2)) AS t(i)
+          WHERE len(ws) >= {n}
+        )
+        SELECT g AS ngram, COUNT(*) AS cnt
+        FROM bg GROUP BY g
+        ORDER BY cnt DESC, ngram LIMIT {k}
+    """

@@ -54,3 +54,40 @@ def test_repetition_stats_entry_surface(spark):
     b = odf[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b) and len(a) > 0
     assert len(entrymod.queries()) == 50
+
+
+def test_top_ngrams_matches_duckdb_oracle(spark):
+    """Global top-k frequent n-grams: exact vs the oracle at n=2 and
+    n=3 (deterministic count-desc/ngram-asc tie-break), and the plan
+    uses TakeOrderedAndProject — k rows to the driver, never a global
+    sort of the distinct-ngram table."""
+    from gdal_boots_spark.operators.repetition import top_ngrams, top_ngrams_oracle_sql
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    for n, k in [(2, 20), (3, 7)]:
+        got = top_ngrams(docs, n, k).toPandas()
+        want = con.execute(top_ngrams_oracle_sql(n, k)).df()
+        cols = sorted(got.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b) and len(a) == k, (n, k)
+    plan = top_ngrams(docs, 2, 20)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "Python" not in plan
+
+
+def test_top_ngrams_entry_surface(spark):
+    import duckdb as _duckdb
+
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.extra_queries()["top_ngrams"](spark, SF).toPandas()
+    con = _duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    odf = con.execute(entrymod.extra_oracle_sql()["top_ngrams"]).df()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b) and len(a) == 25
+    assert len(entrymod.queries()) == 50
