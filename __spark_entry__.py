@@ -1042,6 +1042,32 @@ def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_radius_join_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine, meters) distance-within join at 64N —
+    the latitude-aware metric companion of radius_join
+    (operators/knn.radius_join_meters): per-point cell block sized by
+    1/cos(lat) so high-latitude neighbors are not missed.  Pair-set
+    output (no dist column: libm trig is not bit-contracted across
+    engines; the integer-derived fixture keeps every pair clear of the
+    50 km boundary)."""
+    from gdal_boots_spark.operators.knn import radius_join_meters
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    ck, sk = F.col("c_custkey"), F.col("s_suppkey")
+    base = cust.select(
+        ck.alias("bid"),
+        (F.lit(-20.0) + ((ck * 7919) % 4000).cast("double") / 100.0).alias("x"),
+        (F.lit(63.0) + ((ck * 104729) % 600).cast("double") / 100.0).alias("y"),
+    )
+    query = supp.select(
+        sk.alias("qid"),
+        (F.lit(-20.0) + ((sk * 4409) % 4000).cast("double") / 100.0).alias("x"),
+        (F.lit(63.0) + ((sk * 9973) % 600).cast("double") / 100.0).alias("y"),
+    )
+    return radius_join_meters(query, base, 50_000.0)
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-k frequent bigrams (operators/repetition.py):
     explode -> one partial-agg groupBy shuffle -> TakeOrderedAndProject
@@ -1072,7 +1098,7 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DISTINCT operator driver-verified, lang_id + fingerprint included.
 _EXTRA_QUERIES = (
     "pip_join_shuffle", "crs_3857", "hash_split", "pack_shards", "repetition_stats", "scrub_text",
-    "top_ngrams",
+    "top_ngrams", "radius_join_m",
 )
 
 
@@ -1146,6 +1172,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "scrub_text": q_scrub_text,
         "top_ngrams": q_top_ngrams,
+        "radius_join_m": q_radius_join_m,
         "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1620,6 +1647,26 @@ def _all_oracle_sql() -> dict[str, str]:
         "repetition_stats": _repetition_oracle(),
         "scrub_text": _scrub_oracle(),
         "top_ngrams": _top_ngrams_oracle(),
+        "radius_join_m": """
+            WITH q AS (
+              SELECT s_suppkey AS qid,
+                     -20.0 + CAST((s_suppkey * 4409) % 4000 AS DOUBLE) / 100.0 AS x,
+                     63.0 + CAST((s_suppkey * 9973) % 600 AS DOUBLE) / 100.0 AS y
+              FROM supplier
+            ), b AS (
+              SELECT c_custkey AS bid,
+                     -20.0 + CAST((c_custkey * 7919) % 4000 AS DOUBLE) / 100.0 AS x,
+                     63.0 + CAST((c_custkey * 104729) % 600 AS DOUBLE) / 100.0 AS y
+              FROM customer
+            )
+            SELECT q.qid, b.bid
+            FROM q CROSS JOIN b
+            WHERE 2.0 * 6371008.8 * ASIN(SQRT(
+                SIN(RADIANS(b.y - q.y) / 2) * SIN(RADIANS(b.y - q.y) / 2)
+                + COS(RADIANS(q.y)) * COS(RADIANS(b.y))
+                  * SIN(RADIANS(b.x - q.x) / 2) * SIN(RADIANS(b.x - q.x) / 2)
+            )) <= 50000.0
+        """,
     }
     out = dedup_text_oracles | {
         "pip_join": f"""

@@ -29,6 +29,8 @@ geometrically.  The candidate accumulator is persisted per round
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -246,4 +248,77 @@ def radius_join(
         blocks.join(basec, "cell_id")
         .select("qid", "bid", dist.alias("dist"))
         .where(F.col("dist") <= radius)
+    )
+
+
+EARTH_MEAN_RADIUS_M = 6371008.8  # IUGG mean radius (PROJ's default sphere)
+
+
+def radius_join_meters(
+    query: DataFrame,
+    base: DataFrame,
+    radius_m: float,
+    res: int | None = None,
+    q_id: str = "qid",
+    b_id: str = "bid",
+    sphere_r: float = EARTH_MEAN_RADIUS_M,
+) -> DataFrame:
+    """Great-circle distance-within join: query(qid,x,y) x
+    base(bid,x,y degrees) -> (qid, bid) for every pair within
+    ``radius_m`` METERS on the sphere (haversine).
+
+    Same scalable shape as radius_join — per-query cell-block explode,
+    ONE equi-join on cell_id, exact refinement, no dedup shuffle — but
+    metric: the candidate block is latitude-aware (the longitude
+    extent of a meter grows by 1/cos(lat)), sized per point with
+    native exprs, so high-latitude queries cover more cells instead of
+    silently missing neighbors.  The refinement predicate is the
+    haversine inequality; output is the PAIR SET (no dist column —
+    sin/cos are not required to be bit-identical across engines, and
+    fixtures must keep every pair clear of the radius boundary, the
+    repo's geometry-fixture rule).
+    """
+    dlat_deg = radius_m / (sphere_r * math.pi / 180.0)
+    if res is None:
+        res = int(np.clip(np.floor(np.log2(180.0 / max(dlat_deg, 1e-12))), 0, MAX_RES))
+    n = 1 << res
+
+    basec = base.select(
+        F.col(b_id).alias("bid"), F.col("x").alias("bx"), F.col("y").alias("by"),
+        cell_id_col(F.col("x"), F.col("y"), res).alias("cell_id"),
+    )
+    # latitude-aware per-point degree bbox (clamped at the poles where
+    # a parallel circle shorter than the radius means ALL longitudes)
+    coslat = F.cos(F.radians(F.col("y")))
+    dlon_deg = F.when(
+        coslat * F.lit(sphere_r * math.pi / 180.0) * F.lit(1.0) > F.lit(0.0),
+        F.least(F.lit(180.0), F.lit(dlat_deg) / F.greatest(coslat, F.lit(1e-12))),
+    ).otherwise(F.lit(180.0))
+
+    def clampi(v, hi):
+        return F.least(F.greatest(v, F.lit(0)), F.lit(hi)).cast("long")
+
+    ix0 = clampi(F.floor((F.col("x") - dlon_deg + 180.0) / 360.0 * n), n - 1)
+    ix1 = clampi(F.floor((F.col("x") + dlon_deg + 180.0) / 360.0 * n), n - 1)
+    iy0 = clampi(F.floor((F.col("y") - F.lit(dlat_deg) + 90.0) / 180.0 * n), n - 1)
+    iy1 = clampi(F.floor((F.col("y") + F.lit(dlat_deg) + 90.0) / 180.0 * n), n - 1)
+    base_id = F.lit(res).cast("long") * F.lit(2**58)
+    blocks = (
+        query.select(F.col(q_id).alias("qid"), "x", "y", ix0.alias("_ix0"), ix1.alias("_ix1"),
+                     iy0.alias("_iy0"), iy1.alias("_iy1"))
+        .select("qid", "x", "y", F.explode(F.sequence(F.col("_ix0"), F.col("_ix1"))).alias("_ix"),
+                "_iy0", "_iy1")
+        .select("qid", "x", "y", "_ix",
+                F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))).alias("_iy"))
+        .select("qid", "x", "y", (base_id + F.col("_ix") * F.lit(2**29) + F.col("_iy")).alias("cell_id"))
+    )
+    # haversine refinement, spelled identically to the oracle SQL
+    sdphi = F.sin(F.radians(F.col("by") - F.col("y")) / 2)
+    sdlmb = F.sin(F.radians(F.col("bx") - F.col("x")) / 2)
+    h = sdphi * sdphi + F.cos(F.radians(F.col("y"))) * F.cos(F.radians(F.col("by"))) * sdlmb * sdlmb
+    dist = F.lit(2.0 * sphere_r) * F.asin(F.sqrt(h))
+    return (
+        blocks.join(basec, "cell_id")
+        .where(dist <= F.lit(float(radius_m)))
+        .select("qid", "bid")
     )

@@ -79,3 +79,66 @@ def test_radius_join_bruteforce_random(spark):
             if np.sqrt((qx - bx) * (qx - bx) + (qy - by) * (qy - by)) <= radius
         )
         assert got == exp, radius
+
+
+def test_radius_join_meters_matches_brute_force(spark):
+    """Great-circle metric radius join at 63-69N: exact pair parity
+    with a numpy haversine brute force; the latitude-aware block must
+    not miss east-west neighbors that 1/cos(lat) pulls into range, and
+    the fixture keeps every pair clear of the 50 km boundary."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gdal_boots_spark.operators.knn import EARTH_MEAN_RADIUS_M, radius_join_meters
+
+    def mk(nm, seed):
+        ids = np.arange(1, 400)
+        x = -20 + ((ids * seed) % 4000) / 100.0
+        y = 63.0 + ((ids * (seed + 17)) % 600) / 100.0
+        return spark.createDataFrame(
+            [(int(i), float(a), float(b)) for i, a, b in zip(ids, x, y)],
+            f"{nm} long, x double, y double",
+        )
+
+    base, query = mk("bid", 7919), mk("qid", 4409)
+    R = 50_000.0
+    got = {(r["qid"], r["bid"]) for r in radius_join_meters(query, base, R).collect()}
+    bq = np.array([(r["qid"], r["x"], r["y"]) for r in query.collect()])
+    bb = np.array([(r["bid"], r["x"], r["y"]) for r in base.collect()])
+    lat1 = np.radians(bq[:, 2])[:, None]
+    lat2 = np.radians(bb[:, 2])[None, :]
+    dl = np.radians(bb[:, 1])[None, :] - np.radians(bq[:, 1])[:, None]
+    h = np.sin((lat2 - lat1) / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dl / 2) ** 2
+    dist = 2 * EARTH_MEAN_RADIUS_M * np.arcsin(np.sqrt(h))
+    want = {(int(bq[i, 0]), int(bb[j, 0])) for i, j in zip(*np.where(dist <= R))}
+    assert got == want and len(got) > 0
+    # boundary clearance: no pair within 1e-9 relative of the radius
+    assert not (np.abs(dist - R) < R * 1e-9).any()
+    # a pure planar-degree block at this latitude WOULD miss pairs:
+    # the widest in-range pair spans more degrees of lon than of lat
+    sel = dist <= R
+    dlon_deg = np.abs(bb[:, 1][None, :] - bq[:, 1][:, None])
+    dlat_max = (R / (EARTH_MEAN_RADIUS_M * np.pi / 180.0))
+    assert (dlon_deg[sel] > dlat_max).any()
+
+
+def test_radius_join_meters_entry_surface(spark):
+    import glob
+    import os
+
+    import duckdb as _duckdb
+
+    import __spark_entry__ as entrymod
+
+    SFDIR = "/root/testdata/sf0.01"
+    sdf = entrymod.extra_queries()["radius_join_m"](spark, SFDIR).toPandas()
+    con = _duckdb.connect()
+    for p in glob.glob(SFDIR + "/*.parquet"):
+        t = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    odf = con.execute(entrymod.extra_oracle_sql()["radius_join_m"]).df()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b) and len(a) > 0
+    assert len(entrymod.queries()) == 50
