@@ -1090,15 +1090,25 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(docs, budget=5000)
 
 
-# dropped the last two of 52).  pip_join_shuffle and crs_3857 each verify
-# an operator that already has a green twin on the board (pip_join's
-# broadcast path exercises the same join; to_epsg subsumes the 3857
-# transform), so they are consolidated into extra_queries() — still
-# pytest-verified against their oracles every run — keeping every
-# DISTINCT operator driver-verified, lang_id + fingerprint included.
+# dropped the last two of 52).  Extras policy (ADVICE r5): ONLY queries
+# whose operator already has a driver-verified green twin on the board
+# may live in extra_queries() (still held to the same DuckDB-oracle
+# contract in pytest every run).  r6 swap: the six distinct-operator
+# families added in r4/r5 (hash_split, pack_shards, repetition_stats,
+# scrub_text, top_ngrams, radius_join_m) are PROMOTED onto the board;
+# six twinned variants move to extras:
+#   pip_join_shuffle   — twin pip_join (same join, broadcast path)
+#   crs_3857           — twin to_epsg (subsumes the 3857 transform)
+#   rasterize_hist_dist— twin rasterize_hist (same op, distributed path)
+#   zonal_stats_dist   — twin zonal_stats (same op, distributed path)
+#   simhash            — twin simhash_neardup (recomputes simhash)
+#   minhash_pairs      — twin neardup_groups (oracle embeds the pair SQL)
+#   ann_cosine         — twin ann_lsh/ann_ivf (same fixture; documented
+#                        driver-side baseline, not the scale path)
+#   reproject          — twin warp_pipeline (facade) + crs_lcc/to_epsg
 _EXTRA_QUERIES = (
-    "pip_join_shuffle", "crs_3857", "hash_split", "pack_shards", "repetition_stats", "scrub_text",
-    "top_ngrams", "radius_join_m",
+    "pip_join_shuffle", "crs_3857", "rasterize_hist_dist", "zonal_stats_dist",
+    "simhash", "minhash_pairs", "ann_cosine", "reproject",
 )
 
 
@@ -1114,6 +1124,15 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def extra_oracle_sql() -> dict[str, str]:
     return {k: v for k, v in _all_oracle_sql().items() if k in _EXTRA_QUERIES}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Board + extras union — the test suite's routing-independent view."""
+    return _all_queries()
+
+
+def all_oracle_sql() -> dict[str, str]:
+    return _all_oracle_sql()
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1427,13 +1446,11 @@ def _top_ngrams_oracle() -> str:
 
 
 def _scrub_oracle() -> str:
-    from gdal_boots_spark.functions.text_fns import scrub_oracle_expr
+    from gdal_boots_spark.functions.text_fns import SCRUB_COUNT_NAMES, scrub_oracle_expr
 
     expr, counts = scrub_oracle_expr("text")
-    return (
-        f"SELECT doc_id, {expr} AS scrubbed, {counts[0]} AS n_urls, "
-        f"{counts[1]} AS n_emails, {counts[2]} AS n_longnums FROM documents"
-    )
+    cols = ", ".join(f"{c} AS {n}" for n, c in zip(SCRUB_COUNT_NAMES, counts))
+    return f"SELECT doc_id, {expr} AS scrubbed, {cols} FROM documents"
 
 
 def _repetition_oracle() -> str:

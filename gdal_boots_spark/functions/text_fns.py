@@ -121,47 +121,69 @@ def bpe_token_count(col) -> Column:
     return F.size(bpe_tokens(col))
 
 
-# --- PII / URL scrubbing (r5) -----------------------------------------
+# --- PII / URL scrubbing (r5; widened r6) -----------------------------
 # Pattern set chosen to behave IDENTICALLY under Java regex (Spark
 # codegen) and RE2 (DuckDB): no backrefs, no lookarounds, explicit
-# classes.  Order matters: URLs first (they contain @ and digits),
-# then emails, then long digit runs.
+# classes.  `\s` is NOT identical across the engines (Java's ASCII \s
+# includes \x0B, RE2's does not — ADVICE r5), so whitespace is spelled
+# as one explicit class shared by both renderings.  Order matters:
+# URLs first (they contain @, dots and digits), then emails, then the
+# dotted/grouped digit formats (IP, card, phone), then bare digit runs.
+_WS = r" \t\n\r\f\x0B"  # explicit ASCII whitespace, Java == RE2
+
 SCRUB_RULES = [
-    (r"https?://[^\s]+", "<URL>"),
+    (rf"https?://[^{_WS}]+", "<URL>"),
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (r"[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}", "<CC>"),
+    # separator-format phone numbers: optional +country, then 3-4 digit
+    # groups split by -, ., space or parens.  Digit-group dates
+    # (2026-08-17) share this shape and get scrubbed too — for a
+    # privacy pass, over-scrubbing is the safe direction (documented).
+    (r"\+?[0-9]{1,4}([-. ()]{1,2}[0-9]{2,4}){2,3}", "<PHONE>"),
     (r"[0-9]{7,}", "<NUM>"),
 ]
 
 
 def scrub_text(col) -> Column:
-    """Redact URLs / emails / long digit runs (ids, phones) — the
-    pre-training privacy scrub pass.  Pure codegen regexp_replace
-    chain; the identical rules render to the DuckDB oracle via
-    scrub_oracle_expr, so redacted output is byte-equal across
-    engines."""
+    """Redact URLs / emails / IPv4s / card-format and phone-format
+    digit groups / long digit runs — the pre-training privacy scrub
+    pass.  Pure codegen regexp_replace chain; the identical rules
+    render to the DuckDB oracle via scrub_oracle_expr, so redacted
+    output is byte-equal across engines."""
     out = col
     for pat, tag in SCRUB_RULES:
         out = F.regexp_replace(out, pat, tag)
     return out
 
 
+SCRUB_COUNT_NAMES = ["n_urls", "n_emails", "n_ips", "n_cards", "n_phones", "n_longnums"]
+
+
 def scrub_counts(col) -> dict[str, Column]:
-    """Per-rule match counts (BIGINT, oracle-exact)."""
-    names = ["n_urls", "n_emails", "n_longnums"]
-    return {
-        name: F.regexp_count(col, F.lit(pat)).cast("long")
-        for name, (pat, _) in zip(names, SCRUB_RULES)
-    }
+    """Per-rule match counts (BIGINT, oracle-exact).  Rule i is counted
+    on the text AFTER rules 0..i-1 have been applied — i.e. each count
+    is exactly what the scrub pass redacted for that rule (a card
+    number is not double-counted as a phone number).  The oracle
+    mirrors the same progressive chain."""
+    out: dict[str, Column] = {}
+    cur = col
+    for name, (pat, tag) in zip(SCRUB_COUNT_NAMES, SCRUB_RULES):
+        out[name] = F.regexp_count(cur, F.lit(pat)).cast("long")
+        cur = F.regexp_replace(cur, pat, tag)
+    return out
 
 
 def scrub_oracle_expr(col_sql: str) -> tuple[str, list[str]]:
-    """(scrubbed-text SQL, [count SQLs]) — the same rules in DuckDB."""
+    """(scrubbed-text SQL, [count SQLs]) — the same rules in DuckDB,
+    with the same progressive-count semantics as scrub_counts (rule i
+    counted on the output of rules 0..i-1)."""
     out = col_sql
     counts = []
     for pat, tag in SCRUB_RULES:
         sq = pat.replace("'", "''")
         counts.append(
-            f"CAST(len(regexp_extract_all({col_sql}, '{sq}')) AS BIGINT)"
+            f"CAST(len(regexp_extract_all({out}, '{sq}')) AS BIGINT)"
         )
         out = f"regexp_replace({out}, '{sq}', '{tag}', 'g')"
     return out, counts

@@ -278,7 +278,10 @@ def radius_join_meters(
     fixtures must keep every pair clear of the radius boundary, the
     repo's geometry-fixture rule).
     """
-    dlat_deg = radius_m / (sphere_r * math.pi / 180.0)
+    # Δφ max of a radius-r cap is exactly r/R; tiny inflation guards
+    # the float floor()-index boundary (over-cover is free — the
+    # haversine refinement is the truth)
+    dlat_deg = radius_m / (sphere_r * math.pi / 180.0) * (1.0 + 1e-9)
     if res is None:
         res = int(np.clip(np.floor(np.log2(180.0 / max(dlat_deg, 1e-12))), 0, MAX_RES))
     n = 1 << res
@@ -287,22 +290,36 @@ def radius_join_meters(
         F.col(b_id).alias("bid"), F.col("x").alias("bx"), F.col("y").alias("by"),
         cell_id_col(F.col("x"), F.col("y"), res).alias("cell_id"),
     )
-    # latitude-aware per-point degree bbox (clamped at the poles where
-    # a parallel circle shorter than the radius means ALL longitudes)
+    # latitude-aware per-point degree bbox.  The EXACT max longitude
+    # extent of the cap is asin(sin(r/R)/cos(lat)) — the linearized
+    # dlat/cos(lat) bound is ~z^2/6 SMALLER and could drop a boundary
+    # pair (ADVICE r5); ALL longitudes when the cap reaches past a pole
+    # (cos(lat) <= sin(r/R)) or when r >= (pi/2)R.
+    z = radius_m / sphere_r
+    sin_z = 1.0 if z >= math.pi / 2 else math.sin(z)
     coslat = F.cos(F.radians(F.col("y")))
-    dlon_deg = F.when(
-        coslat * F.lit(sphere_r * math.pi / 180.0) * F.lit(1.0) > F.lit(0.0),
-        F.least(F.lit(180.0), F.lit(dlat_deg) / F.greatest(coslat, F.lit(1e-12))),
-    ).otherwise(F.lit(180.0))
+    dlon_deg = F.when(coslat <= F.lit(sin_z), F.lit(180.0)).otherwise(
+        F.least(F.lit(180.0), F.degrees(F.asin(F.lit(sin_z) / coslat)) * F.lit(1.0 + 1e-9))
+    )
 
     def clampi(v, hi):
         return F.least(F.greatest(v, F.lit(0)), F.lit(hi)).cast("long")
 
-    ix0 = clampi(F.floor((F.col("x") - dlon_deg + 180.0) / 360.0 * n), n - 1)
-    ix1 = clampi(F.floor((F.col("x") + dlon_deg + 180.0) / 360.0 * n), n - 1)
+    # x indices are NOT clamped: the sequence runs over the raw index
+    # range and each exploded index wraps modulo n when composing the
+    # cell id, so a disk straddling the antimeridian finds base points
+    # on both sides of +-180 (ADVICE r5).  The width cap at n keeps a
+    # full-circle block from listing any wrapped cell twice (the
+    # no-dedup-shuffle guarantee relies on distinct cells per query).
+    ix0 = F.floor((F.col("x") - dlon_deg + 180.0) / 360.0 * n).cast("long")
+    ix1 = F.least(
+        F.floor((F.col("x") + dlon_deg + 180.0) / 360.0 * n).cast("long"),
+        ix0 + F.lit(n - 1),
+    )
     iy0 = clampi(F.floor((F.col("y") - F.lit(dlat_deg) + 90.0) / 180.0 * n), n - 1)
     iy1 = clampi(F.floor((F.col("y") + F.lit(dlat_deg) + 90.0) / 180.0 * n), n - 1)
     base_id = F.lit(res).cast("long") * F.lit(2**58)
+    wx = (F.col("_ix") % n + n) % n
     blocks = (
         query.select(F.col(q_id).alias("qid"), "x", "y", ix0.alias("_ix0"), ix1.alias("_ix1"),
                      iy0.alias("_iy0"), iy1.alias("_iy1"))
@@ -310,7 +327,7 @@ def radius_join_meters(
                 "_iy0", "_iy1")
         .select("qid", "x", "y", "_ix",
                 F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))).alias("_iy"))
-        .select("qid", "x", "y", (base_id + F.col("_ix") * F.lit(2**29) + F.col("_iy")).alias("cell_id"))
+        .select("qid", "x", "y", (base_id + wx * F.lit(2**29) + F.col("_iy")).alias("cell_id"))
     )
     # haversine refinement, spelled identically to the oracle SQL
     sdphi = F.sin(F.radians(F.col("by") - F.col("y")) / 2)

@@ -92,9 +92,22 @@ def pack_shards(
     # collected per-partition offsets are only valid for the cached
     # partition boundaries, so unpersisting before the result is
     # consumed would risk a recompute with different boundaries.
-    # Callers that care can unpersist via this handle afterwards.
+    # Call pack_release(result) once the result has been materialized
+    # (ADVICE r5: repeated invocations — bench best-of reps, oracle
+    # sweeps — otherwise accumulate cached copies).
     res._pack_cache = ranged
     return res
+
+
+def pack_release(res: DataFrame) -> None:
+    """Unpersist the internal cache of a pack_shards result.  Safe to
+    call exactly once after the result DataFrame has been consumed
+    (collected / written); re-consuming the result afterwards would
+    recompute with possibly different range boundaries."""
+    cache = getattr(res, "_pack_cache", None)
+    if cache is not None:
+        cache.unpersist()
+        res._pack_cache = None
 
 
 def pack_oracle_sql(budget: int, key_sql: str = "doc_id", tokens_sql: str | None = None) -> str:

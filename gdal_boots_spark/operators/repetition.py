@@ -12,6 +12,9 @@ array-local counts (n_words, n_distinct_words) with ZERO shuffle;
 only the top-bigram count pays shuffles — explode -> partial-agg
 groupBy(doc, bigram) -> groupBy(doc) — both with map-side combine,
 keys salted naturally by the bigram dimension, no driver collect.
+The wide (doc, bigram) shuffle carries NO payload columns (r6); the
+per-doc counts are recombined by a join that only shuffles the narrow
+doc-table side, the bigram side reusing its groupBy partitioning.
 Outputs are all BIGINT counts (no float ratios), so the DuckDB oracle
 is hash-exact; callers derive ratios downstream.
 """
@@ -37,27 +40,30 @@ def repetition_stats(docs: DataFrame, key_col: str = "doc_id", text_col: str = "
     cheap expression away and left to callers so the outputs stay
     integer-exact across engines."""
     t = tokens(F.col(text_col))
-    base = docs.select(
+    # zero-shuffle per-doc word counts (narrow projection of the doc
+    # table; VERDICT r5 item 8 — these used to ride the (doc, bigram)
+    # shuffle as F.first payload, ~16 B/row of avoidable shuffle bytes)
+    perdoc = docs.select(
         F.col(key_col),
         F.size(t).cast("long").alias("n_words"),
         F.size(F.array_distinct(t)).cast("long").alias("n_distinct_words"),
-        shingles(F.col(text_col), 2).alias("_bg"),
     )
-    # explode_outer keeps empty-bigram docs alive as one NULL row so
-    # the final aggregate emits their 0 without a re-join against the
-    # doc table
-    bg = base.select(key_col, "n_words", "n_distinct_words", F.explode_outer("_bg").alias("_b"))
-    cnt = bg.groupBy(key_col, "_b").agg(
-        F.first("n_words").alias("n_words"),
-        F.first("n_distinct_words").alias("n_distinct_words"),
-        F.count("*").alias("_c"),
+    # the wide shuffle now carries (key, bigram) ALONE; the second
+    # groupBy reduces to one row per doc, already hash-partitioned by
+    # key, so the final recombine join only shuffles the narrow perdoc
+    # side (key + two longs per doc)
+    bg = docs.select(key_col, F.explode(shingles(F.col(text_col), 2)).alias("_b"))
+    top = (
+        bg.groupBy(key_col, "_b")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(key_col)
+        .agg(F.max("_c").alias("_tc"))
     )
-    return cnt.groupBy(key_col).agg(
-        F.first("n_words").alias("n_words"),
-        F.first("n_distinct_words").alias("n_distinct_words"),
-        F.max(
-            F.when(F.col("_b").isNull(), F.lit(0)).otherwise(F.col("_c"))
-        ).cast("long").alias("top_bigram_count"),
+    return perdoc.join(top, key_col, "left").select(
+        key_col,
+        "n_words",
+        "n_distinct_words",
+        F.coalesce(F.col("_tc"), F.lit(0)).cast("long").alias("top_bigram_count"),
     )
 
 

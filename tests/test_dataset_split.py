@@ -100,10 +100,10 @@ def test_hash_split_entry_surface(spark):
 
     import __spark_entry__ as entrymod
 
-    sdf = entrymod.extra_queries()["hash_split"](spark, SF).toPandas()
+    sdf = entrymod.all_queries()["hash_split"](spark, SF).toPandas()
     con = _duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
-    odf = con.execute(entrymod.extra_oracle_sql()["hash_split"]).df()
+    odf = con.execute(entrymod.all_oracle_sql()["hash_split"]).df()
     cols = sorted(sdf.columns)
     a = sdf[cols].sort_values(cols).reset_index(drop=True)
     b = odf[cols].sort_values(cols).reset_index(drop=True)
@@ -115,10 +115,13 @@ def test_pack_shards_matches_duckdb_oracle(spark):
     """Contiguous token-budget packing == the ANSI window-function
     oracle, plus the packing invariants: shards are contiguous in key
     order, monotone, and under-budget before their last document."""
-    from gdal_boots_spark.operators.packing import pack_oracle_sql, pack_shards
+    from gdal_boots_spark.operators.packing import pack_oracle_sql, pack_release, pack_shards
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    got = pack_shards(docs, budget=5000).toPandas()
+    res = pack_shards(docs, budget=5000)
+    got = res.toPandas()
+    pack_release(res)  # ADVICE r5: drop the internal range cache
+    assert res._pack_cache is None
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
     want = con.execute(pack_oracle_sql(5000)).df()
@@ -169,10 +172,10 @@ def test_pack_shards_entry_surface(spark):
 
     import __spark_entry__ as entrymod
 
-    sdf = entrymod.extra_queries()["pack_shards"](spark, SF).toPandas()
+    sdf = entrymod.all_queries()["pack_shards"](spark, SF).toPandas()
     con = _duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
-    odf = con.execute(entrymod.extra_oracle_sql()["pack_shards"]).df()
+    odf = con.execute(entrymod.all_oracle_sql()["pack_shards"]).df()
     cols = sorted(sdf.columns)
     a = sdf[cols].sort_values(cols).reset_index(drop=True)
     b = odf[cols].sort_values(cols).reset_index(drop=True)

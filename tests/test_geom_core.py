@@ -368,8 +368,8 @@ def test_crs_lcc_vs_oracle(spark):
     import __spark_entry__ as entrymod
     from tests.conftest import SF_ORACLE, compare_to_oracle
 
-    df = entrymod.queries()["crs_lcc"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["crs_lcc"], SF_ORACLE)
+    df = entrymod.all_queries()["crs_lcc"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["crs_lcc"], SF_ORACLE)
 
 
 def test_conic_projections_reject_zero_cone_constant():

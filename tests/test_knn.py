@@ -50,8 +50,8 @@ def test_radius_join_vs_oracle(spark):
     import __spark_entry__ as entrymod
     from tests.conftest import SF_ORACLE, compare_to_oracle
 
-    df = entrymod.queries()["radius_join"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["radius_join"], SF_ORACLE, float_cols=("dist",), atol=0.0)
+    df = entrymod.all_queries()["radius_join"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["radius_join"], SF_ORACLE, float_cols=("dist",), atol=0.0)
 
 
 def test_radius_join_bruteforce_random(spark):
@@ -122,6 +122,46 @@ def test_radius_join_meters_matches_brute_force(spark):
     assert (dlon_deg[sel] > dlat_max).any()
 
 
+def test_radius_join_meters_antimeridian(spark):
+    """ADVICE r5 (medium): a query within radius of +-180 must find
+    base points on the OTHER side of the antimeridian — the exploded
+    longitude index now wraps modulo n instead of clamping.  Fixture
+    pairs straddle the seam at several latitudes; parity against the
+    same numpy haversine brute force (lon difference handled via the
+    periodic sin(dl/2), which needs no unwrapping)."""
+    import numpy as np
+
+    from gdal_boots_spark.operators.knn import EARTH_MEAN_RADIUS_M, radius_join_meters
+
+    rows_b, rows_q = [], []
+    k = 1
+    for lat in (-40.123, 0.251, 55.377):
+        for off in (0.051, 0.203, 0.377):  # degrees from the seam
+            rows_b.append((k, 180.0 - off, lat))          # west side
+            rows_q.append((k, -180.0 + off / 2, lat))     # east side
+            k += 1
+    # far-away decoys that must NOT pair across the seam
+    rows_b.append((90, 170.123, 10.007))
+    rows_q.append((91, -170.251, 10.007))
+    base = spark.createDataFrame(rows_b, "bid long, x double, y double")
+    query = spark.createDataFrame(rows_q, "qid long, x double, y double")
+    R = 60_000.0
+    got = {(r["qid"], r["bid"]) for r in radius_join_meters(query, base, R).collect()}
+    bq = np.array(rows_q, dtype=float)
+    bb = np.array(rows_b, dtype=float)
+    lat1 = np.radians(bq[:, 2])[:, None]
+    lat2 = np.radians(bb[:, 2])[None, :]
+    dl = np.radians(bb[:, 1])[None, :] - np.radians(bq[:, 1])[:, None]
+    h = np.sin((lat2 - lat1) / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dl / 2) ** 2
+    dist = 2 * EARTH_MEAN_RADIUS_M * np.arcsin(np.sqrt(h))
+    want = {(int(bq[i, 0]), int(bb[j, 0])) for i, j in zip(*np.where(dist <= R))}
+    assert got == want
+    # the fixture genuinely crosses the seam (every true pair has its
+    # query east of -180 and base west of +180 by construction)
+    assert len(want) >= 3 and all(q != 90 and b != 90 for q, b in want)
+    assert not (np.abs(dist - R) < R * 1e-9).any()
+
+
 def test_radius_join_meters_entry_surface(spark):
     import glob
     import os
@@ -131,12 +171,12 @@ def test_radius_join_meters_entry_surface(spark):
     import __spark_entry__ as entrymod
 
     SFDIR = "/root/testdata/sf0.01"
-    sdf = entrymod.extra_queries()["radius_join_m"](spark, SFDIR).toPandas()
+    sdf = entrymod.all_queries()["radius_join_m"](spark, SFDIR).toPandas()
     con = _duckdb.connect()
     for p in glob.glob(SFDIR + "/*.parquet"):
         t = os.path.basename(p).replace(".parquet", "")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    odf = con.execute(entrymod.extra_oracle_sql()["radius_join_m"]).df()
+    odf = con.execute(entrymod.all_oracle_sql()["radius_join_m"]).df()
     cols = sorted(sdf.columns)
     a = sdf[cols].sort_values(cols).reset_index(drop=True)
     b = odf[cols].sort_values(cols).reset_index(drop=True)

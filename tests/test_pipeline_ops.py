@@ -199,9 +199,9 @@ def test_media_features_vs_oracle(spark):
     import __spark_entry__ as entrymod
     from tests.conftest import compare_to_oracle
 
-    df = entrymod.queries()["media_features"](spark, SF_ORACLE)
+    df = entrymod.all_queries()["media_features"](spark, SF_ORACLE)
     compare_to_oracle(
-        df, entrymod.oracle_sql()["media_features"], SF_ORACLE,
+        df, entrymod.all_oracle_sql()["media_features"], SF_ORACLE,
         float_cols=tuple(f"f{i}" for i in range(8)), atol=0.0,
     )
 
@@ -210,8 +210,8 @@ def test_media_resize_vs_oracle(spark):
     import __spark_entry__ as entrymod
     from tests.conftest import compare_to_oracle
 
-    df = entrymod.queries()["media_resize"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["media_resize"], SF_ORACLE, float_cols=("value",), atol=0.0)
+    df = entrymod.all_queries()["media_resize"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["media_resize"], SF_ORACLE, float_cols=("value",), atol=0.0)
 
 
 @pytest.mark.parametrize("name", ["embedding_neardup", "token_stats"])
@@ -219,8 +219,8 @@ def test_r2_pipeline_queries_vs_oracle(spark, name):
     import __spark_entry__ as entrymod
     from tests.conftest import compare_to_oracle
 
-    df = entrymod.queries()[name](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE)
+    df = entrymod.all_queries()[name](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()[name], SF_ORACLE)
 
 
 def test_simhash_neardup_vs_oracle_and_bruteforce(spark):
@@ -230,8 +230,8 @@ def test_simhash_neardup_vs_oracle_and_bruteforce(spark):
     from gdal_boots_spark.operators.dedup import simhash_neardup
     from tests.conftest import compare_to_oracle
 
-    df = entrymod.queries()["simhash_neardup"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["simhash_neardup"], SF_ORACLE)
+    df = entrymod.all_queries()["simhash_neardup"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["simhash_neardup"], SF_ORACLE)
 
     docs = spark.read.parquet(f"{SF_ORACLE}/../sf0.001/documents.parquet")
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
@@ -251,8 +251,8 @@ def test_ann_lsh_vs_oracle(spark):
     import __spark_entry__ as entrymod
     from tests.conftest import SF_ORACLE, compare_to_oracle
 
-    df = entrymod.queries()["ann_lsh"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["ann_lsh"], SF_ORACLE)
+    df = entrymod.all_queries()["ann_lsh"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["ann_lsh"], SF_ORACLE)
 
 
 def test_ann_ivf_vs_oracle(spark):
@@ -261,8 +261,8 @@ def test_ann_ivf_vs_oracle(spark):
     import __spark_entry__ as entrymod
     from tests.conftest import SF_ORACLE, compare_to_oracle
 
-    df = entrymod.queries()["ann_ivf"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["ann_ivf"], SF_ORACLE)
+    df = entrymod.all_queries()["ann_ivf"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["ann_ivf"], SF_ORACLE)
 
 
 def test_neardup_groups_vs_oracle(spark):
@@ -271,8 +271,8 @@ def test_neardup_groups_vs_oracle(spark):
     import __spark_entry__ as entrymod
     from tests.conftest import SF_ORACLE, compare_to_oracle
 
-    df = entrymod.queries()["neardup_groups"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["neardup_groups"], SF_ORACLE)
+    df = entrymod.all_queries()["neardup_groups"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["neardup_groups"], SF_ORACLE)
 
 
 def test_neardup_groups_planted_chain(spark):
@@ -304,8 +304,8 @@ def test_media_frame_sample_vs_oracle(spark):
     import __spark_entry__ as entrymod
     from tests.conftest import SF_ORACLE, compare_to_oracle
 
-    df = entrymod.queries()["media_frame_sample"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["media_frame_sample"], SF_ORACLE)
+    df = entrymod.all_queries()["media_frame_sample"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["media_frame_sample"], SF_ORACLE)
 
 
 def test_media_frame_sample_filter_pushed_to_scan(spark):

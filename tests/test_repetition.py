@@ -45,10 +45,10 @@ def test_repetition_stats_entry_surface(spark):
 
     import __spark_entry__ as entrymod
 
-    sdf = entrymod.extra_queries()["repetition_stats"](spark, SF).toPandas()
+    sdf = entrymod.all_queries()["repetition_stats"](spark, SF).toPandas()
     con = _duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
-    odf = con.execute(entrymod.extra_oracle_sql()["repetition_stats"]).df()
+    odf = con.execute(entrymod.all_oracle_sql()["repetition_stats"]).df()
     cols = sorted(sdf.columns)
     a = sdf[cols].sort_values(cols).reset_index(drop=True)
     b = odf[cols].sort_values(cols).reset_index(drop=True)
@@ -82,10 +82,10 @@ def test_top_ngrams_entry_surface(spark):
 
     import __spark_entry__ as entrymod
 
-    sdf = entrymod.extra_queries()["top_ngrams"](spark, SF).toPandas()
+    sdf = entrymod.all_queries()["top_ngrams"](spark, SF).toPandas()
     con = _duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
-    odf = con.execute(entrymod.extra_oracle_sql()["top_ngrams"]).df()
+    odf = con.execute(entrymod.all_oracle_sql()["top_ngrams"]).df()
     cols = sorted(sdf.columns)
     a = sdf[cols].sort_values(cols).reset_index(drop=True)
     b = odf[cols].sort_values(cols).reset_index(drop=True)

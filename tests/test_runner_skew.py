@@ -158,8 +158,8 @@ def test_asof_join_vs_oracle(spark):
     import __spark_entry__ as entrymod
     from tests.conftest import SF_ORACLE, compare_to_oracle
 
-    df = entrymod.queries()["asof_join"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["asof_join"], SF_ORACLE, float_cols=("r_value",), atol=0.0)
+    df = entrymod.all_queries()["asof_join"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["asof_join"], SF_ORACLE, float_cols=("r_value",), atol=0.0)
 
 
 def test_kmv_sketch_merge_and_accuracy(spark):
@@ -197,5 +197,5 @@ def test_kmv_distinct_vs_oracle(spark):
     import __spark_entry__ as entrymod
     from tests.conftest import SF_ORACLE, compare_to_oracle
 
-    df = entrymod.queries()["kmv_distinct"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["kmv_distinct"], SF_ORACLE, float_cols=("est_distinct",), atol=0.0)
+    df = entrymod.all_queries()["kmv_distinct"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["kmv_distinct"], SF_ORACLE, float_cols=("est_distinct",), atol=0.0)

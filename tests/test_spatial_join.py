@@ -66,8 +66,8 @@ def test_pip_join_points_bruteforce(spark):
 
 @pytest.mark.parametrize("name", ["pip_join", "cell_assign", "geo_extract", "span_counts"])
 def test_queries_vs_oracle_sf001(spark, name):
-    df = entrymod.queries()[name](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE, float_cols=("x", "y"))
+    df = entrymod.all_queries()[name](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()[name], SF_ORACLE, float_cols=("x", "y"))
 
 
 def test_entry_smoke(spark):
@@ -76,23 +76,23 @@ def test_entry_smoke(spark):
 
 
 def test_point_sampling_vs_oracle(spark):
-    df = entrymod.queries()["point_sampling"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["point_sampling"], SF_ORACLE)
+    df = entrymod.all_queries()["point_sampling"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["point_sampling"], SF_ORACLE)
 
 
 def test_rasterize_hist_vs_oracle(spark):
-    df = entrymod.queries()["rasterize_hist"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["rasterize_hist"], SF_ORACLE)
+    df = entrymod.all_queries()["rasterize_hist"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["rasterize_hist"], SF_ORACLE)
 
 
 def test_resample_avg_vs_oracle(spark):
-    df = entrymod.queries()["resample_avg"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["resample_avg"], SF_ORACLE, float_cols=("value",))
+    df = entrymod.all_queries()["resample_avg"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["resample_avg"], SF_ORACLE, float_cols=("value",))
 
 
 def test_knn_vs_oracle(spark):
-    df = entrymod.queries()["knn"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["knn"], SF_ORACLE)
+    df = entrymod.all_queries()["knn"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["knn"], SF_ORACLE)
 
 
 @pytest.mark.parametrize(
@@ -101,20 +101,20 @@ def test_knn_vs_oracle(spark):
      "text_quality", "lang_id", "fingerprint"],
 )
 def test_pipeline_queries_vs_oracle(spark, name):
-    df = entrymod.queries()[name](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE,
+    df = entrymod.all_queries()[name](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()[name], SF_ORACLE,
                       float_cols=("jaccard", "punct_ratio", "stopword_ratio", "quality"), atol=1e-12)
 
 
 def test_polygonize_vs_oracle(spark):
-    df = entrymod.queries()["polygonize"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["polygonize"], SF_ORACLE)
+    df = entrymod.all_queries()["polygonize"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["polygonize"], SF_ORACLE)
 
 
 @pytest.mark.parametrize("name", ["geom_bounds", "crs_3857"])
 def test_udf_pipeline_vs_oracle(spark, name):
-    q = {**entrymod.queries(), **entrymod.extra_queries()}[name]
-    osql = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}[name]
+    q = entrymod.all_queries()[name]
+    osql = entrymod.all_oracle_sql()[name]
     df = q(spark, SF_ORACLE)
     compare_to_oracle(df, osql, SF_ORACLE,
                       float_cols=("mx", "my", "bminx", "bminy", "bmaxx", "bmaxy"), atol=1e-9)
@@ -122,8 +122,8 @@ def test_udf_pipeline_vs_oracle(spark, name):
 
 @pytest.mark.parametrize("name", ["crop_hist", "mosaic", "reproject", "salted_join"])
 def test_warp_family_vs_oracle(spark, name):
-    df = entrymod.queries()[name](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE)
+    df = entrymod.all_queries()[name](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()[name], SF_ORACLE)
 
 
 def test_pip_join_shuffle_path_equals_broadcast(spark):
@@ -157,8 +157,8 @@ def test_pip_join_shuffle_path_equals_broadcast(spark):
 
 
 def test_bbox_join_vs_oracle(spark):
-    df = entrymod.queries()["bbox_join"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["bbox_join"], SF_ORACLE)
+    df = entrymod.all_queries()["bbox_join"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["bbox_join"], SF_ORACLE)
 
 
 def test_bbox_join_no_duplicates_multi_cell(spark):
@@ -198,8 +198,8 @@ def test_bbox_join_auto_res_identical(spark):
 
 
 def test_zonal_stats_vs_oracle(spark):
-    df = entrymod.queries()["zonal_stats"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["zonal_stats"], SF_ORACLE, float_cols=("mean",), atol=1e-9)
+    df = entrymod.all_queries()["zonal_stats"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["zonal_stats"], SF_ORACLE, float_cols=("mean",), atol=1e-9)
 
 
 def test_intersects_join_vs_bruteforce(spark):
@@ -236,8 +236,8 @@ def test_intersects_join_vs_bruteforce(spark):
 
 
 def test_event_windows_vs_oracle(spark):
-    df = entrymod.queries()["event_windows"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["event_windows"], SF_ORACLE, float_cols=("v",), atol=1e-6)
+    df = entrymod.all_queries()["event_windows"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["event_windows"], SF_ORACLE, float_cols=("v",), atol=1e-6)
 
 
 def test_zonal_broadcast_vs_distributed(spark):
@@ -262,47 +262,47 @@ def test_zonal_broadcast_vs_distributed(spark):
 
 
 def test_resample_cubic_vs_oracle(spark):
-    df = entrymod.queries()["resample_cubic"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["resample_cubic"], SF_ORACLE, float_cols=("value",), atol=0.0)
+    df = entrymod.all_queries()["resample_cubic"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["resample_cubic"], SF_ORACLE, float_cols=("value",), atol=0.0)
 
 
 def test_pip_join_poly_spans_vs_oracle(spark):
     """Mixed Point + Polygon geo spans through pip_join_docs_any
     (VERDICT r1 item 4: non-Point spans must not silently drop)."""
-    df = entrymod.queries()["pip_join_poly_spans"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["pip_join_poly_spans"], SF_ORACLE)
+    df = entrymod.all_queries()["pip_join_poly_spans"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["pip_join_poly_spans"], SF_ORACLE)
 
 
 def test_intersects_join_vs_oracle(spark):
-    df = entrymod.queries()["intersects_join"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["intersects_join"], SF_ORACLE)
+    df = entrymod.all_queries()["intersects_join"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["intersects_join"], SF_ORACLE)
 
 
 @pytest.mark.parametrize("name", ["fast_warp", "write_window", "make_valid", "to_epsg", "tile_checksum"])
 def test_r2_surface_queries_vs_oracle(spark, name):
     """Driver-oracle coverage for the formerly pytest-only surface
     (VERDICT r1 item 7)."""
-    df = entrymod.queries()[name](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()[name], SF_ORACLE)
+    df = entrymod.all_queries()[name](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()[name], SF_ORACLE)
 
 
 def test_pip_join_shuffle_vs_oracle(spark):
     """The salted no-collect flagship variant is oracle-exact (held in
     extra_queries() since the driver board caps at 50)."""
-    df = entrymod.extra_queries()["pip_join_shuffle"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.extra_oracle_sql()["pip_join_shuffle"], SF_ORACLE)
+    df = entrymod.all_queries()["pip_join_shuffle"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["pip_join_shuffle"], SF_ORACLE)
 
 
 def test_warp_pipeline_vs_oracle(spark):
     """Composed warp facade (mosaic -> window -> average resample)."""
-    df = entrymod.queries()["warp_pipeline"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["warp_pipeline"], SF_ORACLE, float_cols=("value",), atol=0.0)
+    df = entrymod.all_queries()["warp_pipeline"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["warp_pipeline"], SF_ORACLE, float_cols=("value",), atol=0.0)
 
 
 def test_event_rollup_vs_oracle(spark):
     """Cascading minute->hour->day rollup is lossless vs direct day agg."""
-    df = entrymod.queries()["event_rollup"](spark, SF_ORACLE)
-    compare_to_oracle(df, entrymod.oracle_sql()["event_rollup"], SF_ORACLE,
+    df = entrymod.all_queries()["event_rollup"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["event_rollup"], SF_ORACLE,
                       float_cols=("v", "vmin", "vmax"), atol=1e-6)
 
 
