@@ -31,28 +31,56 @@ SCALING_ONLY = os.environ.get("SPARK_GRAFT_SCALING_ONLY", "") == "1"
 # queries included in the headline number (flagship first)
 HEADLINE = ["pip_join", "cell_assign", "geo_extract", "span_counts", "rasterize_hist", "point_sampling", "knn", "bbox_join"]
 
+# Clean-window reference seconds per query, with the cpu_control the
+# reference window measured (VERDICT r5 item 1).  The storm detector
+# scales each reference by (this run's cpu_control / ref control) to
+# get a per-query FLOOR; any query whose best rep exceeds 1.5x its
+# floor gets chased with extra reps until it lands or the chase budget
+# runs out — and the JSON records which queries never landed, so a
+# contended snapshot is LABELED instead of silently wrong.
+# Measured 2026-08-17 (r6, load<1, cpu_control 0.77).
+REF_CTL = 0.77
+REF_CLEAN = {
+    "pip_join": 1.43, "cell_assign": 0.44, "geo_extract": 0.42,
+    "span_counts": 0.48, "rasterize_hist": 2.26, "point_sampling": 1.32,
+    "knn": 1.60, "bbox_join": 2.69, "pip_join_xl": 2.99,
+    "pip_join_poly_xl": 6.49,
+}
+CHASE_FACTOR = float(os.environ.get("SPARK_GRAFT_CHASE_FACTOR", "1.5"))
+CHASE_MAX = int(os.environ.get("SPARK_GRAFT_CHASE_MAX", "4"))
+
+
+def _load1() -> float:
+    try:
+        return float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        return -1.0
+
 
 def _gate_on_load() -> dict:
     """Wait (bounded) for a quiet co-tenant window before measuring.
 
     This VM swings 4x minute-to-minute; an A/B measured the SAME code
     at 7.7s and 16.4s in adjacent windows.  1-min loadavg taken BEFORE
-    Spark starts is pure co-tenant signal, so a short bounded wait
-    moves the run out of a storm.  Gate and ceiling are env-tunable;
-    progress goes to stderr (stdout stays the one JSON line)."""
-    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "600"))
+    Spark starts is pure co-tenant signal.  r6 (VERDICT r5 item 1):
+    gate tightened to 2.0 and the wait budget raised to 25 min — the
+    run no longer proceeds into a storm after a short cap; if the
+    storm outlasts the whole budget the JSON carries contended=true so
+    the reader knows the window, instead of finding out three rounds
+    later."""
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "1500"))
     t0 = time.time()
-    load = None
-    try:
-        load = float(open("/proc/loadavg").read().split()[0])
-        while load > gate and time.time() - t0 < max_wait:
-            print(f"bench: load {load:.1f} > gate {gate}, waiting...", file=sys.stderr, flush=True)
-            time.sleep(20)
-            load = float(open("/proc/loadavg").read().split()[0])
-    except OSError:
-        pass
-    return {"load_at_start": load, "load_waited_s": round(time.time() - t0, 1)}
+    load = _load1()
+    while load > gate and time.time() - t0 < max_wait:
+        print(f"bench: load {load:.1f} > gate {gate}, waiting...", file=sys.stderr, flush=True)
+        time.sleep(20)
+        load = _load1()
+    return {
+        "load_at_start": load,
+        "load_waited_s": round(time.time() - t0, 1),
+        "contended": bool(load > gate),
+    }
 
 
 def run_bench() -> dict:
@@ -73,37 +101,64 @@ def run_bench() -> dict:
     qs["pip_join"](spark, SF_DIR).count()
 
     times: dict[str, float] = {}
+    samples: dict[str, list] = {}  # name -> [[sec, load_before], ...]
+
+    def _run_one(name: str, fn) -> float:
+        l0 = _load1()
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        samples.setdefault(name, []).append([round(dt, 4), round(l0, 2)])
+        return dt
+
+    # machine-scaling control #1 runs FIRST: pure-CPU JVM job (md5 over
+    # range) — both the box's thread-scaling ceiling AND the scale for
+    # the per-query clean-window floors the chase logic needs
+    ctl = spark.range(40_000_000).select(F.md5(F.col("id").cast("string")).alias("h"))
+    ctl.where(F.col("h") > "f").count()
+    for _ in range(3):
+        _run_one("cpu_control", lambda: ctl.where(F.col("h") > "f").count())
+    times["cpu_control"] = round(min(s[0] for s in samples["cpu_control"]), 4)
+    floor_scale = times["cpu_control"] / REF_CTL
+
+    def floor_of(name: str) -> float:
+        # the clean-window references are sf0.1/default-replicate
+        # numbers; at any other scale the chase is disabled (floor 0)
+        if not SF_DIR.rstrip("/").endswith("sf0.1"):
+            return 0.0
+        return round(REF_CLEAN.get(name, 0.0) * floor_scale, 4)
+
+    def needs_chase(name: str) -> bool:
+        f = floor_of(name)
+        return bool(f > 0 and name in samples and min(s[0] for s in samples[name]) > CHASE_FACTOR * f)
+
     if not SCALING_ONLY:
         # INTERLEAVED passes: rep k of every query runs before rep k+1
-        # of any query.  Consecutive reps of one query share the same
-        # co-tenant window — this host swings 4x minute-to-minute (an
-        # A/B measured the SAME code at 2.7s and 10.3s twenty seconds
-        # apart), so back-to-back best-of-2 can catch two bad samples.
-        # Spreading a query's reps across the whole suite (~30-60s
-        # apart) decorrelates the noise; knn additionally benefits
-        # because its driver-synchronous scheduling latency warms over
-        # repetitions (BENCH/BASELINE.md r4 root cause).
+        # of any query — consecutive reps share a co-tenant window (the
+        # SAME code measured 2.7s and 10.3s twenty seconds apart), so
+        # spreading a query's reps across the suite decorrelates noise.
         reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 2)
         for _ in range(reps):
             for name in HEADLINE:
-                if name not in qs:
-                    continue
-                t0 = time.perf_counter()
-                qs[name](spark, SF_DIR).count()
-                dt = time.perf_counter() - t0
-                if name not in times or dt < times[name]:
-                    times[name] = dt
-        # sub-1.5s queries are dominated by job-scheduling latency and
-        # were the r4 snapshot's co-tenant casualties (+24-70% while
-        # controls stayed flat — VERDICT r4 item 3): two extra best-of
-        # reps cost ~5s total and decorrelate one more window
-        for _ in range(2):
-            for name in HEADLINE:
-                if times.get(name, 99.0) < 1.5:
-                    t0 = time.perf_counter()
-                    qs[name](spark, SF_DIR).count()
-                    times[name] = min(times[name], time.perf_counter() - t0)
-        times = {k: round(v, 4) for k, v in times.items()}
+                if name in qs:
+                    _run_one(name, lambda n=name: qs[n](spark, SF_DIR).count())
+        # chase passes (VERDICT r5 item 1): any query whose BEST rep is
+        # still >1.5x its control-normalized clean-window floor re-reps
+        # (after a short wait for a quieter window) until it lands or
+        # the budget runs out; unresolved names are reported in the
+        # JSON so a storm snapshot is labeled, not silently believed.
+        for _ in range(CHASE_MAX):
+            flagged = [n for n in HEADLINE if n in qs and needs_chase(n)]
+            if not flagged:
+                break
+            t0 = time.time()
+            while _load1() > float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0")) and time.time() - t0 < 120:
+                time.sleep(10)
+            for name in flagged:
+                _run_one(name, lambda n=name: qs[n](spark, SF_DIR).count())
+        for name in HEADLINE:
+            if name in samples:
+                times[name] = round(min(s[0] for s in samples[name]), 4)
 
     # flagship at parallelism-relevant volume: the interleaved table is
     # MATERIALIZED to parquet once (it is the stored input table of the
@@ -143,46 +198,31 @@ def run_bench() -> dict:
         pip_join_docs_any(pdocs, polys).count()  # warm
         xl_runs.append(("pip_join_poly_xl", lambda: pip_join_docs_any(pdocs, polys)))
 
-    # interleaved best-of-N for the xl flagships (same co-tenant
-    # decorrelation rationale as the headline loop above); when a
-    # query's rep spread exceeds 1.5x the window was unstable — up to
-    # two extra reps chase a cleaner sample (r4: pip_join_poly_xl's
-    # official 9.25s vs same-session clean-window 4.8s)
-    xl_samples: dict[str, list[float]] = {}
+    # interleaved best-of-N for the xl flagships, with the same
+    # floor-based chase as the headline loop.  clearCache between reps:
+    # the poly path persists its split-refine branch point per build,
+    # and leaked copies bias later reps (+13% phantom, CLAUDE.md A/B
+    # protocol).
     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))):
         for name, build in xl_runs:
-            t0 = time.perf_counter()
-            build().count()
-            xl_samples.setdefault(name, []).append(time.perf_counter() - t0)
-    for _ in range(2):
-        for name, build in xl_runs:
-            s = xl_samples[name]
-            if max(s) / min(s) > 1.5:
-                t0 = time.perf_counter()
-                build().count()
-                s.append(time.perf_counter() - t0)
-    for name, s in xl_samples.items():
-        times[name] = min(min(s), times.get(name, 99.0))
-    times = {k: round(v, 4) for k, v in times.items()}
+            _run_one(name, lambda b=build: b().count())
+            spark.catalog.clearCache()
+    for _ in range(CHASE_MAX):
+        flagged = [(n, b) for n, b in xl_runs if needs_chase(n)]
+        if not flagged:
+            break
+        t0 = time.time()
+        while _load1() > float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0")) and time.time() - t0 < 120:
+            time.sleep(10)
+        for name, build in flagged:
+            _run_one(name, lambda b=build: b().count())
+            spark.catalog.clearCache()
+    for name, _build in xl_runs:
+        times[name] = round(min(s[0] for s in samples[name]), 4)
 
     if not SCALING_ONLY:
         n_pt_cand = pip_join_docs(docs, polys, refine=False).count()
         n_poly_cand = poly_span_candidates(pdocs, polys).count()
-
-    # machine-scaling control #1: pure-CPU JVM job (md5 over range) —
-    # its speedup across parallelism levels is this box's achievable
-    # thread-scaling ceiling (shared memory bandwidth + turbo make
-    # local[N] a pessimistic proxy for N executors, which bring their
-    # own memory systems)
-    ctl = spark.range(40_000_000).select(F.md5(F.col("id").cast("string")).alias("h"))
-    ctl.where(F.col("h") > "f").count()
-    cbest = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        ctl.where(F.col("h") > "f").count()
-        dt = time.perf_counter() - t0
-        cbest = dt if cbest is None else min(cbest, dt)
-    times["cpu_control"] = round(cbest, 4)
 
     # machine-scaling control #2: Arrow-batched pandas-UDF job — the
     # ceiling of the Python-worker path specifically (worker pool,
@@ -227,6 +267,7 @@ def run_bench() -> dict:
             "poly_sec_per_1m_cand": round(poly_per_m, 4),
             "poly_vs_point_per_cand": round(poly_per_m / pt_per_m, 2),
         }
+    unresolved = sorted(n for n in samples if n in REF_CLEAN and needs_chase(n))
     out = {
         "metric": "spatial-join+tile-assignment",
         "value": total,
@@ -237,6 +278,16 @@ def run_bench() -> dict:
         "replicate": replicate,
         "docs_per_sec": round(n_docs / flagship, 1),
         "cpus": int(CPUS),
+        # storm transparency (VERDICT r5 item 1): every rep with the
+        # 1-min load read just before it, the control-normalized
+        # clean-window floor per query, and the queries whose best rep
+        # never landed within CHASE_FACTOR of their floor.  A reader
+        # (or the next judge) can see a contended window in the JSON
+        # itself instead of reconstructing it post-hoc.
+        "rep_detail": samples,
+        "floors": {n: floor_of(n) for n in REF_CLEAN if n in samples},
+        "chase_factor": CHASE_FACTOR,
+        "chase_unresolved": unresolved,
         **gate_info,
         **percand,
     }
