@@ -21,12 +21,14 @@ grid), laea (oblique + polar, authalic sphere), cea, eqc, sinu
 closed forms, all with +a/+b/+rf/+R/+ellps ellipsoid overrides.
 Round-5 adds ortho (spherical, hemisphere domain guard), cass
 (ellipsoidal Cassini-Soldner, EPSG 9806 series, |dlam|<=4 deg guard)
-aeqd (spherical form with +R; the ellipsoidal case is REFUSED
-with a clear error — it needs true geodesics, not a series) and
+aeqd (spherical form with +R) and
 omerc (Hotine oblique Mercator, azimuth form, EPSG 9815 offsets /
 9812 with +no_off; two-point form refused), somerc (Swiss oblique
 Mercator, EPSG 9814 — CH1903/LV03 EPSG:21781 and CH1903+/LV95
 EPSG:2056 shortcuts).
+Round-6 adds ELLIPSOIDAL aeqd via true geodesics (vectorized
+Vincenty, geom/geodesic.py) — the last refused family with real
+users; only the omerc two-point form remains refused.
 Every oblique azimuthal family NaN-guards its singular domain
 (antipodal disk; sterea's |dlam|>180/n aliasing band) instead of
 returning silently wrong coordinates.
@@ -1003,28 +1005,29 @@ class SwissObliqueMercatorProj:
 
 
 def _make_aeqd(p: dict):
-    """+proj=aeqd — azimuthal equidistant, SPHERICAL form (Snyder
-    25-2..25-15), accepted only with an explicit sphere (+R, +a=+b, or
-    a spherical +ellps): the ellipsoidal oblique case requires true
-    geodesic computations (PROJ delegates to Karney's GeographicLib)
-    and a truncated-series stand-in would be silently wrong at range —
-    the engine refuses it with a clear error instead (same honesty
-    contract as the JP2 codec stub).  Domain: the antipode of the
-    center is the map's boundary circle; the ~0.8-deg disk around it
-    is NaN-guarded like the other azimuthal families (direction to
-    the antipode is genuinely undefined there)."""
+    """+proj=aeqd — azimuthal equidistant.
+
+    Spherical form (+R, +a=+b, or a spherical +ellps): Snyder
+    25-2..25-15 closed forms.  ELLIPSOIDAL form (r6): true geodesics —
+    forward is the inverse geodesic problem from the center (x =
+    s*sin(az1), y = s*cos(az1)), inverse is the direct problem along
+    azimuth atan2(x, y) for distance hypot(x, y) — exactly how PROJ
+    solves it by delegating to Karney's GeographicLib (reference
+    accepts any proj4 via osr, gdal.py:124); the engine's geodesics
+    are vectorized Vincenty (geom/geodesic.py, ~0.5 mm).
+
+    Domain: the antipode of the center is the map's boundary circle;
+    the disk around it is NaN-guarded like the other azimuthal
+    families (direction to the antipode is genuinely undefined there).
+    Ellipsoidally the guard falls out of Vincenty's documented
+    near-antipodal non-convergence (~0.5-deg band -> NaN)."""
     a, e2, _ = _resolve_ellipsoid(p)
     if "R" in p:
         R = float(p["R"])
     elif e2 == 0.0:
         R = a
     else:
-        raise ValueError(
-            "+proj=aeqd: only the spherical form is implemented (+R or a "
-            "sphere ellipsoid); the ellipsoidal oblique case needs true "
-            "geodesics (GeographicLib) and is refused rather than "
-            "approximated"
-        )
+        return _make_aeqd_ellipsoidal(p, a, e2)
     lon0 = math.radians(float(p.get("lon_0", 0)))
     lat0 = math.radians(float(p.get("lat_0", 0)))
     x0, y0 = float(p.get("x_0", 0)), float(p.get("y_0", 0))
@@ -1056,6 +1059,48 @@ def _make_aeqd(p: dict):
         )
         lam = np.where(rho == 0, 0.0, np.arctan2(x * sc, safe * cc * c0 - y * sc * s0))
         return _norm_lon_deg(np.degrees(lon0 + lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
+def _make_aeqd_ellipsoidal(p: dict, a: float, e2: float):
+    """Ellipsoidal azimuthal equidistant via true geodesics (see
+    _make_aeqd docstring).  Validated against EPSG Guidance Note 7-2's
+    Modified Azimuthal Equidistant worked example (Yap Islands, Clarke
+    1866) — the EPSG 'modified' series agrees with the true-geodesic
+    form to sub-cm at intra-island range (tests/test_geom_core.py)."""
+    from . import geodesic
+
+    f = 1.0 - math.sqrt(1.0 - e2)
+    lon0 = float(p.get("lon_0", 0))
+    lat0 = float(p.get("lat_0", 0))
+    x0, y0 = float(p.get("x_0", 0)), float(p.get("y_0", 0))
+
+    def fwd(lon, lat):
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        s, az1, _ = geodesic.inverse(
+            np.full(lat.shape, lat0), np.full(lon.shape, lon0), lat, lon, a, f
+        )
+        az = np.radians(az1)
+        return x0 + s * np.sin(az), y0 + s * np.cos(az)
+
+    def inv(x, y):
+        x = np.asarray(x, np.float64) - x0
+        y = np.asarray(y, np.float64) - y0
+        rho = np.hypot(x, y)
+        az = np.degrees(np.arctan2(x, y))
+        # past the antipode the chart does not exist (generous cap at
+        # pi*a, mirroring the spherical rho > R*pi guard; the true
+        # bound is the half-meridian length ~0.17% shorter)
+        with np.errstate(invalid="ignore"):
+            rho = np.where(rho > a * np.pi, np.nan, rho)
+        lat, lon, _ = geodesic.direct(
+            np.full(rho.shape, lat0), np.full(rho.shape, lon0), az, rho, a, f
+        )
+        lat = np.where(rho == 0, lat0, lat)
+        lon = np.where(rho == 0, lon0, lon)
+        return _norm_lon_deg(lon), lat
 
     return fwd, inv
 

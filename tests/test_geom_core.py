@@ -868,11 +868,101 @@ def test_aeqd_projection():
     lo2, la2 = inv(x[ok], y[ok])
     assert np.abs(((lo2 - lons[ok] + 180) % 360) - 180).max() < 1e-6
     assert np.abs(la2 - lats[ok]).max() < 1e-6
-    # antipodal disk NaN-guarded; ellipsoidal refused
+    # antipodal disk NaN-guarded
     xa, _ = fwd(np.array([80.0]), np.array([-40.0]))
     assert not np.isfinite(xa[0])
-    with pytest.raises(ValueError, match="geodesic"):
-        _projector("+proj=aeqd +lat_0=40 +lon_0=-100 +ellps=WGS84")
+
+
+def test_geodesic_vincenty_anchors():
+    """geom/geodesic.py against published worked examples: the GDA
+    Technical Manual's Flinders Peak -> Buninyong line on GRS80
+    (s = 54 972.271 m, fwd az 306d52'05.37", rev az 127d10'25.07"),
+    direct/inverse consistency, the coincident-point convention, and
+    the documented near-antipodal NaN guard."""
+    import numpy as np
+
+    from gdal_boots_spark.geom.geodesic import direct, inverse
+
+    def dms(d, m, s):
+        return d + m / 60.0 + s / 3600.0
+
+    a, f = 6378137.0, 1.0 / 298.257222101  # GRS80
+    lat1, lon1 = -dms(37, 57, 3.72030), dms(144, 25, 29.52440)  # Flinders Peak
+    lat2, lon2 = -dms(37, 39, 10.15610), dms(143, 55, 35.38390)  # Buninyong
+    s, az1, az2 = inverse(lat1, lon1, lat2, lon2, a, f)
+    assert abs(float(s) - 54972.271) < 2e-3
+    assert abs(float(az1) % 360.0 - dms(306, 52, 5.37)) < 2e-5 * 360  # ~0.03"
+    # the manual quotes the REVERSE azimuth (direction back to P1):
+    # Vincenty's az2 is the direction of travel at P2, 180 deg apart
+    assert abs(float(az2) % 360.0 - (dms(127, 10, 25.07) + 180.0)) < 2e-5 * 360
+    # direct problem reproduces the destination bit-near-exactly
+    la2, lo2, _ = direct(lat1, lon1, float(az1), float(s), a, f)
+    assert abs(float(la2) - lat2) < 1e-9 and abs(float(lo2) - lon2) < 1e-9
+    # vectorized: coincident -> (0, 0, 0); near-antipodal -> NaN
+    s2, a1, _ = inverse(
+        np.array([10.0, 10.0]), np.array([20.0, 20.0]),
+        np.array([10.0, -10.002]), np.array([20.0, -160.001]),
+    )
+    assert s2[0] == 0.0 and a1[0] == 0.0
+    assert not np.isfinite(s2[1])
+    # dense random direct∘inverse identity on WGS84 (clear of antipode)
+    rng = np.random.default_rng(11)
+    lats = rng.uniform(-80, 80, 2000)
+    lons = rng.uniform(-180, 180, 2000)
+    azis = rng.uniform(-180, 180, 2000)
+    dists = rng.uniform(1.0, 15e6, 2000)
+    la, lo, azb = direct(lats, lons, azis, dists)
+    sr, azf, _ = inverse(lats, lons, la, lo)
+    ok = np.isfinite(sr)  # inverse may hit its antipodal band
+    assert ok.mean() > 0.98
+    assert np.abs(sr[ok] - dists[ok]).max() < 1e-3
+    daz = np.abs(((azf[ok] - azis[ok] + 180.0) % 360.0) - 180.0)
+    assert daz.max() < 1e-6
+
+
+def test_aeqd_ellipsoidal_projection():
+    """Ellipsoidal +proj=aeqd via true geodesics: EPSG Guidance Note
+    7-2's Modified Azimuthal Equidistant worked example (Yap Islands,
+    Clarke 1866: E 42 665.90, N 65 509.82 — the EPSG truncated series
+    agrees with the true-geodesic form to sub-cm at that range), the
+    equidistance defining property (hypot == geodesic distance from
+    center), center fixed point, dense round-trip, antipodal guard."""
+    import numpy as np
+
+    from gdal_boots_spark.geom.crs import _projector
+    from gdal_boots_spark.geom.geodesic import inverse as geod_inverse
+
+    def dms(d, m, s):
+        return d + m / 60.0 + s / 3600.0
+
+    lat0, lon0 = dms(9, 32, 48.15), dms(138, 10, 7.48)
+    fwd, inv = _projector(
+        f"+proj=aeqd +lat_0={lat0!r} +lon_0={lon0!r} +x_0=40000 +y_0=60000 "
+        "+a=6378206.4 +b=6356583.8"
+    )
+    lat, lon = dms(9, 35, 47.493), dms(138, 11, 34.908)
+    x, y = fwd(np.array([lon]), np.array([lat]))
+    assert abs(float(x[0]) - 42665.90) < 0.01
+    assert abs(float(y[0]) - 65509.82) < 0.01
+    xc, yc = fwd(np.array([lon0]), np.array([lat0]))
+    assert float(xc[0]) == 40000.0 and float(yc[0]) == 60000.0
+
+    fwd, inv = _projector("+proj=aeqd +lat_0=40 +lon_0=-100 +ellps=WGS84")
+    rng = np.random.default_rng(13)
+    lons = rng.uniform(-180, 180, 2000)
+    lats = rng.uniform(-85, 85, 2000)
+    x, y = fwd(lons, lats)
+    fin = np.isfinite(x)
+    assert fin.mean() > 0.99  # only the antipodal band may NaN
+    # equidistance: planar distance from center == geodesic distance
+    s_true, _, _ = geod_inverse(np.full(lats.shape, 40.0), np.full(lons.shape, -100.0), lats, lons)
+    np.testing.assert_allclose(np.hypot(x[fin], y[fin]), s_true[fin], rtol=0, atol=1e-4)
+    lo2, la2 = inv(x[fin], y[fin])
+    assert np.abs(((lo2 - lons[fin] + 180) % 360) - 180).max() < 1e-6
+    assert np.abs(la2 - lats[fin]).max() < 1e-6
+    # past-the-boundary guard on the inverse
+    _, lag = inv(np.array([0.0]), np.array([6378137.0 * np.pi + 1e5]))
+    assert not np.isfinite(lag[0])
 
 
 def test_omerc_projection():

@@ -283,7 +283,7 @@ def test_any_geometry_codec_roundtrip_property(geom):
 _proj_family = st.sampled_from(
     [
         "stere_polar", "stere_obl", "sterea", "laea", "cea", "eqc", "sinu", "moll",
-        "ortho", "cass", "aeqd", "omerc", "somerc",
+        "ortho", "cass", "aeqd", "aeqd_ell", "omerc", "somerc",
     ]
 )
 
@@ -340,6 +340,8 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
         p4 = f"+proj=cass +lat_0={p0 * sgn} +lon_0={lon0} +ellps=WGS84"
     elif fam == "aeqd":
         p4 = f"+proj=aeqd +lat_0={p0 * sgn} +lon_0={lon0} +R=6371000"
+    elif fam == "aeqd_ell":
+        p4 = f"+proj=aeqd +lat_0={p0 * sgn} +lon_0={lon0} +ellps=WGS84"
     elif fam == "omerc":
         p4 = f"+proj=omerc +lat_0={p0 * sgn} +lonc={lon0} +alpha=53.0 +k=0.9998 +ellps=WGS84"
     elif fam == "somerc":
@@ -376,6 +378,11 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
             assert dlam > CassiniSoldnerProj.CASS_DLAM_MAX_DEG - 1e-9
         elif fam == "aeqd":
             assert _near_antipode(lon, la, lon0, -p0 * sgn, 1.0)
+        elif fam == "aeqd_ell":
+            # Vincenty's documented near-antipodal non-convergence band
+            # (~0.55 deg great-circle; the ellipsoid shifts the true
+            # antipodal point off the spherical antipode by up to ~f)
+            assert _near_antipode(lon, la, lon0, -p0 * sgn, 1.0)
         elif fam == "omerc":
             from gdal_boots_spark.geom.crs import ObliqueMercatorProj, parse_proj4
 
@@ -397,7 +404,7 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
         return
     if fam == "ortho" and _near_antipode(lon, la, lon0, -p0 * sgn, 90.01):
         return  # limb ring: forward defined but inverse ill-conditioned
-    if fam == "aeqd" and _near_antipode(lon, la, lon0, -p0 * sgn, 3.0):
+    if fam in ("aeqd", "aeqd_ell") and _near_antipode(lon, la, lon0, -p0 * sgn, 3.0):
         return  # boundary-circle neighborhood: direction ill-conditioned
     lo2, la2 = inv(x, y)
     dlon = abs(((float(lo2[0]) - lon + 180.0) % 360.0) - 180.0)
