@@ -59,9 +59,30 @@ BOUNDS_TYPE = StructType(
 
 # --- native (JVM-side, codegen) ----------------------------------------
 
+def cell_id_sql(lon: str, lat: str, res: int) -> str:
+    """The cell-id arithmetic as ONE SQL string (server-side parsed).
+
+    Semantically identical to the Column form below, but building a
+    deep Column tree costs ~25 py4j round-trips (~0.7s measured on a
+    loaded driver) while F.expr of this string costs one — complex
+    plans are BUILD-time bound on the driver (CLAUDE.md cold-plan
+    gotcha), so the hot operators pass column-name strings."""
+    n = 1 << res
+    return (
+        f"(CAST({res} AS BIGINT) * 288230376151711744 + "
+        f"CAST(LEAST(GREATEST(FLOOR(({lon} + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+        f" * 536870912 + "
+        f"CAST(LEAST(GREATEST(FLOOR(({lat} + 90.0) / 180.0 * {n}), 0), {n - 1}) AS BIGINT))"
+    )
+
+
 def cell_id_col(lon, lat, res: int):
     """Cell id as a pure Column expression (no UDF) — same arithmetic
-    as geom.cells.cell_id and as the DuckDB oracle SQL form."""
+    as geom.cells.cell_id and as the DuckDB oracle SQL form.  Pass
+    column-name/SQL-fragment STRINGS to get the single-round-trip
+    F.expr build (cell_id_sql); Column inputs keep the tree form."""
+    if isinstance(lon, str) and isinstance(lat, str):
+        return F.expr(cell_id_sql(lon, lat, res)).alias("cell_id")
     n = 1 << res
     ix = F.least(F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n), F.lit(0)), F.lit(n - 1))
     iy = F.least(F.greatest(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * n), F.lit(0)), F.lit(n - 1))
@@ -70,8 +91,26 @@ def cell_id_col(lon, lat, res: int):
     )
 
 
+def point_xy_sql(text: str = "text") -> tuple[str, str, str]:
+    """(x, y, is_point) as SQL-fragment strings — semantics identical
+    to point_xy_native below (same short-circuit, same parse), one
+    server-side parse per fragment instead of ~25 py4j round-trips."""
+    inner = f"substring_index(substring_index({text}, '[', -1), ']', 1)"
+    is_point = (
+        f"(startswith({text}, '{{\"type\":\"Point\"') OR "
+        f"(contains({text}, '\"Point\"') AND NOT contains({text}, '\"GeometryCollection\"')))"
+    )
+    return (
+        f"CAST(split({inner}, ',')[0] AS DOUBLE)",
+        f"CAST(split({inner}, ',')[1] AS DOUBLE)",
+        is_point,
+    )
+
+
 def point_xy_native(text):
     """(x, y, is_point) for a GeoJSON Point string — pure string ops.
+    Pass a column-name/SQL-fragment STRING to build each output as one
+    F.expr (point_xy_sql); a Column input keeps the tree form.
 
     Measured on this box: Spark's ``from_json`` does not scale with
     cores (JacksonParser contention: 7.0s @8 cores -> 8.3s @32 on 6M
@@ -89,6 +128,9 @@ def point_xy_native(text):
     # interleaved A/B).  The trailing quote in the prefix blocks
     # "PointX"-style false positives; non-canonical forms (whitespace,
     # reordered keys) fall through to the exact two-scan predicate.
+    if isinstance(text, str):
+        xs, ys, ps = point_xy_sql(text)
+        return F.expr(xs), F.expr(ys), F.expr(ps)
     is_point = text.startswith('{"type":"Point"') | (
         text.contains('"Point"') & ~text.contains('"GeometryCollection"')
     )

@@ -182,7 +182,7 @@ def knn_join(
 
     basec = base.select(
         F.col(b_id).alias("bid"), F.col("x").alias("bx"), F.col("y").alias("by"),
-        cell_id_col(F.col("x"), F.col("y"), res).alias("cell_id"),
+        cell_id_col("x", "y", res),
     )
     q0 = query.select(F.col(q_id).alias("qid"), "x", "y")
 
@@ -276,7 +276,7 @@ def radius_join(
 
     basec = base.select(
         F.col(b_id).alias("bid"), F.col("x").alias("bx"), F.col("y").alias("by"),
-        cell_id_col(F.col("x"), F.col("y"), res).alias("cell_id"),
+        cell_id_col("x", "y", res),
     )
     blocks = query.select(
         F.col(q_id).alias("qid"), "x", "y",
@@ -406,7 +406,7 @@ def radius_join_meters(
 
         basec = base.select(
             F.col(b_id).alias("bid"), F.col("x").alias("bx"), F.col("y").alias("by"),
-            cell_id_col(F.col("x"), F.col("y"), res).alias("cell_id"),
+            cell_id_col("x", "y", res),
         )
         phimax = F.least(F.abs(F.col("y")) + F.lit(dlat_deg), F.lit(90.0))
         cosmax = F.cos(F.radians(phimax))
@@ -446,7 +446,7 @@ def radius_join_meters(
 
     basec = base.select(
         F.col(b_id).alias("bid"), F.col("x").alias("bx"), F.col("y").alias("by"),
-        cell_id_col(F.col("x"), F.col("y"), res).alias("cell_id"),
+        cell_id_col("x", "y", res),
     )
     # latitude-aware per-point degree bbox.  The EXACT max longitude
     # extent of the cap is asin(sin(r/R)/cos(lat)) — the linearized
