@@ -548,6 +548,13 @@ def _decode_fast_batch(batch, sel, cvals, clen):
     )
 
 
+# how many levels BELOW the poly-derived cap the span side may choose;
+# the polygon dim publishes its cover at every level in the window, so
+# the window is a (small) multiplier on the broadcast dim, not on the
+# fact side
+ADAPTIVE_LEVEL_WINDOW = 4
+
+
 def _poly_span_candidates(
     spark: SparkSession, geo: DataFrame, is_point, bboxes: dict, res: int,
     rect_pids: frozenset = frozenset(),
@@ -558,6 +565,22 @@ def _poly_span_candidates(
     survives only in the cell holding the bbox-intersection lower-left
     corner — dedup WITHOUT a shuffle).
 
+    ADAPTIVE COVER RESOLUTION (VERDICT r5 item 4): each span explodes at
+    its OWN level — the finest level in [res-ADAPTIVE_LEVEL_WINDOW, res]
+    whose cell is at least the span's bbox extent per axis, so every
+    span emits <= 2x2 cells regardless of its size.  A single global
+    res is chosen from the POLYGON dim (_auto_res) and is quadratically
+    wrong for spans much larger than the median polygon (a 2-degree
+    span at the bench res explodes ~18 cells; at web scale,
+    heterogeneous span sizes make this the explode bottleneck).  The
+    polygon side is the broadcast DIM, so it absorbs the multi-level
+    cost: it publishes its bbox cover at EVERY level in the window and
+    the join key (cell_id embeds the level, geom.cells.compose) matches
+    each span at the span's level.  Dedup/filter semantics are
+    unchanged — the output is exactly the bbox-overlap pair set at any
+    level choice, because the cell holding the bbox-intersection
+    lower-left corner is covered by both sides at the span's level.
+
     The decode is ONE mapInPandas pass that emits the packed geometry
     AND its bbox as concrete columns.  The previous scalar-UDF version
     (geojson_decode_udf + geom_bounds_udf) got duplicated by projection
@@ -567,12 +590,17 @@ def _poly_span_candidates(
     optimizer can neither split nor replicate."""
     import json
 
+    lmin = max(0, res - ADAPTIVE_LEVEL_WINDOW)
     cover_rows = []
     for pid, (minx, miny, maxx, maxy) in bboxes.items():
-        for cid in cover_bbox(minx, miny, maxx, maxy, res).tolist():
-            cover_rows.append(
-                (cid, pid, float(minx), float(miny), float(maxx), float(maxy), pid in rect_pids)
-            )
+        seen: set[int] = set()
+        for lvl in range(lmin, res + 1):
+            for cid in cover_bbox(minx, miny, maxx, maxy, lvl).tolist():
+                if cid not in seen:
+                    seen.add(cid)
+                    cover_rows.append(
+                        (cid, pid, float(minx), float(miny), float(maxx), float(maxy), pid in rect_pids)
+                    )
     cover_df = spark.createDataFrame(
         cover_rows,
         "cell_id long, poly_id long, pminx double, pminy double, pmaxx double, pmaxy double, prect boolean",
@@ -588,37 +616,47 @@ def _poly_span_candidates(
         ),
     )
 
-    n = 1 << res
-
-    # the whole explode -> cell-id -> bbox-filter -> reporting-cell
-    # chain is emitted as server-side-parsed SQL strings: the Column
-    # tree version cost ~1.9s of py4j round-trips PER BUILD on the
-    # flagship (cold-plan profile, VERDICT r5 item 7) — the plan is
-    # identical, only the driver-side construction path changes
+    # the whole level-pick -> explode -> cell-id -> bbox-filter ->
+    # reporting-cell chain is emitted as server-side-parsed SQL strings:
+    # the Column tree version cost ~1.9s of py4j round-trips PER BUILD
+    # on the flagship (cold-plan profile, VERDICT r5 item 7) — the plan
+    # is identical, only the driver-side construction path changes
     def cix(lon):
-        return f"CAST(LEAST(GREATEST(FLOOR(({lon} + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+        return f"CAST(LEAST(GREATEST(FLOOR(({lon} + 180.0D) / 360.0D * _n), 0), _n - 1) AS BIGINT)"
 
     def ciy(lat):
-        return f"CAST(LEAST(GREATEST(FLOOR(({lat} + 90.0) / 180.0 * {n}), 0), {n - 1}) AS BIGINT)"
+        return f"CAST(LEAST(GREATEST(FLOOR(({lat} + 90.0D) / 180.0D * _n), 0), _n - 1) AS BIGINT)"
 
-    base = res << 58
+    # finest level in [lmin, res] whose cell covers the span per axis
+    # (<= 2x2 exploded cells for any span size within the window)
+    lvl_sql = (
+        f"GREATEST({lmin}, LEAST({res}, CAST(FLOOR(LOG2(LEAST("
+        "360.0D / GREATEST(maxx - minx, 1e-12D), "
+        "180.0D / GREATEST(maxy - miny, 1e-12D)))) AS INT)))"
+    )
+    cell_of = "CAST(_lvl AS BIGINT) * 288230376151711744 + {ix} * 536870912 + {iy}"
     cols = ["doc_id", "span_pos", "geom", "minx", "miny", "maxx", "maxy", "rect"]
     covered = g.selectExpr(
         *cols,
+        f"{lvl_sql} AS _lvl",
+    ).selectExpr(
+        *cols, "_lvl", "SHIFTLEFT(CAST(1 AS BIGINT), _lvl) AS _n",
+    ).selectExpr(
+        *cols, "_lvl", "_n",
         f"explode(sequence({cix('minx')}, {cix('maxx')})) AS _ix",
         f"{ciy('miny')} AS _iy0", f"{ciy('maxy')} AS _iy1",
     ).selectExpr(
-        *cols, "_ix", "explode(sequence(_iy0, _iy1)) AS _iy",
+        *cols, "_lvl", "_n", "_ix", "explode(sequence(_iy0, _iy1)) AS _iy",
     ).selectExpr(
-        *cols, f"{base} + _ix * 536870912 + _iy AS cell_id",
+        *cols, "_lvl", "_n", cell_of.format(ix="_ix", iy="_iy") + " AS cell_id",
     )
     # bbox overlap + reporting cell in ONE filter: the pair survives
-    # only in the cell holding the bbox-intersection lower-left corner
-    # (dedup without a shuffle)
+    # only in the cell (at the span's own level) holding the
+    # bbox-intersection lower-left corner (dedup without a shuffle)
     keep = (
         "minx <= pmaxx AND pminx <= maxx AND miny <= pmaxy AND pminy <= maxy "
-        f"AND cell_id = {base} + {cix('GREATEST(minx, pminx)')} * 536870912 "
-        f"+ {ciy('GREATEST(miny, pminy)')}"
+        "AND cell_id = "
+        + cell_of.format(ix=cix("GREATEST(minx, pminx)"), iy=ciy("GREATEST(miny, pminy)"))
     )
     return (
         covered.join(F.broadcast(cover_df), "cell_id")
