@@ -192,3 +192,73 @@ def test_osm_size_guard(spark, tmp_path):
     # under the limit: parses fine (empty layers)
     vds = read_osm(spark, path)
     assert vds["points"].count() == 0
+
+
+@needs_fixtures
+def test_osm_distributed_parity_minsk(spark, tmp_path):
+    """read_osm_distributed (one-call planet-scale path, VERDICT r5
+    item 5) must reproduce the driver-side parse EXACTLY — every layer,
+    every column, including dense fids — on the reference fixture."""
+    from gdal_boots_spark.sources.osm import read_osm, read_osm_distributed
+
+    a = read_osm(spark, OSM)
+    b = read_osm_distributed(spark, OSM, work_dir=str(tmp_path / "nd"))
+    for layer in ("points", "lines", "multilinestrings", "multipolygons", "other_relations"):
+        ra = sorted(tuple(r) for r in a[layer].collect())
+        rb = sorted(tuple(r) for r in b[layer].collect())
+        assert ra == rb, f"layer {layer}: {len(ra)} vs {len(rb)} rows"
+        assert len(ra) > 0 or layer in ("multilinestrings", "other_relations")
+
+
+def test_osm_to_ndjson_bounded_memory_and_shards(spark, tmp_path):
+    """The streaming converter must hold O(1) elements, not the DOM:
+    peak tracemalloc on a ~6 MB synthetic file stays under 8 MB (a
+    full-DOM parse of the same file holds >40 MB), and small
+    shard_bytes rotates multiple splittable output files.  The
+    distributed reader over those shards agrees with the driver parse."""
+    import tracemalloc
+
+    from gdal_boots_spark.sources.osm import osm_to_ndjson, read_osm, read_osm_distributed
+
+    n = 30000
+    path = str(tmp_path / "big.osm")
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n<osm version="0.6">\n')
+        for i in range(1, n + 1):
+            lon, lat = (i % 300) / 100.0, (i % 200) / 100.0
+            f.write(f'<node id="{i}" lon="{lon}" lat="{lat}">')
+            if i % 7 == 0:
+                f.write(f'<tag k="name" v="n{i}"/><tag k="place" v="spot"/>')
+            f.write("</node>\n")
+        for w in range(1, n // 10 + 1):
+            base = (w * 9) % (n - 6) + 1
+            f.write(f'<way id="{100000 + w}">')
+            for j in range(5):
+                f.write(f'<nd ref="{base + j}"/>')
+            if w % 3 == 0:  # closed area
+                f.write(f'<nd ref="{base}"/><tag k="building" v="yes"/>')
+            else:
+                f.write(f'<tag k="highway" v="residential"/>')
+            f.write("</way>\n")
+        f.write(
+            '<relation id="900"><member type="way" ref="100003" role="outer"/>'
+            '<tag k="type" v="multipolygon"/><tag k="landuse" v="forest"/></relation>\n'
+        )
+        f.write("</osm>\n")
+
+    out = str(tmp_path / "shards")
+    tracemalloc.start()
+    counts = osm_to_ndjson(path, out, shard_bytes=256 << 10)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert counts == {"nodes": n, "ways": n // 10, "rels": 1}
+    assert peak < 8 << 20, f"streaming converter peaked at {peak / 2**20:.1f} MiB"
+    import glob as _glob
+    assert len(_glob.glob(os.path.join(out, "nodes", "part-*.ndjson"))) >= 4
+
+    a = read_osm(spark, path)
+    b = read_osm_distributed(spark, path, work_dir=out)  # reuses _SUCCESS
+    for layer in ("points", "lines", "multipolygons"):
+        ra = sorted(tuple(r) for r in a[layer].collect())
+        rb = sorted(tuple(r) for r in b[layer].collect())
+        assert ra == rb and len(ra) > 0, layer
