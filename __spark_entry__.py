@@ -1096,7 +1096,7 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract in pytest every run).  r6 swap: the six distinct-operator
 # families added in r4/r5 (hash_split, pack_shards, repetition_stats,
 # scrub_text, top_ngrams, radius_join_m) are PROMOTED onto the board;
-# six twinned variants move to extras:
+# eight twinned variants move to extras:
 #   pip_join_shuffle   — twin pip_join (same join, broadcast path)
 #   crs_3857           — twin to_epsg (subsumes the 3857 transform)
 #   rasterize_hist_dist— twin rasterize_hist (same op, distributed path)
