@@ -239,11 +239,20 @@ class VectorDataset:
         return cls({name: read_shp(spark, path)})
 
     @classmethod
-    def from_osm(cls, spark: SparkSession, path: str) -> "VectorDataset":
-        """OSM XML -> the 5-layer OGR-compatible model (sources/osm.py)."""
+    def from_osm(cls, spark: SparkSession, path: str, distributed: bool = False, **kw) -> "VectorDataset":
+        """OSM XML -> the 5-layer OGR-compatible model (sources/osm.py).
+
+        ``distributed=True`` takes the planet-scale path: ONE
+        bounded-memory streaming XML->NDJSON pass, then fully
+        distributed node/way/relation resolution (read_osm_distributed;
+        exact fixture parity with the driver parse)."""
+        if distributed:
+            from .osm import read_osm_distributed
+
+            return read_osm_distributed(spark, path, **kw)
         from .osm import read_osm
 
-        return read_osm(spark, path)
+        return read_osm(spark, path, **kw)
 
     @classmethod
     def from_gpkg(cls, spark: SparkSession, path: str, layers: list[str] | None = None) -> "VectorDataset":
