@@ -588,8 +588,6 @@ def _poly_span_candidates(
     several times per span (measured 14.7s -> ~4s on 2M spans at
     local[32]).  A mapInPandas node is a black-box projection the
     optimizer can neither split nor replicate."""
-    import json
-
     lmin = max(0, res - ADAPTIVE_LEVEL_WINDOW)
     cover_rows = []
     for pid, (minx, miny, maxx, maxy) in bboxes.items():
