@@ -452,3 +452,37 @@ def test_wkb_gpkg_shp_codec_property(poly, pts, shape_kind):
         return {tuple(p) for poly_ in g["coordinates"] for ring in poly_ for p in ring}
 
     assert pts_of(back) == pts_of(geom)
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    minx=st.floats(-180.0, 179.999),
+    miny=st.floats(-90.0, 89.999),
+    w=st.floats(1e-9, 359.0),
+    h=st.floats(1e-9, 179.0),
+    res=st.integers(4, 16),
+)
+@example(minx=-180.0, miny=-90.0, w=360.0 / (1 << 9), h=180.0 / (1 << 9), res=9)
+def test_adaptive_level_cover_bound_property(minx, miny, w, h, res):
+    """The adaptive span level (spatial_join._poly_span_candidates):
+    lvl = clamp(floor(log2(min(360/w, 180/h))), res-WINDOW, res) must
+    (a) stay in range, and (b) whenever the WINDOW floor did not clamp,
+    bound the bbox cover at that level to <= 2x2 cells — including
+    float-boundary cases where the span width equals the cell size."""
+    import math
+
+    from gdal_boots_spark.geom.cells import cover_bbox
+    from gdal_boots_spark.operators.spatial_join import ADAPTIVE_LEVEL_WINDOW
+
+    maxx = min(minx + w, 180.0)
+    maxy = min(miny + h, 90.0)
+    w_eff = max(maxx - minx, 1e-12)
+    h_eff = max(maxy - miny, 1e-12)
+    lmin = max(0, res - ADAPTIVE_LEVEL_WINDOW)
+    raw = int(math.floor(math.log2(min(360.0 / w_eff, 180.0 / h_eff))))
+    lvl = max(lmin, min(res, raw))
+    assert lmin <= lvl <= res
+    cells = cover_bbox(minx, miny, maxx, maxy, lvl)
+    if raw >= lmin:  # window floor did not clamp: the 2x2 guarantee
+        assert len(cells) <= 4, (minx, miny, maxx, maxy, lvl, len(cells))
+    assert len(set(cells.tolist())) == len(cells)
