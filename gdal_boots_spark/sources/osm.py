@@ -525,7 +525,10 @@ def read_osm_distributed(
                 for m in _aslist(row["members"]):
                     members.append((m["t"], int(m["r"]), m["role"]))
                 for w in _aslist(row["wgeo"]):
-                    if w["wid"] is None:
+                    # wid comes from the MEMBER side: a member pointing
+                    # at a way that does not exist has wnds = null and
+                    # must be skipped (the driver parse's `r in ways`)
+                    if w["wid"] is None or w["wnds"] is None:
                         continue
                     wid = int(w["wid"])
                     way_nds[wid] = [int(n) for n in w["wnds"]]

@@ -262,3 +262,54 @@ def test_osm_to_ndjson_bounded_memory_and_shards(spark, tmp_path):
         ra = sorted(tuple(r) for r in a[layer].collect())
         rb = sorted(tuple(r) for r in b[layer].collect())
         assert ra == rb and len(ra) > 0, layer
+
+
+def test_osm_distributed_parity_edge_cases(spark, tmp_path):
+    """Driver vs distributed parity on a hand-built document stressing
+    the rules the minsk fixture cannot: relations referencing MISSING
+    ways, node-member-only relations, tagged inner enclaves that keep
+    standalone features, untagged ways, unclosed consumed ways that
+    still emit lines, and a route relation."""
+    from gdal_boots_spark.sources.osm import read_osm, read_osm_distributed
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6">
+ <node id="1" lat="0.0" lon="0.0"/><node id="2" lat="0.0" lon="2.0"/>
+ <node id="3" lat="2.0" lon="2.0"/><node id="4" lat="2.0" lon="0.0"/>
+ <node id="5" lat="0.5" lon="0.5"/><node id="6" lat="0.5" lon="1.0"/>
+ <node id="7" lat="1.0" lon="1.0"/><node id="8" lat="1.0" lon="0.5"/>
+ <node id="9" lat="5.0" lon="5.0"><tag k="place" v="village"/><tag k="name" v="v9"/></node>
+ <node id="10" lat="6.0" lon="6.0"><tag k="note" v="ignored-only"/></node>
+ <way id="20"><nd ref="1"/><nd ref="2"/><nd ref="3"/></way>
+ <way id="21"><nd ref="3"/><nd ref="4"/><nd ref="1"/><tag k="note" v="x"/></way>
+ <way id="22"><nd ref="5"/><nd ref="6"/><nd ref="7"/><nd ref="8"/><nd ref="5"/>
+  <tag k="building" v="yes"/></way>
+ <way id="23"><nd ref="1"/><nd ref="2"/><nd ref="99"/><tag k="highway" v="path"/></way>
+ <relation id="30"><member type="way" ref="20" role="outer"/>
+  <member type="way" ref="21" role="outer"/>
+  <member type="way" ref="22" role="inner"/>
+  <member type="way" ref="404" role="outer"/>
+  <tag k="type" v="multipolygon"/><tag k="landuse" v="meadow"/></relation>
+ <relation id="31"><member type="node" ref="9" role=""/>
+  <tag k="type" v="site"/><tag k="name" v="nodes-only"/></relation>
+ <relation id="32"><member type="way" ref="21" role=""/>
+  <member type="way" ref="23" role=""/>
+  <tag k="type" v="route"/><tag k="route" v="hiking"/></relation>
+</osm>"""
+    path = str(tmp_path / "edge.osm")
+    with open(path, "w") as f:
+        f.write(xml)
+    a = read_osm(spark, path)
+    b = read_osm_distributed(spark, path, work_dir=str(tmp_path / "nd"))
+    total = 0
+    for layer in ("points", "lines", "multilinestrings", "multipolygons", "other_relations"):
+        ra = sorted(tuple(r) for r in a[layer].collect())
+        rb = sorted(tuple(r) for r in b[layer].collect())
+        assert ra == rb, f"layer {layer}"
+        total += len(ra)
+    # sanity: the document exercises every layer
+    assert a["points"].count() == 1          # node 9 (10 is ignored-keys-only)
+    assert a["multipolygons"].count() == 2   # relation 30 + standalone way 22? way 22 consumed? inner role -> NOT consumed
+    assert a["multilinestrings"].count() == 1
+    assert a["other_relations"].count() == 1
+    assert total >= 7
