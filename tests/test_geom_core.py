@@ -838,8 +838,9 @@ def test_cass_projection():
 def test_aeqd_projection():
     """+proj=aeqd (spherical, Snyder 25-2..25-15): center fixed point,
     the EQUIDISTANT defining property (planar distance from center ==
-    R * central angle, everywhere), antipodal-disk guard, and the
-    honest refusal of the ellipsoidal form (needs true geodesics)."""
+    R * central angle, everywhere) and the antipodal-disk guard.  (The
+    ellipsoidal form is implemented via true geodesics since r6 —
+    test_aeqd_ellipsoidal below.)"""
     import math
 
     import numpy as np
