@@ -225,8 +225,8 @@ def read_gpkg(
             f"GPKG file is {size / 2**30:.1f} GiB (> {max_bytes / 2**30:.1f} GiB): SQLite "
             "containers are whole-file (not splittable), so read_gpkg "
             "is driver-side and for dimension-sized layers only. "
-            "Export planet-scale layers to the splittable NDJSON layer "
-            "directory (sources/vector_io.py) instead."
+            "Use read_gpkg_distributed (one bounded-memory driver "
+            "stream, WKB decode distributed) for planet-scale layers."
         )
     con = sqlite3.connect(path)
     con.text_factory = lambda b: b.decode("utf-8", "replace")
@@ -255,6 +255,134 @@ def read_gpkg(
             )
         out[table] = spark.createDataFrame(rows, FEATURE_SCHEMA)
     con.close()
+    return VectorDataset(out)
+
+
+def gpkg_to_ndjson(
+    path: str, out_dir: str, shard_bytes: int = 64 << 20, layers: list[str] | None = None
+) -> dict:
+    """ONE bounded-memory streaming pass over a GPKG container ->
+    splittable NDJSON shard directories, one per feature table.
+
+    SQLite is whole-file (not splittable), so SOME driver pass is
+    unavoidable — but the sqlite3 cursor streams rows, and this pass
+    does the CHEAP work only: each feature row is written out as
+    ``{"fid", "blob" (hex WKB payload, untouched), "props"
+    (pre-serialized JSON, byte-identical to read_gpkg's), "seq"}``
+    with O(1) driver memory.  The EXPENSIVE per-vertex WKB -> GeoJSON
+    decode is deferred to the distributed reader
+    (read_gpkg_distributed), exactly the split osm_to_ndjson /
+    read_osm_distributed use for planet-scale OSM.
+
+    Table names are arbitrary SQL identifiers, so shard directories are
+    ``layer-{i:03d}`` with the name mapping recorded in ``_SUCCESS``.
+    ``shard_bytes`` rotates output files so the Spark read gets enough
+    splits for parallelism.  Returns {"layers": {name: dir}, "counts":
+    {name: n}}.
+    """
+    con = sqlite3.connect(path)
+    con.text_factory = lambda b: b.decode("utf-8", "replace")
+    cur = con.cursor()
+    reg = list(cur.execute("SELECT table_name, column_name FROM gpkg_geometry_columns"))
+    manifest: dict = {"layers": {}, "counts": {}}
+    for li, (table, geom_col) in enumerate(reg):
+        if layers is not None and table not in layers:
+            continue
+        d = os.path.join(out_dir, f"layer-{li:03d}")
+        os.makedirs(d, exist_ok=True)
+        manifest["layers"][table] = f"layer-{li:03d}"
+        info = list(cur.execute(f'PRAGMA table_info("{table}")'))
+        cols = [r[1] for r in info]
+        pk = next((r[1] for r in info if r[5]), None)
+        sel = ", ".join(f'"{c}"' for c in cols)
+        shard = 0
+        size = 0
+        n = 0
+        out = open(os.path.join(d, f"part-{shard:05d}.ndjson"), "w", encoding="utf-8")
+        for i, row in enumerate(cur.execute(f'SELECT {sel} FROM "{table}"')):
+            rec = dict(zip(cols, row))
+            blob = rec.pop(geom_col, None)
+            fid = rec.pop(pk, i) if pk else i
+            line = json.dumps(
+                {
+                    "fid": int(fid) if fid is not None else i,
+                    "blob": blob.hex() if blob is not None else None,
+                    "props": json.dumps(rec, separators=(",", ":"), ensure_ascii=False),
+                    "seq": i,
+                },
+                separators=(",", ":"),
+                ensure_ascii=False,
+            )
+            if size > shard_bytes:
+                out.close()
+                shard += 1
+                size = 0
+                out = open(os.path.join(d, f"part-{shard:05d}.ndjson"), "w", encoding="utf-8")
+            out.write(line)
+            out.write("\n")
+            size += len(line) + 1
+            n += 1
+        out.close()
+        manifest["counts"][table] = n
+    con.close()
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def read_gpkg_distributed(
+    spark: SparkSession, path: str, work_dir: str | None = None, layers: list[str] | None = None
+) -> VectorDataset:
+    """One-call GPKG ingest above the read_gpkg size guard: the
+    bounded-memory driver stream (gpkg_to_ndjson) runs once — or is
+    reused if ``work_dir`` already carries its _SUCCESS marker — then
+    the per-vertex StandardGeoPackageBinary -> GeoJSON decode runs
+    DISTRIBUTED, one mapInPandas over the splittable shards calling the
+    same ``parse_gpkg_blob`` codec the driver path uses (the two paths
+    cannot diverge; parity is byte-exact, tests/test_gpkg.py).
+
+    Layer-by-layer output schema and values match ``read_gpkg``
+    (reference ``VectorDataset.open`` on .gpkg, gdal.py:1197-1205);
+    props JSON is serialized in the driver stream so it is
+    byte-identical by construction, geometry JSON by shared codec +
+    identical dumps arguments."""
+    import tempfile
+
+    if work_dir is None:
+        work_dir = tempfile.mkdtemp(prefix="gpkg_ndjson_")
+    marker = os.path.join(work_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            manifest = json.load(f)
+    else:
+        manifest = gpkg_to_ndjson(path, work_dir, layers=layers)
+
+    def _decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            gtypes, gjs = [], []
+            for h in pdf["blob"]:
+                geom = parse_gpkg_blob(bytes.fromhex(h)) if h is not None else None
+                gtypes.append(geom["type"] if geom else None)
+                gjs.append(json.dumps(geom, separators=(",", ":")) if geom else None)
+            yield pd.DataFrame(
+                {
+                    "fid": pdf["fid"],
+                    "gtype": pd.array(gtypes, dtype=object),
+                    "geojson": pd.array(gjs, dtype=object),
+                    "props_json": pdf["props"],
+                }
+            )
+
+    out: dict[str, DataFrame] = {}
+    for table, d in manifest["layers"].items():
+        if layers is not None and table not in layers:
+            continue
+        raw = spark.read.schema("fid long, blob string, props string, seq long").json(
+            os.path.join(work_dir, d)
+        )
+        out[table] = raw.mapInPandas(_decode, FEATURE_SCHEMA)
     return VectorDataset(out)
 
 

@@ -255,8 +255,25 @@ class VectorDataset:
         return read_osm(spark, path, **kw)
 
     @classmethod
-    def from_gpkg(cls, spark: SparkSession, path: str, layers: list[str] | None = None) -> "VectorDataset":
-        """reference ``VectorDataset.open`` on .gpkg (gdal.py:1197-1205)."""
+    def from_gpkg(
+        cls,
+        spark: SparkSession,
+        path: str,
+        layers: list[str] | None = None,
+        distributed: bool = False,
+        **kw,
+    ) -> "VectorDataset":
+        """reference ``VectorDataset.open`` on .gpkg (gdal.py:1197-1205).
+
+        ``distributed=True`` takes the planet-scale path: one
+        bounded-memory driver stream of the SQLite rows to splittable
+        NDJSON shards, then the per-vertex WKB -> GeoJSON decode runs
+        distributed (read_gpkg_distributed; exact fixture parity with
+        the driver parse)."""
+        if distributed:
+            from .gpkg import read_gpkg_distributed
+
+            return read_gpkg_distributed(spark, path, layers=layers, **kw)
         from .gpkg import read_gpkg
 
         return read_gpkg(spark, path, layers=layers)
