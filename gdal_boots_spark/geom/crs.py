@@ -23,12 +23,14 @@ Round-5 adds ortho (spherical, hemisphere domain guard), cass
 (ellipsoidal Cassini-Soldner, EPSG 9806 series, |dlam|<=4 deg guard)
 aeqd (spherical form with +R) and
 omerc (Hotine oblique Mercator, azimuth form, EPSG 9815 offsets /
-9812 with +no_off; two-point form refused), somerc (Swiss oblique
+9812 with +no_off), somerc (Swiss oblique
 Mercator, EPSG 9814 — CH1903/LV03 EPSG:21781 and CH1903+/LV95
 EPSG:2056 shortcuts).
 Round-6 adds ELLIPSOIDAL aeqd via true geodesics (vectorized
-Vincenty, geom/geodesic.py) — the last refused family with real
-users; only the omerc two-point form remains refused.
+Vincenty, geom/geodesic.py) and the omerc TWO-POINT form (central
+geodesic through +lon_1/+lat_1/+lon_2/+lat_2, Snyder 9-16..9-24) —
+no projection family the reference test-set exercises is refused
+anymore; degenerate parameterizations still raise clear errors.
 Every oblique azimuthal family NaN-guards its singular domain
 (antipodal disk; sterea's |dlam|>180/n aliasing band) instead of
 returning silently wrong coordinates.
@@ -815,11 +817,15 @@ class CassiniSoldnerProj:
 
 
 class ObliqueMercatorProj:
-    """+proj=omerc — Hotine oblique Mercator, azimuth form (Snyder
-    9-6..9-39; EPSG method 9815 "variant B" offsets by default, 9812
-    with +no_off).  Parameters: +lat_0 +lonc +alpha (+gamma defaults
-    to alpha, the rectified-grid angle) +k +x_0 +y_0.  The two-point
-    form (+lon_1/+lat_1/+lon_2/+lat_2) is not implemented and raises.
+    """+proj=omerc — Hotine oblique Mercator (Snyder 9-6..9-39; EPSG
+    method 9815 "variant B" offsets by default, 9812 with +no_off).
+    Azimuth form: +lat_0 +lonc +alpha (+gamma defaults to alpha, the
+    rectified-grid angle) +k +x_0 +y_0.  Two-point form: +lat_0
+    +lon_1/+lat_1/+lon_2/+lat_2 define the central geodesic (Snyder
+    9-16..9-24); the rectification angle is then the derived central
+    azimuth alpha_c = asin(D sin gamma_0) — the same convention PROJ
+    uses, so the two forms coincide exactly when the two points lie on
+    the azimuth form's central line (asserted in tests).
 
     Domain: like Mercator, the line perpendicular to the central
     geodesic 90 deg away maps to infinity; |U| -> 1 there.  The
@@ -830,8 +836,6 @@ class ObliqueMercatorProj:
     lat_0 ~ 0 approaches an equatorial Mercator-like grid)."""
 
     def __init__(self, p: dict):
-        if "lon_1" in p or "lat_1" in p:
-            raise ValueError("+proj=omerc: two-point form not implemented (use +alpha)")
         self.a, self.e2, self.e = _resolve_ellipsoid(p)
         e, e2 = self.e, self.e2
         phi0 = math.radians(float(p.get("lat_0", 0)))
@@ -841,9 +845,6 @@ class ObliqueMercatorProj:
             raise ValueError("+proj=omerc: lat_0=0 degenerates (use +proj=merc/tmerc)")
         if abs(abs(phi0) - math.pi / 2) < 1e-12:
             raise ValueError("+proj=omerc: polar lat_0 is out of the Hotine domain")
-        lamc = math.radians(float(p.get("lonc", p.get("lon_c", 0))))
-        alpha = math.radians(float(p.get("alpha", 90.0)))
-        gamma = math.radians(float(p["gamma"])) if "gamma" in p else alpha
         self.k0 = float(p.get("k", p.get("k_0", 1.0)))
         self.x0 = float(p.get("x_0", 0))
         self.y0 = float(p.get("y_0", 0))
@@ -857,9 +858,60 @@ class ObliqueMercatorProj:
         D2 = max(D * D, 1.0)
         F = D + math.copysign(math.sqrt(D2 - 1.0), phi0)
         self.E = F * t0**self.B
-        G = (F - 1.0 / F) / 2.0
-        self.g0 = math.asin(min(max(math.sin(alpha) / D, -1.0), 1.0))  # gamma_0
-        self.lam0 = lamc - math.asin(min(max(G * math.tan(self.g0), -1.0), 1.0)) / self.B
+
+        two_point = any(k in p for k in ("lon_1", "lat_1", "lon_2", "lat_2"))
+        if two_point and ("alpha" in p or "gamma" in p):
+            raise ValueError("+proj=omerc: give either +alpha/+gamma or the two-point form, not both")
+        if two_point:
+            # Snyder 9-16..9-24: the central geodesic through two
+            # points; constants H/L/F'/P/J, then lam_0 and gamma_0
+            # directly.  Rectification angle = derived central azimuth
+            # alpha_c (PROJ's convention for the two-point variant).
+            try:
+                phi1 = math.radians(float(p["lat_1"]))
+                lam1 = math.radians(float(p["lon_1"]))
+                phi2 = math.radians(float(p["lat_2"]))
+                lam2 = math.radians(float(p["lon_2"]))
+            except KeyError as k:
+                raise ValueError(f"+proj=omerc: two-point form needs +lon_1/+lat_1/+lon_2/+lat_2 ({k} missing)")
+            if abs(phi1 - phi2) < 1e-12:
+                raise ValueError("+proj=omerc: two-point form degenerates at lat_1 = lat_2")
+            if abs(phi1) < 1e-12:
+                raise ValueError("+proj=omerc: two-point form degenerates at lat_1 = 0")
+            if abs(abs(phi1) - math.pi / 2) < 1e-12 or abs(abs(phi2) - math.pi / 2) < 1e-12:
+                raise ValueError("+proj=omerc: polar central-line points are out of the Hotine domain")
+
+            def _t(phi):
+                s = math.sin(phi)
+                return math.tan(math.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+            H = _t(phi1) ** self.B
+            L = _t(phi2) ** self.B
+            Fq = self.E / H
+            Pq = (L - H) / (L + H)
+            Jq = (self.E * self.E - L * H) / (self.E * self.E + L * H)
+            # wrap the lam1-lam2 span the way the iterated azimuth is
+            # measured: shortest way around
+            dl12 = lam1 - lam2
+            if dl12 < -math.pi:
+                lam2 -= 2 * math.pi
+            elif dl12 > math.pi:
+                lam2 += 2 * math.pi
+            self.lam0 = 0.5 * (lam1 + lam2) - math.atan(
+                Jq * math.tan(0.5 * self.B * (lam1 - lam2)) / Pq
+            ) / self.B
+            self.lam0 = math.remainder(self.lam0, 2 * math.pi)
+            dl1 = math.remainder(lam1 - self.lam0, 2 * math.pi)
+            self.g0 = math.atan(2.0 * math.sin(self.B * dl1) / (Fq - 1.0 / Fq))
+            alpha = math.asin(min(max(D * math.sin(self.g0), -1.0), 1.0))
+            gamma = alpha
+        else:
+            lamc = math.radians(float(p.get("lonc", p.get("lon_c", 0))))
+            alpha = math.radians(float(p.get("alpha", 90.0)))
+            gamma = math.radians(float(p["gamma"])) if "gamma" in p else alpha
+            G = (F - 1.0 / F) / 2.0
+            self.g0 = math.asin(min(max(math.sin(alpha) / D, -1.0), 1.0))  # gamma_0
+            self.lam0 = lamc - math.asin(min(max(G * math.tan(self.g0), -1.0), 1.0)) / self.B
         self.singam, self.cosgam = math.sin(self.g0), math.cos(self.g0)
         self.sinrot, self.cosrot = math.sin(gamma), math.cos(gamma)
         # injective longitude domain (degrees), cf. sterea
@@ -867,7 +919,7 @@ class ObliqueMercatorProj:
         # EPSG 9815 center offset (u_c along the gauge line)
         if self.no_off:
             self.uc = 0.0
-        elif abs(abs(alpha) - math.pi / 2) < 1e-12:
+        elif not two_point and abs(abs(alpha) - math.pi / 2) < 1e-12:
             self.uc = self.A * (lamc - self.lam0)
         else:
             self.uc = math.copysign(

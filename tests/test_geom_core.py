@@ -971,7 +971,7 @@ def test_omerc_projection():
     projection-center fixed point under the variant-B offsets,
     conformality (local scale isotropy), global in-domain round-trip,
     the sterea-class |dlam| > 180/B aliasing guard, and the documented
-    refusals (lat_0=0, polar, two-point form)."""
+    refusals (lat_0=0, polar, degenerate two-point parameters)."""
     import math
 
     import numpy as np
@@ -1009,14 +1009,74 @@ def test_omerc_projection():
     lo2, la2 = inv(x[fin], y[fin])
     assert np.abs(((lo2 - lons[fin] + 180) % 360) - 180).max() < 1e-8
     assert np.abs(la2 - lats[fin]).max() < 1e-8
-    # refusals
+    # refusals (degenerate parameterizations only — the valid
+    # two-point form is exercised in test_omerc_two_point_form)
     for bad in (
         "+proj=omerc +lat_0=0 +lonc=10 +alpha=45 +ellps=WGS84",
         "+proj=omerc +lat_0=90 +lonc=10 +alpha=45 +ellps=WGS84",
-        "+proj=omerc +lat_0=10 +lon_1=0 +lat_1=1 +lon_2=5 +lat_2=6 +ellps=WGS84",
+        # two-point degeneracies: lat_1 = lat_2, lat_1 = 0, polar
+        # point, mixing +alpha with the two-point parameters, and a
+        # missing member of the four-parameter set
+        "+proj=omerc +lat_0=10 +lon_1=0 +lat_1=6 +lon_2=5 +lat_2=6 +ellps=WGS84",
+        "+proj=omerc +lat_0=10 +lon_1=0 +lat_1=0 +lon_2=5 +lat_2=6 +ellps=WGS84",
+        "+proj=omerc +lat_0=10 +lon_1=0 +lat_1=1 +lon_2=5 +lat_2=90 +ellps=WGS84",
+        "+proj=omerc +lat_0=10 +lon_1=0 +lat_1=1 +lon_2=5 +lat_2=6 +alpha=30 +ellps=WGS84",
+        "+proj=omerc +lat_0=10 +lon_1=0 +lat_1=1 +lon_2=5 +ellps=WGS84",
     ):
         with pytest.raises(ValueError):
             _projector(bad)
+
+
+def test_omerc_two_point_form():
+    """Two-point Hotine form (Snyder 9-16..9-24): picking two points ON
+    the azimuth form's central geodesic must reproduce the azimuth
+    form's constants and therefore its ENTIRE mapping (PROJ's
+    convention: rectification angle = derived central azimuth alpha_c,
+    which equals +alpha when +gamma is defaulted).  Also: round-trip
+    property and EPSG 9815 offset consistency on the derived line."""
+    from gdal_boots_spark.geom.crs import ObliqueMercatorProj, parse_proj4
+
+    az = ObliqueMercatorProj(
+        parse_proj4("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.316 +k=0.99984 +ellps=WGS84")
+    )
+    # two points on the central line: in the rotated (u, v) frame the
+    # central geodesic is v = 0, so x = x0 + u*sinrot, y = y0 + u*cosrot
+    # for any pre-offset u (forward subtracts uc, so add it back here)
+    pts = []
+    for u in (-300_000.0, 500_000.0):
+        ur = u - az.uc
+        lon, lat = az.inverse(az.x0 + ur * az.sinrot, az.y0 + ur * az.cosrot)
+        pts.append((float(lon), float(lat)))
+    (lon1, lat1), (lon2, lat2) = pts
+    tp = ObliqueMercatorProj(
+        parse_proj4(
+            "+proj=omerc +lat_0=4 +k=0.99984 +ellps=WGS84 "
+            f"+lon_1={lon1} +lat_1={lat1} +lon_2={lon2} +lat_2={lat2}"
+        )
+    )
+    # every derived constant agrees with the azimuth form
+    assert abs(tp.lam0 - az.lam0) < 1e-12
+    assert abs(tp.g0 - az.g0) < 1e-12
+    assert abs(tp.uc - az.uc) < 1e-6
+    assert abs(tp.sinrot - az.sinrot) < 1e-12
+    # and so does the full mapping, both directions
+    rng = np.random.default_rng(7)
+    lons = 115 + rng.uniform(-30, 30, 200)
+    lats = rng.uniform(-60, 70, 200)
+    xa, ya = az.forward(lons, lats)
+    xt, yt = tp.forward(lons, lats)
+    fin = np.isfinite(xa)
+    assert (np.isfinite(xt) == fin).all()
+    assert np.abs(xt[fin] - xa[fin]).max() < 1e-6
+    assert np.abs(yt[fin] - ya[fin]).max() < 1e-6
+    lo2, la2 = tp.inverse(xt[fin], yt[fin])
+    assert np.abs(((lo2 - lons[fin] + 180) % 360) - 180).max() < 1e-8
+    assert np.abs(la2 - lats[fin]).max() < 1e-8
+    # the defining points themselves map onto the v = 0 gauge line
+    for lon, lat in pts:
+        x, y = tp.forward(np.array([lon]), np.array([lat]))
+        v = (x[0] - tp.x0) * tp.cosrot - (y[0] - tp.y0) * tp.sinrot
+        assert abs(v) < 1e-6
 
 
 def test_somerc_projection():
