@@ -283,7 +283,7 @@ def test_any_geometry_codec_roundtrip_property(geom):
 _proj_family = st.sampled_from(
     [
         "stere_polar", "stere_obl", "sterea", "laea", "cea", "eqc", "sinu", "moll",
-        "ortho", "cass", "aeqd", "aeqd_ell", "omerc", "somerc",
+        "ortho", "cass", "aeqd", "aeqd_ell", "omerc", "omerc_2pt", "somerc",
     ]
 )
 
@@ -344,6 +344,14 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
         p4 = f"+proj=aeqd +lat_0={p0 * sgn} +lon_0={lon0} +ellps=WGS84"
     elif fam == "omerc":
         p4 = f"+proj=omerc +lat_0={p0 * sgn} +lonc={lon0} +alpha=53.0 +k=0.9998 +ellps=WGS84"
+    elif fam == "omerc_2pt":
+        # two points straddling lon0, latitudes nonzero / non-polar /
+        # distinct by construction (0.6*p0 vs 0.9*p0 + 3, p0 >= 15)
+        p4 = (
+            f"+proj=omerc +lat_0={p0 * sgn} +k=0.9998 +ellps=WGS84 "
+            f"+lon_1={lon0 - 10} +lat_1={p0 * 0.6 * sgn} "
+            f"+lon_2={lon0 + 10} +lat_2={(p0 * 0.9 + 3) * sgn}"
+        )
     elif fam == "somerc":
         p4 = f"+proj=somerc +lat_0={p0 * sgn} +lon_0={lon0} +k_0=1 +ellps=bessel"
     else:
@@ -383,7 +391,7 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
             # (~0.55 deg great-circle; the ellipsoid shifts the true
             # antipodal point off the spherical antipode by up to ~f)
             assert _near_antipode(lon, la, lon0, -p0 * sgn, 1.0)
-        elif fam == "omerc":
+        elif fam in ("omerc", "omerc_2pt"):
             from gdal_boots_spark.geom.crs import ObliqueMercatorProj, parse_proj4
 
             om = ObliqueMercatorProj(parse_proj4(p4))
