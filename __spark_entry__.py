@@ -1026,6 +1026,20 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table
+    (operators/decontam.py): documents sharing any word trigram with
+    the stand-in benchmark slice (doc_id % 37 == 0) are flagged; the
+    benchmark gram set broadcasts, so the fact side pays zero shuffle
+    to find hits.  Integer hit count + boolean keep the DuckDB oracle
+    hash-exact."""
+    from gdal_boots_spark.operators.decontam import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return decontaminate(docs, bench, n=3)
+
+
 def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/URL scrubbing over the documents table
     (functions/text_fns.scrub_text): URL/email/long-digit redaction as
@@ -1195,6 +1209,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1459,6 +1474,12 @@ def _repetition_oracle() -> str:
     return repetition_oracle_sql()
 
 
+def _decontam_oracle() -> str:
+    from gdal_boots_spark.operators.decontam import decontaminate_oracle_sql
+
+    return decontaminate_oracle_sql(n=3, bench_pred="doc_id % 37 = 0")
+
+
 def _pack_oracle() -> str:
     from gdal_boots_spark.operators.packing import pack_oracle_sql
 
@@ -1662,6 +1683,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "hash_split": f"SELECT doc_id, {hash_split_case} AS split FROM documents",
         "pack_shards": _pack_oracle(),
         "repetition_stats": _repetition_oracle(),
+        "decontaminate": _decontam_oracle(),
         "scrub_text": _scrub_oracle(),
         "top_ngrams": _top_ngrams_oracle(),
         "radius_join_m": """
