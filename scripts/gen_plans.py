@@ -124,6 +124,20 @@ def main():
         cap(ann_lsh_topk(emb.where(F.col("vec_id") % 50 == 0), emb, k=5, bits=4, n_tables=8)),
     ))
 
+    from gdal_boots_spark.operators.decontam import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sections.append((
+        "Benchmark decontamination (broadcast reference-set semi-count)",
+        "The benchmark side collapses to a distinct-gram dimension "
+        "(Exchange only on the tiny gram set) and broadcasts; the fact "
+        "side is Scan -> codegen shingle Generate -> BroadcastHashJoin — "
+        "ZERO fact-side shuffle to find hits.  Only matching (doc, gram) "
+        "rows reach the groupBy(doc) count; the final left join rides on "
+        "the narrow (doc_id) projection.",
+        cap(decontaminate(docs, docs.where(F.col("doc_id") % 37 == 0), n=3)),
+    ))
+
     from gdal_boots_spark.operators.spatial_join import pip_join_docs_any
     from gdal_boots_spark.sources.synth import interleaved_docs as _idocs
 
