@@ -148,6 +148,44 @@ def stream_cell_running_stats(spark: SparkSession, input_dir: str, res: int = 8)
     )
 
 
+def stream_decontaminate(
+    spark: SparkSession,
+    input_dir: str,
+    benchmark: DataFrame,
+    checkpoint_dir: str,
+    output_dir: str,
+    n: int = 3,
+):
+    """Streaming benchmark decontamination: continuous doc ingest ->
+    per-micro-batch n-gram overlap flags against a static benchmark
+    dimension (operators/decontam.decontaminate).
+
+    The per-doc flag needs an explode -> broadcast-join -> groupBy(doc)
+    recombine, and the final left join back onto doc ids is exactly the
+    multi-consumer shape append-mode streams disallow — so each
+    micro-batch runs the BATCH operator via foreachBatch (the repo's
+    standard pattern for stateful/multi-pass streaming sinks; memory
+    sinks can't resume and file sinks reject update mode).  Correctness
+    is therefore identical to batch BY CONSTRUCTION: a doc's flag
+    depends only on its own text and the static benchmark, never on
+    other stream contents, so batch/stream parity is exact and
+    restart-safe via the sink checkpoint.
+    """
+    from ..operators.decontam import decontaminate
+
+    docs = spark.readStream.schema("doc_id long, text string").parquet(input_dir)
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        decontaminate(batch_df, benchmark, n=n).write.mode("append").parquet(output_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_pip_join(
     spark: SparkSession,
     input_dir: str,

@@ -181,3 +181,33 @@ def test_stream_pip_join_matches_batch(spark, tmp_path):
         map(tuple, pip_join_docs(docs, polys).select("doc_id", "span_pos", "poly_id").collect())
     )
     assert got == exp and len(exp) > 0
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming decontamination drained == the batch operator on the
+    same docs (foreachBatch reuses the batch code path; static
+    benchmark dimension), and a checkpointed re-run adds nothing."""
+    from gdal_boots_spark.operators.decontam import decontaminate
+    from gdal_boots_spark.streaming.doc_stream import stream_decontaminate
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    docs.write.parquet(indir)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+
+    q = stream_decontaminate(spark, indir, bench, ckpt, outdir, n=3)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(outdir).collect()))
+    exp = sorted(map(tuple, decontaminate(docs, bench, n=3).collect()))
+    assert got == exp and len(exp) > 0
+
+    # restart with the same checkpoint: no new batches, no duplicates
+    q2 = stream_decontaminate(spark, indir, bench, ckpt, outdir, n=3)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(outdir).count() == len(exp)
