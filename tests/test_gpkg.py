@@ -278,3 +278,41 @@ def test_gpkg_distributed_shards_and_reuse(spark, tmp_path):
         assert ra == rb
     only = read_gpkg_distributed(spark, path, work_dir=out, layers=["polys"])
     assert only.layer_names == ["polys"]
+
+
+def test_gpkg_to_ndjson_bounded_memory(spark, tmp_path):
+    """The streaming converter must hold O(1) rows, not the table: the
+    sqlite3 cursor streams and each row is written out immediately, so
+    peak tracemalloc on a many-row container stays far below the
+    whole-table footprint read_gpkg materializes (its rows list)."""
+    import tracemalloc
+
+    from gdal_boots_spark.sources.gpkg import gpkg_to_ndjson
+
+    n = 30000
+    rows = [
+        (
+            i,
+            "Point",
+            '{"type":"Point","coordinates":[%.2f,%.2f]}' % ((i % 300) / 10.0, (i % 150) / 10.0),
+            '{"name":"feature-%d","val":%d}' % (i, i * 3),
+        )
+        for i in range(1, n + 1)
+    ]
+    vds = VectorDataset(
+        {"many": spark.createDataFrame(rows, "fid long, gtype string, geojson string, props_json string")}
+    )
+    path = str(tmp_path / "many.gpkg")
+    write_gpkg(vds, path)
+    size = os.path.getsize(path)
+    assert size > 2 << 20  # a genuinely multi-MB container
+
+    out = str(tmp_path / "nd")
+    tracemalloc.start()
+    manifest = gpkg_to_ndjson(path, out)
+    peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert manifest["counts"] == {"many": n}
+    # O(1) rows: peak stays under 2 MB while the container is >2 MB
+    # and the emitted NDJSON is larger still
+    assert peak < 2 << 20, f"peak {peak / 2**20:.1f} MiB"
