@@ -35,6 +35,7 @@ def decontaminate(
     key_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
     """-> (key, contaminated, n_hit_grams) per document.
 
@@ -43,14 +44,38 @@ def decontaminate(
     dedup op); ``contaminated`` = n_hit_grams > 0.  Documents shorter
     than ``n`` words produce no shingles and are never contaminated.
     Integer count + boolean keep the DuckDB oracle hash-exact.
+
+    ``hashed=True`` is the broadcast-size lever for big benchmarks:
+    both sides join on the portable 60-bit gram hash (md5_long) instead
+    of the gram string, shrinking the broadcast ~6x (8 bytes/gram vs
+    typical 40-60-byte trigrams) and making the hashed relation's probe
+    key fixed-width.  A false positive needs a 60-bit collision between
+    a document gram and a benchmark gram (~m*n_grams/2^60 expected —
+    negligible below 10^8 distinct grams); the exact-string default
+    remains the oracle contract.
     """
     bcol = bench_text_col or text_col
-    bench_grams = (
-        benchmark.select(F.explode(shingles(F.col(bcol), n)).alias("_g")).distinct()
-    )
-    doc_grams = docs.select(
-        F.col(key_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_g")
-    )
+    if hashed:
+        from ..functions.text_fns import md5_long
+
+        # explode to a column first, hash in the next select (a
+        # generator cannot nest inside another expression)
+        bench_grams = (
+            benchmark.select(F.explode(shingles(F.col(bcol), n)).alias("_s"))
+            .select(md5_long(F.col("_s")).alias("_g"))
+            .distinct()
+        )
+        doc_grams = docs.select(
+            F.col(key_col),
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_s"),
+        ).select(key_col, md5_long(F.col("_s")).alias("_g"))
+    else:
+        bench_grams = (
+            benchmark.select(F.explode(shingles(F.col(bcol), n)).alias("_g")).distinct()
+        )
+        doc_grams = docs.select(
+            F.col(key_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_g")
+        )
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "_g")
         .groupBy(key_col)

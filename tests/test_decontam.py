@@ -75,3 +75,14 @@ def test_decontaminate_plan_broadcasts(spark):
     # -> BroadcastHashJoin with no hashpartitioning of _g on that path
     fact_branch = plan.split("BroadcastHashJoin")[0]
     assert "Exchange hashpartitioning(_g" not in fact_branch
+
+
+def test_decontaminate_hashed_matches_exact(spark):
+    """hashed=True (60-bit gram-hash broadcast, the big-benchmark
+    scale lever) returns the identical result on real data — a
+    difference would need a 60-bit hash collision."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    a = sorted(map(tuple, decontaminate(docs, bench, n=3).collect()))
+    b = sorted(map(tuple, decontaminate(docs, bench, n=3, hashed=True).collect()))
+    assert a == b and len(a) > 0
