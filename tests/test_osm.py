@@ -313,3 +313,45 @@ def test_osm_distributed_parity_edge_cases(spark, tmp_path):
     assert a["multilinestrings"].count() == 1
     assert a["other_relations"].count() == 1
     assert total >= 7
+
+
+def test_osm_distributed_parity_edge_cases_2(spark, tmp_path):
+    """Second parity stress: relation-type members (ignored), the same
+    way listed twice as outer, inner-only multipolygons (no feature),
+    `boundary` type relations, ways whose nodes are ALL missing, a
+    self-touching way with a repeated node, and a multipolygon whose
+    outer way exists but has zero resolvable coordinates."""
+    from gdal_boots_spark.sources.osm import read_osm, read_osm_distributed
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6">
+ <node id="1" lat="0.0" lon="0.0"/><node id="2" lat="0.0" lon="2.0"/>
+ <node id="3" lat="2.0" lon="2.0"/><node id="4" lat="2.0" lon="0.0"/>
+ <node id="5" lat="10.0" lon="10.0"/><node id="6" lat="10.0" lon="12.0"/>
+ <node id="7" lat="12.0" lon="12.0"/>
+ <way id="40"><nd ref="1"/><nd ref="2"/><nd ref="3"/><nd ref="4"/><nd ref="1"/></way>
+ <way id="41"><nd ref="5"/><nd ref="6"/><nd ref="7"/><nd ref="6"/><nd ref="5"/>
+  <tag k="highway" v="track"/></way>
+ <way id="42"><nd ref="700"/><nd ref="701"/><nd ref="702"/><nd ref="700"/></way>
+ <relation id="50"><member type="way" ref="40" role="outer"/>
+  <member type="way" ref="40" role="outer"/>
+  <member type="relation" ref="51" role="subarea"/>
+  <tag k="type" v="boundary"/><tag k="boundary" v="administrative"/></relation>
+ <relation id="51"><member type="way" ref="40" role="inner"/>
+  <tag k="type" v="multipolygon"/><tag k="landuse" v="park"/></relation>
+ <relation id="52"><member type="way" ref="42" role="outer"/>
+  <tag k="type" v="multipolygon"/><tag k="natural" v="water"/></relation>
+</osm>"""
+    path = str(tmp_path / "edge2.osm")
+    with open(path, "w") as f:
+        f.write(xml)
+    a = read_osm(spark, path)
+    b = read_osm_distributed(spark, path, work_dir=str(tmp_path / "nd2"))
+    for layer in ("points", "lines", "multilinestrings", "multipolygons", "other_relations"):
+        ra = sorted(tuple(r) for r in a[layer].collect())
+        rb = sorted(tuple(r) for r in b[layer].collect())
+        assert ra == rb, f"layer {layer}: {ra} vs {rb}"
+    # boundary relation 50 emits (dedup'd outer), inner-only 51 and
+    # coordinate-less 52 do not; self-touching way 41 still a line
+    assert a["multipolygons"].count() == 1
+    assert a["lines"].count() == 1
