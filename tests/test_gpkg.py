@@ -316,3 +316,17 @@ def test_gpkg_to_ndjson_bounded_memory(spark, tmp_path):
     # O(1) rows: peak stays under 2 MB while the container is >2 MB
     # and the emitted NDJSON is larger still
     assert peak < 2 << 20, f"peak {peak / 2**20:.1f} MiB"
+
+
+def test_from_gpkg_distributed_classmethod(spark, tmp_path):
+    """The public VectorDataset.from_gpkg(distributed=True) entry point
+    dispatches to the distributed reader with kwargs intact."""
+    rows = [(1, "Point", '{"type":"Point","coordinates":[1.0,2.0]}', '{"a":1}')]
+    vds = VectorDataset(
+        {"l1": spark.createDataFrame(rows, "fid long, gtype string, geojson string, props_json string")}
+    )
+    path = str(tmp_path / "d.gpkg")
+    write_gpkg(vds, path)
+    out = VectorDataset.from_gpkg(spark, path, distributed=True, work_dir=str(tmp_path / "nd"))
+    got = out["l1"].collect()
+    assert len(got) == 1 and got[0]["gtype"] == "Point" and got[0]["fid"] == 1
