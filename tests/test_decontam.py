@@ -6,7 +6,7 @@ import duckdb
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
-from gdal_boots_spark.operators.decontam import decontaminate, decontaminate_oracle_sql
+from gdal_boots_spark.operators.decontam import decontaminate
 
 SF = "/root/testdata/sf0.01"
 
