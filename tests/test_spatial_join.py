@@ -566,3 +566,13 @@ def test_adaptive_levels_heterogeneous_spans(spark):
             if geometry_intersects_polygon(pg, pp):
                 exp.add((d, pid))
     assert set(pairs) == exp and len(exp) >= 15
+
+
+def test_board_oracle_contract():
+    """Every driver-board query carries a DuckDB oracle (the driver's
+    correctness gate hashes both sides), extras included, and no
+    orphan oracles exist."""
+    q, o = set(entrymod.queries()), set(entrymod.oracle_sql())
+    assert q == o, (sorted(q - o), sorted(o - q))
+    aq, ao = set(entrymod.all_queries()), set(entrymod.all_oracle_sql())
+    assert aq == ao, (sorted(aq - ao), sorted(ao - aq))
