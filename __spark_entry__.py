@@ -1040,6 +1040,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=3)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table
+    (operators/sessionize.py): per-user session counter via two window
+    passes sharing ONE user_id-keyed exchange; 30-minute strict gap,
+    (ts, event_id) tie-break, integer outputs keep the DuckDB oracle
+    hash-exact."""
+    from gdal_boots_spark.operators.sessionize import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap="30 minutes").select("event_id", "user_id", "session_idx")
+
+
 def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/URL scrubbing over the documents table
     (functions/text_fns.scrub_text): URL/email/long-digit redaction as
@@ -1210,6 +1222,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "decontaminate": q_decontaminate,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1480,6 +1493,12 @@ def _decontam_oracle() -> str:
     return decontaminate_oracle_sql(n=3, bench_pred="doc_id % 37 = 0")
 
 
+def _sessionize_oracle() -> str:
+    from gdal_boots_spark.operators.sessionize import sessionize_oracle_sql
+
+    return sessionize_oracle_sql(gap_us=1_800_000_000)
+
+
 def _pack_oracle() -> str:
     from gdal_boots_spark.operators.packing import pack_oracle_sql
 
@@ -1684,6 +1703,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "pack_shards": _pack_oracle(),
         "repetition_stats": _repetition_oracle(),
         "decontaminate": _decontam_oracle(),
+        "sessionize": _sessionize_oracle(),
         "scrub_text": _scrub_oracle(),
         "top_ngrams": _top_ngrams_oracle(),
         "radius_join_m": """
