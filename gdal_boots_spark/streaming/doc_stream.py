@@ -148,6 +148,50 @@ def stream_cell_running_stats(spark: SparkSession, input_dir: str, res: int = 8)
     )
 
 
+def stream_session_stats(
+    spark: SparkSession,
+    input_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked per-user SESSION WINDOW aggregation over a
+    continuous event stream — Spark's native dynamic-gap window
+    (F.session_window), the streaming complement of the batch
+    sessionize/session_stats operators (operators/sessionize.py).
+
+    Boundary semantics (asserted in tests): the native session window
+    MERGES an event arriving at exactly ``gap`` after the previous one
+    — the same strictly-greater-than-gap split rule the batch
+    sessionize counter uses — so the stream's session set and the
+    batch counter's agree exactly, boundary events included.
+
+    Returns (user, w_start, w_end, n_events) in append mode once the
+    watermark closes a session; state is bounded by the watermark
+    horizon at planet-scale ingest.
+    """
+    ev = spark.readStream.schema(
+        f"event_id long, {ts_col} timestamp_ntz, {user_col} long, "
+        "event_type string, value double, props string"
+    ).parquet(input_dir)
+    # watermarks require zoned TIMESTAMP; parquet event times are NTZ.
+    # The UTC session makes the cast a wall-clock identity (same rule
+    # as operators/sessionize._micros)
+    ev = ev.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        ev.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), user_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_decontaminate(
     spark: SparkSession,
     input_dir: str,

@@ -211,3 +211,55 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     q2 = stream_decontaminate(spark, indir, bench, ckpt, outdir, n=3)
     q2.awaitTermination(120)
     assert spark.read.parquet(outdir).count() == len(exp)
+
+
+def test_stream_session_stats_matches_batch(spark, tmp_path):
+    """Native session-window streaming aggregation drained == the same
+    session_window aggregation in batch; session count also agrees
+    with the batch sessionize counter on real (no exact-gap) data."""
+    from gdal_boots_spark.operators.sessionize import session_stats
+    from gdal_boots_spark.streaming.doc_stream import stream_session_stats
+
+    indir = str(tmp_path / "ev")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.parquet(indir)
+
+    agg = stream_session_stats(spark, indir, gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("sess").collect()))
+
+    exp = sorted(
+        map(
+            tuple,
+            ev.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("w.start"), F.col("w.end"), "n_events")
+            .collect(),
+        )
+    )
+    assert got == exp and len(exp) > 0
+    # no exact-gap events in the synthetic data: window count equals
+    # the strict-gap batch counter's session count
+    n_batch = session_stats(ev, "30 minutes").count()
+    assert len(exp) == n_batch
+
+    # boundary agreement: an event at EXACTLY the gap merges into the
+    # native session window AND stays in-session for the strict-gap
+    # sessionize counter — identical session sets, boundary included
+    two = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00"), (2, 10, "2024-01-01 00:30:00")],
+        "event_id long, user_id long, s string",
+    ).select("event_id", "user_id", F.col("s").cast("timestamp").alias("ts"))
+    n_windows = (
+        two.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().count()
+    )
+    assert n_windows == 1
+    assert session_stats(two, "30 minutes").count() == 1
