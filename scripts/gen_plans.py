@@ -138,6 +138,19 @@ def main():
         cap(decontaminate(docs, docs.where(F.col("doc_id") % 37 == 0), n=3)),
     ))
 
+    from gdal_boots_spark.operators.sessionize import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sections.append((
+        "Gap-based sessionization (single-exchange double window)",
+        "Both window passes (lag new-session flag + running counter) "
+        "share the identical (user_id, ts, event_id) window spec, so "
+        "the plan carries exactly ONE Exchange hashpartitioning(user_id) "
+        "and one sort under two stacked Window operators — no second "
+        "shuffle, no Python.",
+        cap(sessionize(ev, "30 minutes").select("event_id", "user_id", "session_idx")),
+    ))
+
     from gdal_boots_spark.operators.spatial_join import pip_join_docs_any
     from gdal_boots_spark.sources.synth import interleaved_docs as _idocs
 
