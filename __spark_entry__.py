@@ -1040,6 +1040,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=3)
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking over the documents table
+    (operators/chunking.py): 64-token windows at stride 48
+    (overlapping), pure codegen Generate — ZERO shuffles; integer
+    counts + space-rejoined text keep the DuckDB oracle hash-exact."""
+    from gdal_boots_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events table
     (operators/sessionize.py): per-user session counter via two window
@@ -1223,6 +1234,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "decontaminate": q_decontaminate,
         "sessionize": q_sessionize,
+        "chunk_docs": q_chunk_docs,
     }
 
 
@@ -1499,6 +1511,12 @@ def _sessionize_oracle() -> str:
     return sessionize_oracle_sql(gap_us=1_800_000_000)
 
 
+def _chunk_oracle() -> str:
+    from gdal_boots_spark.operators.chunking import chunk_oracle_sql
+
+    return chunk_oracle_sql(chunk_tokens=64, stride=48)
+
+
 def _pack_oracle() -> str:
     from gdal_boots_spark.operators.packing import pack_oracle_sql
 
@@ -1704,6 +1722,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "repetition_stats": _repetition_oracle(),
         "decontaminate": _decontam_oracle(),
         "sessionize": _sessionize_oracle(),
+        "chunk_docs": _chunk_oracle(),
         "scrub_text": _scrub_oracle(),
         "top_ngrams": _top_ngrams_oracle(),
         "radius_join_m": """
