@@ -69,3 +69,42 @@ def test_chunk_plan_zero_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert len(re.findall(r"Generate", plan)) == 1
+
+
+def test_chunk_invariants_randomized(spark):
+    """Randomized invariants over 200 docs x 4 (size, stride) configs:
+    non-overlapping chunks reassemble the normalized text exactly and
+    token counts sum to n; overlapping chunks start at i*stride, cover
+    every token, and each full chunk carries exactly chunk_tokens."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    words = ["alpha", "b", "gamma7", "x", "zz", "qq1"]
+    rows = []
+    for i in range(200):
+        n = int(rng.integers(0, 60))
+        rows.append((i, " ".join(rng.choice(words, n)) if n else ""))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("t")).collect()
+    }
+    for size, stride in [(1, 1), (7, 7), (7, 3), (64, 48)]:
+        pdf = chunk_documents(docs, size, stride).toPandas()
+        for doc_id, grp in pdf.groupby("doc_id"):
+            grp = grp.sort_values("chunk_idx")
+            toks = norm[doc_id].split(" ")
+            assert list(grp["chunk_idx"]) == list(range(len(grp)))
+            if stride == size:
+                assert " ".join(grp["chunk_text"]) == norm[doc_id]
+                assert grp["n_tokens"].sum() == len(toks)
+            for _, r in grp.iterrows():
+                s = int(r["chunk_idx"]) * stride
+                expect = toks[s : s + size]
+                assert r["chunk_text"] == " ".join(expect)
+                assert r["n_tokens"] == len(expect)
+            # every token covered by some chunk
+            covered = set()
+            for ci in grp["chunk_idx"]:
+                covered.update(range(ci * stride, min(ci * stride + size, len(toks))))
+            assert covered == set(range(len(toks)))
