@@ -70,3 +70,9 @@ def test_sessionize_plan_single_exchange(spark):
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert len(re.findall(r"\bWindow ", plan)) == 2
+    # session_stats' groupBy(user, session_idx) is satisfied by the
+    # window's HashPartitioning(user) (subset rule) — still 1 exchange
+    splan = (
+        session_stats(ev, "30 minutes")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", splan)) == 1
