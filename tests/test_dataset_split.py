@@ -167,7 +167,7 @@ def test_sample_rate_one_keeps_everything(spark):
 def test_pack_shards_entry_surface(spark):
     """pack_shards is registered on the entry surface (extra_queries /
     extra_oracle_sql — VERDICT r4 item 4) and held to the driver's
-    exact-equality contract; the 50-query board is unchanged."""
+    exact-equality contract; the board itself is unchanged."""
     import duckdb as _duckdb
 
     import __spark_entry__ as entrymod
