@@ -108,3 +108,36 @@ def test_chunk_invariants_randomized(spark):
             for ci in grp["chunk_idx"]:
                 covered.update(range(ci * stride, min(ci * stride + size, len(toks))))
             assert covered == set(range(len(toks)))
+
+
+def test_chunk_to_pack_shards_composition(spark):
+    """End-to-end pre-training prep: chunk the documents table
+    (non-overlapping 64-token windows), pack the chunks into
+    token-budget shards.  Every shard except possibly the last stays
+    within budget, every chunk is assigned exactly once, and chunk
+    keys are unique (pack_shards' contract)."""
+    from gdal_boots_spark.operators.chunking import chunk_documents
+    from gdal_boots_spark.operators.packing import pack_release, pack_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    chunks = chunk_documents(docs, chunk_tokens=64).select(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")).alias("chunk_key"),
+        "n_tokens",
+    )
+    n_chunks = chunks.count()
+    assert chunks.select("chunk_key").distinct().count() == n_chunks  # unique keys
+    packed = pack_shards(chunks, budget=500, key_col="chunk_key", tokens_col="n_tokens")
+    rows = packed.collect()
+    pack_release(packed)
+    assert len(rows) == n_chunks  # every chunk assigned once
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], 0)
+        by_shard[r["shard"]] += r["n_tokens"]
+    # pack_shards assigns shard = floor(cum_before / budget): a chunk
+    # straddling a boundary stays in the shard where it STARTS, so a
+    # shard's total can overhang by at most (max chunk - 1) = 63
+    assert all(tot <= 500 + 63 for tot in by_shard.values()), sorted(by_shard.items())[:3]
+    assert len(by_shard) >= 2
+    # shards are contiguous 0..K with no gaps
+    assert sorted(by_shard) == list(range(len(by_shard)))
