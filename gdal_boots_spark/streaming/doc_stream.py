@@ -148,6 +148,35 @@ def stream_cell_running_stats(spark: SparkSession, input_dir: str, res: int = 8)
     )
 
 
+def stream_chunk_documents(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous token-window chunking: doc parquet dir in, chunk
+    parquet out.  The batch operator (operators/chunking.py) is a
+    stateless zero-shuffle Generate, so the SAME code path runs under
+    readStream unchanged — append mode, no state, restart-safe via the
+    sink checkpoint."""
+    from ..operators.chunking import chunk_documents
+
+    docs = spark.readStream.schema("doc_id long, text string").parquet(input_dir)
+    out = chunk_documents(docs, chunk_tokens=chunk_tokens, stride=stride)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_session_stats(
     spark: SparkSession,
     input_dir: str,

@@ -263,3 +263,26 @@ def test_stream_session_stats_matches_batch(spark, tmp_path):
     )
     assert n_windows == 1
     assert session_stats(two, "30 minutes").count() == 1
+
+
+def test_stream_chunk_documents_matches_batch(spark, tmp_path):
+    """Streaming chunking drained == the batch operator (same
+    zero-shuffle code path under readStream)."""
+    from gdal_boots_spark.operators.chunking import chunk_documents
+    from gdal_boots_spark.streaming.doc_stream import stream_chunk_documents
+
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    docs.write.parquet(indir)
+
+    q = stream_chunk_documents(spark, indir, ckpt, outdir, chunk_tokens=64, stride=48)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(outdir).collect()))
+    exp = sorted(map(tuple, chunk_documents(docs, 64, 48).collect()))
+    assert got == exp and len(exp) > 0
