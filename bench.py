@@ -288,6 +288,20 @@ def run_bench() -> dict:
         "floors": {n: floor_of(n) for n in REF_CLEAN if n in samples},
         "chase_factor": CHASE_FACTOR,
         "chase_unresolved": unresolved,
+        # control-normalized view: each query scaled by (REF_CTL /
+        # this run's cpu_control), i.e. the estimated clean-window
+        # seconds under uniform host-level steal.  Raw seconds stay
+        # the primary record; this row saves the reader the arithmetic
+        # when comparing across windows (the r4-r6 lesson: the raw
+        # official totals have disagreed with the clean-window truth
+        # whenever a co-tenant storm hit the snapshot).
+        "ctl_norm_factor": round(REF_CTL / (times["cpu_control"] or REF_CTL), 4),
+        "queries_norm": {
+            k: round(v * REF_CTL / (times["cpu_control"] or REF_CTL), 4)
+            for k, v in times.items()
+            if k not in ("cpu_control", "pandas_control")
+        },
+        "total_norm": round(total * REF_CTL / (times["cpu_control"] or REF_CTL), 4),
         **gate_info,
         **percand,
     }
