@@ -9,6 +9,8 @@ lineage + row counts; reruns skip completed stages):
   1. interleave  — build/refresh the interleaved documents table
   2. pip_join    — cell-bucketed PIP join against the polygon dim
   3. cell_stats  — per-cell document counts (the rollup feeding salting)
+  4. chunk       — token-window chunking of the documents table
+  5. pack        — token-budget shard assignment over the chunks
 """
 
 import argparse
@@ -40,6 +42,25 @@ def main() -> None:
         lambda: joined.groupBy(cell_id_col(F.col("x"), F.col("y"), 8)).agg(F.count("*").alias("n_docs")),
         fp,
     )
+
+    # LLM-pipeline branch: chunk the raw documents table, pack chunks
+    # into token-budget shards (operators/chunking.py, packing.py)
+    from gdal_boots_spark.operators.chunking import chunk_documents
+    from gdal_boots_spark.operators.packing import pack_release, pack_shards
+
+    raw_docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    chunks = runner.run("chunk", lambda: chunk_documents(raw_docs, chunk_tokens=64), fp)
+
+    def _pack():
+        keyed = chunks.select(
+            F.concat_ws("#", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")).alias("chunk_key"),
+            "n_tokens",
+        )
+        out = pack_shards(keyed, budget=5000, key_col="chunk_key", tokens_col="n_tokens")
+        return out
+
+    packed = runner.run("pack", _pack, fp)
+    pack_release(packed)
     for e in runner.events:
         print(e)
     spark.stop()
