@@ -27,8 +27,10 @@ omerc (Hotine oblique Mercator, azimuth form, EPSG 9815 offsets /
 Mercator, EPSG 9814 — CH1903/LV03 EPSG:21781 and CH1903+/LV95
 EPSG:2056 shortcuts).
 Round-6 adds ELLIPSOIDAL aeqd via true geodesics (vectorized
-Vincenty, geom/geodesic.py) and the omerc TWO-POINT form (central
-geodesic through +lon_1/+lat_1/+lon_2/+lat_2, Snyder 9-16..9-24) —
+Vincenty, geom/geodesic.py), the omerc TWO-POINT form (central
+geodesic through +lon_1/+lat_1/+lon_2/+lat_2, Snyder 9-16..9-24) and
+gnom (spherical gnomonic, horizon-guarded, great-circle-to-line
+invariant asserted) —
 no projection family the reference test-set exercises is refused
 anymore; degenerate parameterizations still raise clear errors.
 Every oblique azimuthal family NaN-guards its singular domain
@@ -760,6 +762,48 @@ def _make_ortho(p: dict):
     return fwd, inv
 
 
+def _make_gnom(p: dict):
+    """+proj=gnom — gnomonic, spherical form (PROJ's classic
+    semantics; sphere radius = +R if given else the ellipsoid's a).
+    Snyder 22-3..22-16.  Only the OPEN near hemisphere is on the map
+    (the horizon circle at 90 deg great-circle distance maps to
+    infinity): forward NaNs where cos(c) <= 1e-10 instead of emitting
+    unbounded/mirrored coordinates (the engine's out-of-domain
+    discipline).  The defining property — every great circle maps to a
+    straight line — is asserted in tests via spherical geodesics."""
+    a, _, _ = _resolve_ellipsoid(p)
+    R = float(p["R"]) if "R" in p else a
+    lon0 = math.radians(float(p.get("lon_0", 0)))
+    lat0 = math.radians(float(p.get("lat_0", 0)))
+    x0, y0 = float(p.get("x_0", 0)), float(p.get("y_0", 0))
+    s0, c0 = math.sin(lat0), math.cos(lat0)
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64)) - lon0
+        phi = np.radians(np.asarray(lat, np.float64))
+        cosc = s0 * np.sin(phi) + c0 * np.cos(phi) * np.cos(lam)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            k = np.where(cosc <= 1e-10, np.nan, 1.0 / np.where(cosc <= 1e-10, 1.0, cosc))
+        x = R * k * np.cos(phi) * np.sin(lam)
+        y = R * k * (c0 * np.sin(phi) - s0 * np.cos(phi) * np.cos(lam))
+        return x0 + x, y0 + y
+
+    def inv(x, y):
+        x = np.asarray(x, np.float64) - x0
+        y = np.asarray(y, np.float64) - y0
+        rho = np.hypot(x, y)
+        c = np.arctan2(rho, np.full_like(rho, R))
+        cc, sn = np.cos(c), np.sin(c)
+        safe = np.where(rho == 0, 1.0, rho)
+        phi = np.where(
+            rho == 0, lat0, np.arcsin(np.clip(cc * s0 + y * sn * c0 / safe, -1, 1))
+        )
+        lam = np.where(rho == 0, 0.0, np.arctan2(x * sn, safe * cc * c0 - y * sn * s0))
+        return _norm_lon_deg(np.degrees(lon0 + lam)), np.degrees(phi)
+
+    return fwd, inv
+
+
 class CassiniSoldnerProj:
     """+proj=cass — ellipsoidal Cassini-Soldner (EPSG method 9806,
     Snyder 13-7..13-13 truncated series).  The series is the EPSG
@@ -1330,6 +1374,8 @@ def _projector(crs):
             return _make_moll(p)
         if p.get("proj") == "ortho":
             return _make_ortho(p)
+        if p.get("proj") == "gnom":
+            return _make_gnom(p)
         if p.get("proj") == "aeqd":
             return _make_aeqd(p)
         if p.get("proj") == "omerc":

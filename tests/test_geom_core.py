@@ -1125,3 +1125,48 @@ def test_somerc_projection():
     lo2, la2 = inv(x[fin], y[fin])
     assert np.abs(((lo2 - lons[fin] + 180) % 360) - 180).max() < 1e-8
     assert np.abs(la2 - lats[fin]).max() < 1e-8
+
+
+def test_gnom_projection():
+    """+proj=gnom (gnomonic, Snyder 22-3..22-16): center fixed point,
+    round-trip over the near hemisphere, horizon NaN guard, and the
+    DEFINING property — great circles map to straight lines — checked
+    with spherical geodesics (Vincenty with f=0)."""
+    import math
+
+    import numpy as np
+
+    from gdal_boots_spark.geom.crs import _projector
+    from gdal_boots_spark.geom.geodesic import direct
+
+    p4 = "+proj=gnom +lat_0=40 +lon_0=-100 +R=6370997"
+    fwd, inv = _projector(p4)
+    xc, yc = fwd(np.array([-100.0]), np.array([40.0]))
+    assert abs(float(xc[0])) < 1e-6 and abs(float(yc[0])) < 1e-6
+    # round-trip well inside the hemisphere
+    rng = np.random.default_rng(5)
+    lons = -100 + rng.uniform(-60, 60, 500)
+    lats = 40 + rng.uniform(-45, 45, 500)
+    x, y = fwd(lons, lats)
+    assert np.isfinite(x).all()
+    lo2, la2 = inv(x, y)
+    assert np.abs(((lo2 - lons + 180) % 360) - 180).max() < 1e-8
+    assert np.abs(la2 - lats).max() < 1e-8
+    # beyond the horizon (>= 90 deg away): NaN, never mirrored
+    xf, yf = fwd(np.array([80.0]), np.array([-40.0]))  # the antipode
+    assert not np.isfinite(xf[0]) and not np.isfinite(yf[0])
+    # great circles -> straight lines: points along spherical geodesics
+    # (Vincenty f=0) are collinear after projection
+    for azi, s_km in [(37.0, 3000.0), (120.0, 2500.0), (260.0, 4000.0)]:
+        ss = np.linspace(100e3, s_km * 1e3, 9)
+        la1 = np.full_like(ss, 35.0)
+        lo1 = np.full_like(ss, -95.0)
+        glat, glon, _ = direct(la1, lo1, np.full_like(ss, azi), ss, a=6370997.0, f=0.0)
+        gx, gy = fwd(glon, glat)
+        assert np.isfinite(gx).all()
+        # collinearity: cross product of (P_i - P_0) with (P_end - P_0)
+        # vanishes relative to the segment scale
+        vx, vy = gx - gx[0], gy - gy[0]
+        cross = vx * vy[-1] - vy * vx[-1]
+        scale = math.hypot(vx[-1], vy[-1]) ** 2
+        assert np.abs(cross).max() / scale < 1e-9

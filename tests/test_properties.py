@@ -283,7 +283,7 @@ def test_any_geometry_codec_roundtrip_property(geom):
 _proj_family = st.sampled_from(
     [
         "stere_polar", "stere_obl", "sterea", "laea", "cea", "eqc", "sinu", "moll",
-        "ortho", "cass", "aeqd", "aeqd_ell", "omerc", "omerc_2pt", "somerc",
+        "ortho", "gnom", "cass", "aeqd", "aeqd_ell", "omerc", "omerc_2pt", "somerc",
     ]
 )
 
@@ -336,6 +336,8 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
         p4 = f"+proj=sinu +lon_0={lon0} +ellps=WGS84"
     elif fam == "ortho":
         p4 = f"+proj=ortho +lat_0={p0 * sgn} +lon_0={lon0} +ellps=WGS84"
+    elif fam == "gnom":
+        p4 = f"+proj=gnom +lat_0={p0 * sgn} +lon_0={lon0} +R=6371000"
     elif fam == "cass":
         p4 = f"+proj=cass +lat_0={p0 * sgn} +lon_0={lon0} +ellps=WGS84"
     elif fam == "aeqd":
@@ -380,6 +382,9 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
         elif fam == "ortho":
             # far hemisphere: within 90 deg of the ANTIPODE (+ limb eps)
             assert _near_antipode(lon, la, lon0, -p0 * sgn, 90.0 + 1e-6)
+        elif fam == "gnom":
+            # at/beyond the horizon circle (90 deg from center)
+            assert _near_antipode(lon, la, lon0, -p0 * sgn, 90.0 + 1e-4)
         elif fam == "cass":
             from gdal_boots_spark.geom.crs import CassiniSoldnerProj
 
@@ -412,6 +417,9 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
         return
     if fam == "ortho" and _near_antipode(lon, la, lon0, -p0 * sgn, 90.01):
         return  # limb ring: forward defined but inverse ill-conditioned
+    if fam == "gnom" and _near_antipode(lon, la, lon0, -p0 * sgn, 92.0):
+        return  # near-horizon: coordinates blow up ~1/cos(c), inverse
+                # angle resolution degrades — outside the useful domain
     if fam in ("aeqd", "aeqd_ell") and _near_antipode(lon, la, lon0, -p0 * sgn, 3.0):
         return  # boundary-circle neighborhood: direction ill-conditioned
     lo2, la2 = inv(x, y)
