@@ -1143,9 +1143,21 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   ann_cosine         — twin ann_lsh/ann_ivf (same fixture; documented
 #                        driver-side baseline, not the scale path)
 #   reproject          — twin warp_pipeline (facade) + crs_lcc/to_epsg
+# r7 swap (VERDICT r6 item 1): the three r6 LLM-pipeline entries
+# (decontaminate, sessionize, chunk_docs) had grown the board to 53 while
+# the driver's correctness sweep records exactly the first 50 — a silent
+# truncation.  Three more twinned variants move to extras so every board
+# entry gets a hard CORRECTNESS row:
+#   crop_hist          — twin warp_pipeline (facade = crop+mask+reproject
+#                        +resample) + point_sampling (containment guard)
+#   resample_avg       — twin resample_cubic (same kernel machinery,
+#                        harder kernel stays on the board)
+#   event_windows      — twin event_rollup + asof_join (same event table,
+#                        windowed-agg family)
 _EXTRA_QUERIES = (
     "pip_join_shuffle", "crs_3857", "rasterize_hist_dist", "zonal_stats_dist",
     "simhash", "minhash_pairs", "ann_cosine", "reproject",
+    "crop_hist", "resample_avg", "event_windows",
 )
 
 

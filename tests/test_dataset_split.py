@@ -108,7 +108,7 @@ def test_hash_split_entry_surface(spark):
     a = sdf[cols].sort_values(cols).reset_index(drop=True)
     b = odf[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b) and len(a) > 0
-    assert len(entrymod.queries()) == 53  # board size (r6: +decontaminate, +sessionize, +chunk_docs)
+    assert len(entrymod.queries()) == 50  # board size (r7: crop_hist, resample_avg, event_windows -> extras)
 
 
 def test_pack_shards_matches_duckdb_oracle(spark):
@@ -180,4 +180,4 @@ def test_pack_shards_entry_surface(spark):
     a = sdf[cols].sort_values(cols).reset_index(drop=True)
     b = odf[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b) and len(a) > 0
-    assert len(entrymod.queries()) == 53  # board size (r6: +decontaminate, +sessionize, +chunk_docs)
+    assert len(entrymod.queries()) == 50  # board size (r7: crop_hist, resample_avg, event_windows -> extras)

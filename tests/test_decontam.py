@@ -34,7 +34,7 @@ def test_decontaminate_matches_duckdb_oracle(spark):
         if r["nw"] >= 3
     ]
     assert all(bool(g.loc[d, "contaminated"]) for d in bench_long)
-    assert len(entrymod.queries()) == 53
+    assert len(entrymod.queries()) == 50
 
 
 def test_decontaminate_edge_docs(spark):

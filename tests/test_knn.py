@@ -245,4 +245,4 @@ def test_radius_join_meters_entry_surface(spark):
     a = sdf[cols].sort_values(cols).reset_index(drop=True)
     b = odf[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b) and len(a) > 0
-    assert len(entrymod.queries()) == 53
+    assert len(entrymod.queries()) == 50

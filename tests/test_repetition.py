@@ -53,7 +53,7 @@ def test_repetition_stats_entry_surface(spark):
     a = sdf[cols].sort_values(cols).reset_index(drop=True)
     b = odf[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b) and len(a) > 0
-    assert len(entrymod.queries()) == 53
+    assert len(entrymod.queries()) == 50
 
 
 def test_top_ngrams_matches_duckdb_oracle(spark):
@@ -90,4 +90,4 @@ def test_top_ngrams_entry_surface(spark):
     a = sdf[cols].sort_values(cols).reset_index(drop=True)
     b = odf[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b) and len(a) == 25
-    assert len(entrymod.queries()) == 53
+    assert len(entrymod.queries()) == 50

@@ -101,4 +101,4 @@ def test_scrub_entry_surface(spark):
     a = sdf[cols].sort_values(cols).reset_index(drop=True)
     b = odf[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b) and len(a) > 0
-    assert "scrub_text" in entrymod.queries() and len(entrymod.queries()) == 53
+    assert "scrub_text" in entrymod.queries() and len(entrymod.queries()) == 50

@@ -22,7 +22,7 @@ def test_sessionize_matches_duckdb_oracle(spark):
     a = got[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b) and len(a) > 0
-    assert len(entrymod.queries()) == 53
+    assert len(entrymod.queries()) == 50
 
 
 def test_sessionize_edge_rules(spark):
