@@ -123,8 +123,13 @@ def run_bench() -> dict:
 
     def floor_of(name: str) -> float:
         # the clean-window references are sf0.1/default-replicate
-        # numbers; at any other scale the chase is disabled (floor 0)
+        # numbers; at any other scale the chase is disabled (floor 0).
+        # ADVICE r6: a non-default SPARK_GRAFT_REPLICATE changes the xl
+        # workload size, so floors (hence chase + queries_norm) must be
+        # disabled there too, not just on a non-sf0.1 path.
         if not SF_DIR.rstrip("/").endswith("sf0.1"):
+            return 0.0
+        if int(os.environ.get("SPARK_GRAFT_REPLICATE", "4000")) != 4000:
             return 0.0
         return round(REF_CLEAN.get(name, 0.0) * floor_scale, 4)
 

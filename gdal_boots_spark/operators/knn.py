@@ -172,6 +172,15 @@ def knn_join(
     phase-2 annulus radius at 2^(max_rounds-1) cells (the radius the
     old loop reached after that many rounds), trading exactness for a
     bounded explode exactly as before.
+
+    CORRECTNESS caveat (ADVICE r6): the stats probe is memoized per
+    (session, input plan) in _STATS_CACHE, and r_domain derived from it
+    is an EXACTNESS parameter (a too-small domain radius silently
+    truncates the phase-2 search).  Inputs are assumed immutable within
+    a session (the same assumption Spark's FileIndex/relation caches
+    make); if an input path is REWRITTEN in-session, call
+    ``_STATS_CACHE.clear()`` before the next knn_join for correct
+    results — not just fresh timings.
     """
     n_base, uminx, umaxx, uminy, umaxy = _union_stats(query, base)
     if res is None:

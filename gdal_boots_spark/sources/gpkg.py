@@ -27,7 +27,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .vector_io import FEATURE_SCHEMA, VectorDataset
+from .vector_io import EXPORT_MAX_FEATURES, FEATURE_SCHEMA, VectorDataset, collect_for_export
 
 _WKB_NAMES = {
     1: "Point",
@@ -400,13 +400,17 @@ def write_gpkg(
     path: str,
     overwrite: bool = False,
     srs_id: int = 4326,
+    max_features: int = EXPORT_MAX_FEATURES,
 ) -> None:
     """VectorDataset (or {name: features DataFrame}) -> a spec-complete
     GPKG file: application_id "GPKG", gpkg_spatial_ref_sys /
     gpkg_contents / gpkg_geometry_columns catalogs, one feature table
     per layer with fid PRIMARY KEY, typed property columns and
     StandardGeoPackageBinary geometry blobs.  Overwrite semantics of
-    the reference to_file (error when exists, gdal.py:1250-1256)."""
+    the reference to_file (error when exists, gdal.py:1250-1256).
+    Collects each layer to the driver (single-file SQLite container) —
+    guarded by ``max_features`` per layer; use write_ndjson/parquet for
+    planet-scale layers."""
     if os.path.exists(path):
         if not overwrite:
             raise FileExistsError(path)
@@ -448,7 +452,8 @@ def write_gpkg(
         "m TINYINT NOT NULL, CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))"
     )
     for name, df in layers.items():
-        feats = df.select("fid", "gtype", "geojson", "props_json").collect()
+        feats = collect_for_export(
+            df.select("fid", "gtype", "geojson", "props_json"), max_features, "GPKG")
         props = [json.loads(r["props_json"] or "{}") for r in feats]
         keys: list[str] = []
         for p in props:

@@ -574,7 +574,10 @@ def read_osm_distributed(
                 wid, tags, seq = int(row["id"]), _asdict(row["tags"]), int(row["seq"])
                 nds = [int(n) for n in _aslist(row["nds"])]
                 coords = [[float(p["lon"]), float(p["lat"])] for p in _aslist(row["pts"])]
-                consumed = {wid} if row["_consumed"] is True else frozenset()
+                # None-guarded truth test: Arrow->pandas may deliver
+                # numpy.bool_ (not Python True) in all-non-null batches,
+                # and the left-join miss is None — `is True` is fragile.
+                consumed = {wid} if bool(row["_consumed"] or False) else frozenset()
                 layer, geom = _way_feature(wid, nds, tags, coords, consumed)
                 if layer == "multipolygons":
                     _f, gt, gj, props = _feature_row(0, layer, geom, tags, {"osm_id": None, "osm_way_id": str(wid)})
@@ -621,4 +624,9 @@ def read_osm_distributed(
         else:
             df = df.withColumn("fid", (F.col("kind").cast("long") * F.lit(1 << 62) + F.col("seq")))
         layers[name] = df.select("fid", "gtype", "geojson", "props_json")
-    return VectorDataset(layers)
+    vd = VectorDataset(layers)
+    # expose the persisted handles for release() (ADVICE r6: repeated
+    # invocations otherwise leak cached copies, same leak pack_release
+    # fixed for pack_shards)
+    vd._cached = (rel_out, feats)
+    return vd

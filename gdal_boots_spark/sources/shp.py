@@ -28,7 +28,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .vector_io import FEATURE_SCHEMA
+from .vector_io import EXPORT_MAX_FEATURES, FEATURE_SCHEMA, collect_for_export
 
 _SHP_NULL, _SHP_POINT, _SHP_POLYLINE, _SHP_POLYGON, _SHP_MULTIPOINT = 0, 1, 3, 5, 8
 
@@ -254,9 +254,14 @@ def _dbf_read(path: str) -> list[dict]:
 
 
 # --- container read / write -------------------------------------------
-def write_shp(df: DataFrame, path: str, overwrite: bool = False) -> None:
+def write_shp(
+    df: DataFrame, path: str, overwrite: bool = False,
+    max_features: int = EXPORT_MAX_FEATURES,
+) -> None:
     """features DataFrame -> path.shp/.shx/.dbf (single geometry type;
-    reference to_file overwrite semantics)."""
+    reference to_file overwrite semantics).  Collects to the driver
+    (single-file container) — guarded by ``max_features``; use
+    write_ndjson/parquet for planet-scale layers."""
     base = path[:-4] if path.endswith(".shp") else path
     if os.path.exists(base + ".shp"):
         if not overwrite:
@@ -264,7 +269,8 @@ def write_shp(df: DataFrame, path: str, overwrite: bool = False) -> None:
         for ext in (".shp", ".shx", ".dbf"):
             if os.path.exists(base + ext):
                 os.remove(base + ext)
-    feats = df.select("fid", "gtype", "geojson", "props_json").collect()
+    feats = collect_for_export(
+        df.select("fid", "gtype", "geojson", "props_json"), max_features, "Shapefile")
     payloads, types = [], set()
     for r in feats:
         st, body = _geom_to_shp(json.loads(r["geojson"]) if r["geojson"] else None)

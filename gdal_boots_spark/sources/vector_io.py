@@ -50,16 +50,45 @@ def read_geojson(spark: SparkSession, src: str) -> DataFrame:
     return spark.createDataFrame(rows, FEATURE_SCHEMA)
 
 
-def write_geojson(df: DataFrame, path: str, overwrite: bool = False) -> None:
+EXPORT_MAX_FEATURES = 1_000_000
+
+
+def collect_for_export(df: DataFrame, max_features: int, what: str) -> list:
+    """Bounded collect for single-file container exports.
+
+    Single-file exports (GeoJSON FeatureCollection, GPKG, Shapefile)
+    collect every feature to the driver — inherent to one-file
+    container semantics and matching the reference to_file
+    (gdal.py:1250-1256).  This guard mirrors the reader-side size
+    guards (read_gpkg max_bytes): refuse planet-scale exports EARLY,
+    with bounded driver memory even on the failure path (limit n+1,
+    never an unbounded collect), pointing at the sharded scale path."""
+    rows = df.limit(max_features + 1).collect()
+    if len(rows) > max_features:
+        raise ValueError(
+            f"{what} export is a single-file, driver-side surface and the "
+            f"layer exceeds max_features={max_features}. For planet-scale "
+            "layers use the sharded scale path instead: write_ndjson(df, "
+            "dir) (splittable NDJSON) or df.write.parquet(dir)."
+        )
+    return rows
+
+
+def write_geojson(
+    df: DataFrame, path: str, overwrite: bool = False,
+    max_features: int = EXPORT_MAX_FEATURES,
+) -> None:
     """features DataFrame -> one FeatureCollection file.
 
     Overwrite semantics of the reference to_file (gdal.py:1250-1256):
-    raises when the file exists and overwrite=False."""
+    raises when the file exists and overwrite=False.  Collects to the
+    driver (single-file semantics) — guarded by ``max_features``; use
+    write_ndjson/parquet for planet-scale layers."""
     if os.path.exists(path):
         if not overwrite:
             raise FileExistsError(path)
         os.remove(path)
-    rows = df.select("fid", "geojson", "props_json").collect()
+    rows = collect_for_export(df.select("fid", "geojson", "props_json"), max_features, "GeoJSON")
     feats = [
         {
             "type": "Feature",
@@ -151,6 +180,17 @@ class VectorDataset:
     def first(self) -> DataFrame:
         """reference ``layers.first()`` (gdal.py:621, 701)."""
         return next(iter(self._layers.values()))
+
+    def release(self) -> None:
+        """Unpersist any cached DataFrames a distributed reader attached
+        (read_osm_distributed persists its relation-assembly branch point
+        and the unioned feature set).  Mirrors pack_release (ADVICE r6:
+        repeated invocations — bench reps, retries — otherwise leak
+        cached copies).  Safe to call once after the layers have been
+        consumed; re-reading a layer afterwards recomputes from source."""
+        for df in getattr(self, "_cached", ()):
+            df.unpersist()
+        self._cached = ()
 
     def add_layer(self, name: str, df: DataFrame, overwrite: bool = False) -> None:
         """Duplicate layer names error unless overwrite (the reference

@@ -330,3 +330,28 @@ def test_from_gpkg_distributed_classmethod(spark, tmp_path):
     out = VectorDataset.from_gpkg(spark, path, distributed=True, work_dir=str(tmp_path / "nd"))
     got = out["l1"].collect()
     assert len(got) == 1 and got[0]["gtype"] == "Point" and got[0]["fid"] == 1
+
+
+def test_single_file_export_max_features_guard(spark, tmp_path):
+    """VERDICT r6 item 7: single-file exports (GPKG/Shapefile/GeoJSON)
+    collect to the driver; each must refuse planet-scale layers early
+    (bounded limit-collect, never an unbounded collect), pointing at
+    the sharded NDJSON/parquet scale path — mirroring the reader-side
+    size guards."""
+    from gdal_boots_spark.sources.shp import write_shp
+    from gdal_boots_spark.sources.vector_io import FEATURE_SCHEMA, write_geojson
+
+    rows = [
+        (i, "Point", json.dumps({"type": "Point", "coordinates": [float(i), 0.5]}), "{}")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    with pytest.raises(ValueError, match="write_ndjson"):
+        write_gpkg({"pts": df}, str(tmp_path / "a.gpkg"), max_features=3)
+    with pytest.raises(ValueError, match="write_ndjson"):
+        write_shp(df, str(tmp_path / "a.shp"), max_features=3)
+    with pytest.raises(ValueError, match="write_ndjson"):
+        write_geojson(df, str(tmp_path / "a.geojson"), max_features=3)
+    # at/below the cap the exports still work end-to-end
+    write_gpkg({"pts": df}, str(tmp_path / "b.gpkg"), max_features=5)
+    assert read_gpkg(spark, str(tmp_path / "b.gpkg"))["pts"].count() == 5

@@ -355,3 +355,31 @@ def test_osm_distributed_parity_edge_cases_2(spark, tmp_path):
     # coordinate-less 52 do not; self-touching way 41 still a line
     assert a["multipolygons"].count() == 1
     assert a["lines"].count() == 1
+
+
+def test_osm_distributed_release_unpersists(spark, tmp_path):
+    """ADVICE r6: read_osm_distributed persists its relation-assembly
+    branch point and the unioned feature set; the returned dataset must
+    expose a release() that unpersists both (the pack_release pattern),
+    so repeated invocations (bench reps, retries) don't leak caches."""
+    from gdal_boots_spark.sources.osm import read_osm_distributed
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6">
+ <node id="1" lat="0.0" lon="0.0"/>
+ <node id="2" lat="0.0" lon="1.0"/>
+ <node id="3" lat="1.0" lon="1.0"/>
+ <way id="10"><nd ref="1"/><nd ref="2"/><nd ref="3"/>
+  <tag k="highway" v="primary"/></way>
+</osm>"""
+    path = str(tmp_path / "rel.osm")
+    with open(path, "w") as f:
+        f.write(xml)
+    vds = read_osm_distributed(spark, path, work_dir=str(tmp_path / "nd"))
+    assert vds["lines"].count() == 1
+    cached = getattr(vds, "_cached", ())
+    assert len(cached) == 2
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in cached)
+    vds.release()
+    assert all(not (df.storageLevel.useMemory or df.storageLevel.useDisk) for df in cached)
+    assert getattr(vds, "_cached", None) == ()
