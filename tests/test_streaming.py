@@ -186,7 +186,15 @@ def test_stream_pip_join_matches_batch(spark, tmp_path):
 def test_stream_decontaminate_matches_batch(spark, tmp_path):
     """Streaming decontamination drained == the batch operator on the
     same docs (foreachBatch reuses the batch code path; static
-    benchmark dimension), and a checkpointed re-run adds nothing."""
+    benchmark dimension), and a checkpointed re-run adds nothing.
+
+    VERDICT r6 item 8: the drained SINK additionally flows through the
+    board's DuckDB oracle SQL (the stream inputs are exactly the board
+    query's: sf0.001 documents, bench = doc_id % 37) — the streaming
+    path inherits the same exactness bar as batch, not just
+    batch-vs-stream parity."""
+    import __spark_entry__ as entrymod
+    from conftest import SF_SMOKE, compare_to_oracle
     from gdal_boots_spark.operators.decontam import decontaminate
     from gdal_boots_spark.streaming.doc_stream import stream_decontaminate
 
@@ -203,9 +211,13 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     q = stream_decontaminate(spark, indir, bench, ckpt, outdir, n=3)
     q.awaitTermination(120)
 
-    got = sorted(map(tuple, spark.read.parquet(outdir).collect()))
+    drained = spark.read.parquet(outdir)
+    got = sorted(map(tuple, drained.collect()))
     exp = sorted(map(tuple, decontaminate(docs, bench, n=3).collect()))
     assert got == exp and len(exp) > 0
+
+    # oracle-equality of the drained sink itself
+    compare_to_oracle(drained, entrymod.all_oracle_sql()["decontaminate"], SF_SMOKE)
 
     # restart with the same checkpoint: no new batches, no duplicates
     q2 = stream_decontaminate(spark, indir, bench, ckpt, outdir, n=3)
