@@ -878,8 +878,7 @@ def test_geodesic_vincenty_anchors():
     """geom/geodesic.py against published worked examples: the GDA
     Technical Manual's Flinders Peak -> Buninyong line on GRS80
     (s = 54 972.271 m, fwd az 306d52'05.37", rev az 127d10'25.07"),
-    direct/inverse consistency, the coincident-point convention, and
-    the documented near-antipodal NaN guard."""
+    direct/inverse consistency, and the coincident-point convention."""
     import numpy as np
 
     from gdal_boots_spark.geom.geodesic import direct, inverse
@@ -899,13 +898,17 @@ def test_geodesic_vincenty_anchors():
     # direct problem reproduces the destination bit-near-exactly
     la2, lo2, _ = direct(lat1, lon1, float(az1), float(s), a, f)
     assert abs(float(la2) - lat2) < 1e-9 and abs(float(lo2) - lon2) < 1e-9
-    # vectorized: coincident -> (0, 0, 0); near-antipodal -> NaN
+    # vectorized: coincident -> (0, 0, 0); near-antipodal -> FINITE
+    # since r7 (the Karney-style root-find band solver)
     s2, a1, _ = inverse(
         np.array([10.0, 10.0]), np.array([20.0, 20.0]),
         np.array([10.0, -10.002]), np.array([20.0, -160.001]),
     )
     assert s2[0] == 0.0 and a1[0] == 0.0
-    assert not np.isfinite(s2[1])
+    assert np.isfinite(s2[1])
+    la2b, lo2b, _ = direct(10.0, 20.0, float(a1[1]), float(s2[1]))
+    assert abs(float(la2b) + 10.002) < 1e-9
+    assert abs(((float(lo2b) + 160.001 + 180.0) % 360.0) - 180.0) < 1e-9
     # dense random direct∘inverse identity on WGS84 (clear of antipode)
     rng = np.random.default_rng(11)
     lats = rng.uniform(-80, 80, 2000)
@@ -914,11 +917,66 @@ def test_geodesic_vincenty_anchors():
     dists = rng.uniform(1.0, 15e6, 2000)
     la, lo, azb = direct(lats, lons, azis, dists)
     sr, azf, _ = inverse(lats, lons, la, lo)
-    ok = np.isfinite(sr)  # inverse may hit its antipodal band
-    assert ok.mean() > 0.98
-    assert np.abs(sr[ok] - dists[ok]).max() < 1e-3
-    daz = np.abs(((azf[ok] - azis[ok] + 180.0) % 360.0) - 180.0)
+    assert np.isfinite(sr).all()  # r7: no antipodal NaN band left
+    assert np.abs(sr - dists).max() < 1e-3
+    daz = np.abs(((azf - azis + 180.0) % 360.0) - 180.0)
     assert daz.max() < 1e-6
+
+
+def test_geodesic_antipodal_band():
+    """The nearly antipodal domain (VERDICT r6 item 4): Vincenty's
+    non-convergence band is re-solved by the always-convergent
+    Karney-style azimuth root find (geodesic._antipodal_inverse).
+
+    Anchors: on an oblate ellipsoid every EXACTLY antipodal pair
+    connects through a pole along meridians, so its distance is twice
+    the meridian quadrant — WGS84 quadrant 10 001 965.729 m (published
+    constant).  Band correctness: inverse->direct must land on the
+    target to sub-mm; the solver must agree with Vincenty wherever
+    both converge (seam continuity + minimality, since Vincenty's
+    convergent answer IS the shortest)."""
+    import numpy as np
+
+    from gdal_boots_spark.geom.geodesic import _antipodal_inverse, direct, inverse
+
+    TWO_Q = 2.0 * 10001965.7293  # 2 x WGS84 meridian quadrant
+    # pole-to-pole, equatorial antipodal, generic exact antipodes
+    lats = np.array([90.0, 0.0, 10.0, -30.0, 45.0, 60.0, -75.0])
+    lons = np.array([0.0, 0.0, 0.0, 20.0, -120.0, 77.0, 150.0])
+    s, _, _ = inverse(lats, lons, -lats, lons + 180.0)
+    assert np.isfinite(s).all()
+    assert np.abs(s - TWO_Q).max() < 1e-3
+
+    # dense band sweep: random pairs within ~0.9 deg of the antipode
+    rng = np.random.default_rng(5)
+    lat1 = rng.uniform(-80, 80, 1500)
+    lon1 = rng.uniform(-180, 180, 1500)
+    lat2 = np.clip(-lat1 + rng.uniform(-0.9, 0.9, 1500), -90, 90)
+    lon2 = ((lon1 + 180 + rng.uniform(-0.9, 0.9, 1500) + 180) % 360) - 180
+    s, a1, a2 = inverse(lat1, lon1, lat2, lon2)
+    assert np.isfinite(s).all()
+    la, lo, azb = direct(lat1, lon1, a1, s)
+    err_m = np.hypot(
+        np.abs(la - lat2),
+        np.abs(((lo - lon2 + 180) % 360) - 180) * np.cos(np.radians(lat2)),
+    ) * 111194.9
+    assert err_m.max() < 1e-3  # sub-mm landing on the target
+    daz2 = np.abs(((azb - a2 + 180.0) % 360.0) - 180.0)
+    assert daz2.max() < 1e-9  # arrival azimuth consistent with direct
+
+    # seam: just OUTSIDE the band both solvers run — they must agree
+    dd = rng.uniform(1.5, 6.0, 1500)
+    ang = rng.uniform(0, 2 * np.pi, 1500)
+    lat2o = np.clip(-lat1 + dd * np.sin(ang), -89.9, 89.9)
+    lon2o = ((lon1 + 180 + dd * np.cos(ang) + 180) % 360) - 180
+    sv, av1, av2 = inverse(lat1, lon1, lat2o, lon2o)
+    assert np.isfinite(sv).all()
+    sk, ak1, ak2 = _antipodal_inverse(
+        lat1, lon1, lat2o, lon2o, 6378137.0, 1.0 / 298.257223563
+    )
+    assert np.abs(sk - sv).max() < 1e-6
+    assert np.abs(((ak1 - av1 + 180) % 360) - 180).max() < 1e-9
+    assert np.abs(((ak2 - av2 + 180) % 360) - 180).max() < 1e-9
 
 
 def test_aeqd_ellipsoidal_projection():
