@@ -270,6 +270,12 @@ def _is_rect_poly(coords: np.ndarray, ro: np.ndarray) -> bool:
     return {(float(x), float(y)) for x, y in c[:4]} == corners
 
 
+# A/B knob for the r7 multi-ring fast path (tests interleave both
+# settings to assert output parity and the speedup; production always
+# runs True)
+_FAST_MULTIRING = True
+
+
 def _decode_bounds(batches):
     """One Arrow pass: GeoJSON text -> packed geometry struct + bbox,
     building the output struct column DIRECTLY from flat buffers
@@ -296,20 +302,37 @@ def _decode_bounds(batches):
         # by row through from_geojson.
         fast_j: list[int] = []
         fast_blob: list[str] = []
+        m_j: list[int] = []      # multi-ring Polygon rows (r7)
+        m_rc: list[int] = []     # their ring counts
+        m_blob: list[str] = []   # one blob PER RING, row-major
         for j, v in enumerate(texts):
             if (
                 v is not None and '"Polygon"' in v
                 and v.endswith("]]]}")
             ):
                 i = v.find('"coordinates"')
-                # single-ring only: exactly ONE "[[" in the coords
-                # blob.  The old `"]],[[" not in v` guard missed
-                # hole polygons serialized with whitespace
-                # ("]], [[", json.dumps default separators), which
-                # would merge outer+inner rings (ADVICE r3).
-                if i >= 0 and v.count("[[", i) == 1:
+                if i < 0:
+                    continue
+                # ring count == "[[" occurrences in the coords blob
+                # (non-overlapping, exactly one per ring start; the
+                # old `"]],[[" not in v` guard missed hole polygons
+                # serialized with whitespace — "]], [[", json.dumps
+                # default separators — which would merge outer+inner
+                # rings, ADVICE r3).
+                r = v.count("[[", i)
+                if r == 1:
                     fast_j.append(j)
                     fast_blob.append(v[i + 14 : -1])
+                elif r > 1 and _FAST_MULTIRING:
+                    # r7 (VERDICT r6 item 5): multi-ring Polygons take
+                    # the same joined-fromstring fast path, one segment
+                    # per ring — str.split on "[[" yields exactly r
+                    # ring bodies (same non-overlapping scan as count;
+                    # the stray "["/"]],"-junk around the floats is
+                    # whitespace after the translate table)
+                    m_j.append(j)
+                    m_rc.append(r)
+                    m_blob.extend(v[i + 14 : -1].split("[[")[1:])
         fastmask = np.zeros(n, dtype=bool)
         if fast_blob:
             nums = _parse_float_segments(fast_blob)
@@ -333,6 +356,30 @@ def _decode_bounds(batches):
                     )
             # else: global segment-count mismatch -> every row
             # falls back to the per-row path
+        if m_blob:
+            nums_m = _parse_float_segments(m_blob)
+            isn_m = np.isnan(nums_m)
+            if int(isn_m.sum()) == len(m_blob) - 1:
+                seps = np.flatnonzero(isn_m)
+                starts = np.concatenate(([0], seps + 1))
+                ends = np.concatenate((seps, [nums_m.size]))
+                rl = ends - starts  # per-RING float counts
+                rc = np.asarray(m_rc, np.int64)
+                row_id = np.repeat(np.arange(rc.size), rc)
+                ring_ok = (rl >= 8) & (rl % 2 == 0)
+                row_ok = np.bincount(row_id, weights=~ring_ok, minlength=rc.size) == 0
+                if row_ok.any():
+                    keep_ring = row_ok[row_id]
+                    bounds = np.concatenate((starts, [nums_m.size]))
+                    keep_pos = np.repeat(keep_ring, np.diff(bounds)) & ~isn_m
+                    sel_m = np.asarray(m_j, np.int64)[row_ok]
+                    fastmask[sel_m] = True
+                    rs = np.concatenate(([0], np.cumsum(rc)))[:-1]
+                    clen_m = np.add.reduceat(rl, rs)[row_ok]  # rc >= 2: no empty windows
+                    yield _decode_fast_batch(
+                        batch, sel_m, nums_m[keep_pos], clen_m,
+                        rings=rc[row_ok], ring_lens=rl[keep_ring],
+                    )
 
         mask = np.zeros(n, dtype=bool)
         gts: list[int] = []
@@ -473,33 +520,40 @@ def _decode_bounds(batches):
         )
 
 
-def _decode_fast_batch(batch, sel, cvals, clen):
-    """Vectorized emitter for the single-ring-Polygon decode fast path
-    (r5, VERDICT r4 item 2): given the joined-fromstring parse results
-    — row indices ``sel`` into ``batch``, their concatenated coords
-    ``cvals`` and per-row coord counts ``clen`` — build the entire
-    output RecordBatch (bbox, rect detection, rect payload-blanking,
-    packed-geometry struct) with numpy/Arrow array ops only.  Fast rows
-    ship as their OWN batch, separate from the per-row fallback batch:
+def _decode_fast_batch(batch, sel, cvals, clen, rings=None, ring_lens=None):
+    """Vectorized emitter for the Polygon decode fast path (r5, VERDICT
+    r4 item 2; r7 extends it to MULTI-RING polygons, VERDICT r6 item
+    5): given the joined-fromstring parse results — row indices ``sel``
+    into ``batch``, their concatenated coords ``cvals``, per-row coord
+    counts ``clen``, and (multi-ring) per-row ring counts ``rings``
+    with per-ring coord counts ``ring_lens`` (row-major) — build the
+    entire output RecordBatch (bbox, rect detection, rect
+    payload-blanking, packed-geometry struct) with numpy/Arrow array
+    ops only: ring offsets come from a grouped cumsum over the flat
+    per-ring counts, never per-row Python dicts.  Fast rows ship as
+    their OWN batch, separate from the per-row fallback batch:
     downstream candidate generation (explode -> broadcast cell join ->
     reporting-cell dedup) is order-insensitive, so splitting the batch
-    removes the per-row append/assembly loop for the ~95% majority
+    removes the per-row append/assembly loop for the majority
     (it was ~2.3s of the 5.1s clean-window poly path)."""
     import pyarrow as pa
 
     k = sel.size
+    if rings is None:
+        rings = np.ones(k, np.int64)
+        ring_lens = np.asarray(clen, np.int64)
     coffs = np.concatenate(([0], np.cumsum(clen)))
-    npts = (clen // 2).astype(np.int32)
     xs, ys = cvals[0::2], cvals[1::2]
     vstarts = coffs[:-1] // 2
     minx = np.minimum.reduceat(xs, vstarts)
     maxx = np.maximum.reduceat(xs, vstarts)
     miny = np.minimum.reduceat(ys, vstarts)
     maxy = np.maximum.reduceat(ys, vstarts)
-    # exact rectangle detection: closed 5-point ring whose vertex set
-    # IS its 4 bbox corners (same predicate as the fallback path)
+    # exact rectangle detection: closed SINGLE-ring 5-point Polygon
+    # whose vertex set IS its 4 bbox corners (same predicate as the
+    # fallback path)
     rect = np.zeros(k, dtype=bool)
-    idx = np.flatnonzero(clen == 10)
+    idx = np.flatnonzero((clen == 10) & (rings == 1))
     if idx.size:
         M = cvals[coffs[idx][:, None] + np.arange(10)[None, :]]
         closed = (M[:, 0] == M[:, 8]) & (M[:, 1] == M[:, 9])
@@ -516,17 +570,38 @@ def _decode_fast_batch(batch, sel, cvals, clen):
     nk = int(keep.sum())
     cvals_out = cvals[np.repeat(keep, clen)]
     coffs_out = np.concatenate(([0], np.cumsum(np.where(keep, clen, 0))))
-    roffs = np.concatenate(([0], np.cumsum(np.where(keep, 2, 0))))
-    rvals = np.zeros(2 * nk, np.int32)
-    rvals[1::2] = npts[keep]
-    pvals = np.tile(np.asarray([0, 1], np.int32), nk)
+    # ring_offsets payload per kept row: [0, p1, p1+p2, ...] — grouped
+    # cumsum of the kept rows' per-ring point counts
+    keep_ring = np.repeat(keep, rings)
+    rl = ring_lens[keep_ring]
+    rc = rings[keep]
+    npts_ring = rl // 2
+    g = np.cumsum(npts_ring)
+    if rc.size:
+        row_first = np.concatenate(([0], np.cumsum(rc)))[:-1]
+        base = np.repeat(np.concatenate(([0], g))[row_first], rc)
+        local = g - base
+    else:
+        local = g
+    entries = rc + 1
+    total = int(entries.sum())
+    row_starts = np.concatenate(([0], np.cumsum(entries)))[:-1]
+    rvals = np.zeros(total, np.int32)
+    fill = np.ones(total, dtype=bool)
+    fill[row_starts] = False
+    rvals[fill] = local.astype(np.int32)
+    roffs = np.concatenate(([0], np.cumsum(np.where(keep, rings + 1, 0))))
+    # part_offsets per kept row: [0, nrings] (one Polygon part)
+    poffs = np.concatenate(([0], np.cumsum(np.where(keep, 2, 0))))
+    pvals = np.zeros(2 * nk, np.int32)
+    pvals[1::2] = rc.astype(np.int32)
     zoffs = pa.array(np.zeros(k + 1, np.int64), pa.int32())
     geom_arr = pa.StructArray.from_arrays(
         [
             pa.array(np.full(k, 3, np.int8)),
             pa.ListArray.from_arrays(pa.array(coffs_out, pa.int32()), pa.array(cvals_out, pa.float64())),
             pa.ListArray.from_arrays(pa.array(roffs, pa.int32()), pa.array(rvals, pa.int32())),
-            pa.ListArray.from_arrays(pa.array(roffs, pa.int32()), pa.array(pvals, pa.int32())),
+            pa.ListArray.from_arrays(pa.array(poffs, pa.int32()), pa.array(pvals, pa.int32())),
             pa.ListArray.from_arrays(zoffs, pa.array(np.empty(0, np.int8), pa.int8())),
             pa.ListArray.from_arrays(zoffs, pa.array(np.empty(0, np.int32), pa.int32())),
         ],

@@ -576,3 +576,78 @@ def test_board_oracle_contract():
     assert q == o, (sorted(q - o), sorted(o - q))
     aq, ao = set(entrymod.all_queries()), set(entrymod.all_oracle_sql())
     assert aq == ao, (sorted(aq - ao), sorted(ao - aq))
+
+
+def test_multiring_fast_decode_parity():
+    """VERDICT r6 item 5: the multi-ring Polygon fast path
+    (_decode_fast_batch with per-ring counts) must be BIT-IDENTICAL to
+    the per-row from_geojson fallback across hole polygons in both
+    compact and whitespace serializations, and must leave MultiPolygon
+    / GeometryCollection / malformed rows to the fallback.  (Measured
+    1.98x on the decode stage at 500k spans / 20% multi-ring,
+    interleaved best-of-6 A/B.)"""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+
+    import gdal_boots_spark.operators.spatial_join as sj
+
+    rng = np.random.default_rng(3)
+    texts = []
+
+    def poly(rings, sep=(",", ":")):
+        return json.dumps({"type": "Polygon", "coordinates": rings}, separators=sep)
+
+    for i in range(400):
+        cx, cy = float(rng.uniform(-170, 170)), float(rng.uniform(-80, 80))
+        outer = [[cx, cy], [cx + 1, cy], [cx + 1, cy + 1], [cx, cy + 1], [cx, cy]]
+        hole = [[cx + 0.2, cy + 0.2], [cx + 0.4, cy + 0.2], [cx + 0.3, cy + 0.4], [cx + 0.2, cy + 0.2]]
+        hole2 = [[cx + 0.6, cy + 0.6], [cx + 0.8, cy + 0.6], [cx + 0.7, cy + 0.8], [cx + 0.6, cy + 0.6]]
+        k = i % 8
+        if k == 0:
+            texts.append(poly([outer]))
+        elif k == 1:
+            texts.append(poly([outer, hole]))
+        elif k == 2:
+            texts.append(poly([outer, hole, hole2], sep=(", ", ": ")))
+        elif k == 3:  # exact rectangle: payload-blanked rect row
+            texts.append(poly([[[cx, cy], [cx + 2, cy], [cx + 2, cy + 2], [cx, cy + 2], [cx, cy]]]))
+        elif k == 4:
+            texts.append(json.dumps({"type": "MultiPolygon", "coordinates": [
+                [outer], [[[cx + 3, cy], [cx + 4, cy], [cx + 4, cy + 1], [cx + 3, cy]]]]}))
+        elif k == 5:
+            texts.append(json.dumps({"type": "GeometryCollection", "geometries": [
+                {"type": "Polygon", "coordinates": [outer]},
+                {"type": "Point", "coordinates": [cx, cy]}]}))
+        elif k == 6:
+            texts.append(None)
+        else:
+            texts.append(poly([outer, hole]).replace(",", ", "))
+
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([str(i) for i in range(len(texts))]),
+         pa.array(np.arange(len(texts), dtype=np.int32)),
+         pa.array(texts)],
+        names=["doc_id", "span_pos", "text"],
+    )
+
+    def decode(flag):
+        old = sj._FAST_MULTIRING
+        sj._FAST_MULTIRING = flag
+        try:
+            rows = {}
+            for rb in sj._decode_bounds([batch]):
+                t = rb.to_pydict()
+                for m in range(rb.num_rows):
+                    rows[t["doc_id"][m]] = tuple(
+                        tuple(sorted(t[k][m].items())) if isinstance(t[k][m], dict) else t[k][m]
+                        for k in rb.schema.names
+                    )
+            return rows
+        finally:
+            sj._FAST_MULTIRING = old
+
+    fast = decode(True)
+    slow = decode(False)
+    assert fast == slow and len(fast) == 350  # 50 None rows dropped
