@@ -336,20 +336,88 @@ def run_scaling() -> None:
         spark.sparkContext.setLogLevel("WARN")
         interleaved_docs(spark, SF_DIR, replicate=int(replicate)).write.mode("overwrite").parquet(cache)
         spark.stop()
-    results = {}
-    for cpus in ("8", "32"):
+    # Clean-window references per level (VERDICT r6 item 2: gate each
+    # rep on the same-run controls vs clean refs, interleave the two
+    # levels, keep sampling until both land or the budget runs out).
+    # cpu/pandas refs: r5 10:38Z clean row (local[8] 2.107/2.264,
+    # local[32] 0.878/1.124); flagship refs: best clean-window seconds
+    # with CURRENT code (local[8] 11.38 from the 03:10Z row whose
+    # local[8] controls were clean; local[32] 5.87 from r5 — the r6
+    # cold-plan cut can only lower it).
+    clean = {
+        "8": {"cpu_control": 2.05, "pandas_control": 2.26, "flagship": 11.38},
+        "32": {"cpu_control": 0.878, "pandas_control": 1.12, "flagship": 5.87},
+    }
+    ctl_tol = float(os.environ.get("SPARK_GRAFT_SCALING_CTL_TOL", "1.2"))
+    max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "5"))
+    rounds: list[dict] = []  # per pair-round: {"8": result, "32": result}
+    accepted: dict[str, dict] = {}  # level -> best accepted result
+
+    def _run_level(cpus: str) -> dict:
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=cpus,
             SPARK_GRAFT_SF_DIR=SF_DIR,
             SPARK_GRAFT_SCALING_ONLY="1",
             SPARK_GRAFT_REPLICATE=replicate,
+            # the outer loop owns the chase; don't let a subprocess
+            # stall 25 min inside its own load gate
+            SPARK_GRAFT_LOAD_WAIT_S=os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "180"),
         )
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         )
-        results[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    def _accept(cpus: str, res: dict) -> tuple[bool, dict]:
+        """A rep is CLEAN iff both same-run controls sit within ctl_tol
+        of their clean-window references AND the flagship's best rep is
+        <= CHASE_FACTOR x its control-scaled floor."""
+        q = res["queries"]
+        ref = clean[cpus]
+        cpu_ok = q["cpu_control"] <= ctl_tol * ref["cpu_control"]
+        pandas_ok = q["pandas_control"] <= ctl_tol * ref["pandas_control"]
+        floor = ref["flagship"] * q["cpu_control"] / ref["cpu_control"]
+        fl_ok = q["pip_join_xl"] <= CHASE_FACTOR * floor
+        verdict = {
+            "cpu_ok": cpu_ok, "pandas_ok": pandas_ok, "flagship_ok": fl_ok,
+            "floor": round(floor, 3),
+            "cpu_control": q["cpu_control"], "pandas_control": q["pandas_control"],
+            "flagship": q["pip_join_xl"], "load_at_start": res.get("load_at_start"),
+        }
+        return cpu_ok and pandas_ok and fl_ok, verdict
+
+    audit: list[dict] = []
+    for rnd in range(max_rounds):
+        row: dict = {}
+        # alternate which level goes first each round so neither level
+        # systematically inherits the other's just-vacated window
+        order = ("8", "32") if rnd % 2 == 0 else ("32", "8")
+        for cpus in order:
+            if cpus in accepted:
+                continue
+            res = _run_level(cpus)
+            ok, verdict = _accept(cpus, res)
+            verdict.update({"round": rnd, "cpus": cpus, "accepted": ok})
+            audit.append(verdict)
+            row[cpus] = res
+            if ok:
+                accepted[cpus] = res
+            print(json.dumps({"scaling_rep": verdict}), file=sys.stderr, flush=True)
+        rounds.append(row)
+        if len(accepted) == 2:
+            break
+    chase_unresolved = [c for c in ("8", "32") if c not in accepted]
+    # fall back to the best-controls rep per unresolved level so the
+    # run still reports a (labeled) number instead of nothing
+    best_any: dict[str, dict] = {}
+    for row in rounds:
+        for cpus, res in row.items():
+            cur = best_any.get(cpus)
+            if cur is None or res["queries"]["cpu_control"] < cur["queries"]["cpu_control"]:
+                best_any[cpus] = res
+    results = {c: accepted.get(c) or best_any[c] for c in ("8", "32")}
     tp8 = results["8"]["docs_per_sec"]
     tp32 = results["32"]["docs_per_sec"]
     speedup = tp32 / tp8
@@ -381,6 +449,16 @@ def run_scaling() -> None:
             f"pandas {pctl_speedup}x; flagship {round(speedup, 2)}x -> "
             f"**{eff_vs_machine}** of the JVM ceiling / **{eff_vs_pandas}** of the "
             "Python-worker ceiling.\n"
+            + (
+                "Both levels CHASE-ACCEPTED (controls within "
+                f"{ctl_tol}x of clean refs, flagship within {CHASE_FACTOR}x of "
+                f"its control-scaled floor) after {len(rounds)} interleaved "
+                "pair-round(s).\n"
+                if not chase_unresolved
+                else f"chase_unresolved={chase_unresolved} after {len(rounds)} "
+                "pair-rounds — best-controls rep reported, window NOT clean; "
+                "see rep audit in the JSON.\n"
+            )
         )
     print(json.dumps({
         "scaling_efficiency": eff,
@@ -388,6 +466,8 @@ def run_scaling() -> None:
         "pandas_control_speedup": pctl_speedup,
         "efficiency_vs_machine_ceiling": eff_vs_machine,
         "efficiency_vs_pandas_ceiling": eff_vs_pandas,
+        "chase_unresolved": chase_unresolved,
+        "rep_audit": audit,
         "local8": results["8"],
         "local32": results["32"],
     }))
