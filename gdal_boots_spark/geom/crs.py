@@ -33,6 +33,10 @@ gnom (spherical gnomonic, horizon-guarded, great-circle-to-line
 invariant asserted) —
 no projection family the reference test-set exercises is refused
 anymore; degenerate parameterizations still raise clear errors.
+Round-7 adds the tail families robin (Robinson 1974 19-knot table,
+natural-spline interpolation, knots exact) and tpeqd (two-point
+equidistant, spherical — the defining two-distance preservation is
+asserted against the great-circle distance in tests).
 Every oblique azimuthal family NaN-guards its singular domain
 (antipodal disk; sterea's |dlam|>180/n aliasing band) instead of
 returning silently wrong coordinates.
@@ -804,6 +808,192 @@ def _make_gnom(p: dict):
     return fwd, inv
 
 
+# --- Robinson ---------------------------------------------------------
+# The published Robinson (1974) table: X = parallel length factor,
+# Y = parallel distance factor, one knot per 5 deg of |latitude|
+# (Snyder, "An Album of Map Projections", USGS PP 1453, p. 82;
+# the same 19 knots PROJ's robin.c cubic coefficients are fitted to).
+_ROBIN_LAT = np.arange(0.0, 95.0, 5.0)
+_ROBIN_X = np.array([
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322,
+])
+_ROBIN_Y = np.array([
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000,
+])
+_ROBIN_FXC = 0.8487  # x = FXC * R * X * lam     (PROJ robin.c scale
+_ROBIN_FYC = 1.3523  # y = FYC * R * Y * sign(phi)  constants)
+
+
+def _natural_spline(xs: np.ndarray, ys: np.ndarray):
+    """Natural cubic spline through (xs, ys): returns (eval, deriv)
+    vectorized callables.  Small-n tridiagonal solve at build time."""
+    n = len(xs)
+    h = np.diff(xs)
+    # second derivatives M: natural BCs M0 = Mn-1 = 0
+    A = np.zeros((n, n))
+    rhs = np.zeros(n)
+    A[0, 0] = A[-1, -1] = 1.0
+    for i in range(1, n - 1):
+        A[i, i - 1] = h[i - 1]
+        A[i, i] = 2.0 * (h[i - 1] + h[i])
+        A[i, i + 1] = h[i]
+        rhs[i] = 6.0 * ((ys[i + 1] - ys[i]) / h[i] - (ys[i] - ys[i - 1]) / h[i - 1])
+    M = np.linalg.solve(A, rhs)
+
+    def ev(x):
+        x = np.asarray(x, np.float64)
+        i = np.clip(np.searchsorted(xs, x, side="right") - 1, 0, n - 2)
+        t = x - xs[i]
+        hi = h[i]
+        return (
+            ys[i]
+            + t * ((ys[i + 1] - ys[i]) / hi - hi * (2 * M[i] + M[i + 1]) / 6.0)
+            + t * t * (M[i] / 2.0)
+            + t * t * t * ((M[i + 1] - M[i]) / (6.0 * hi))
+        )
+
+    def dv(x):
+        x = np.asarray(x, np.float64)
+        i = np.clip(np.searchsorted(xs, x, side="right") - 1, 0, n - 2)
+        t = x - xs[i]
+        hi = h[i]
+        return (
+            (ys[i + 1] - ys[i]) / hi
+            - hi * (2 * M[i] + M[i + 1]) / 6.0
+            + t * M[i]
+            + t * t * ((M[i + 1] - M[i]) / (2.0 * hi))
+        )
+
+    return ev, dv
+
+
+def _make_robin(p: dict):
+    """+proj=robin — Robinson pseudocylindrical (the published 1974
+    19-knot table, natural cubic spline between knots; table latitudes
+    are EXACT, interpolated latitudes agree with PROJ's own fitted
+    cubics to ~1e-4 of R since both derive from the same knots).
+    x = 0.8487 R X(|phi|) lam, y = 1.3523 R Y(|phi|) sign(phi).
+    Spherical (+R if given, else the ellipsoid's a) — PROJ semantics.
+    Inverse solves the monotone Y spline by Newton from a linear-interp
+    seed (|y| is clamped to the pole ordinate, as PROJ clamps)."""
+    a, _, _ = _resolve_ellipsoid(p)
+    R = float(p["R"]) if "R" in p else a
+    lon0 = math.radians(float(p.get("lon_0", 0)))
+    x0, y0 = float(p.get("x_0", 0)), float(p.get("y_0", 0))
+    x_ev, _ = _natural_spline(_ROBIN_LAT, _ROBIN_X)
+    y_ev, y_dv = _natural_spline(_ROBIN_LAT, _ROBIN_Y)
+
+    def fwd(lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64)) - lon0
+        latd = np.clip(np.asarray(lat, np.float64), -90.0, 90.0)
+        ad = np.abs(latd)
+        x = x0 + _ROBIN_FXC * R * x_ev(ad) * lam
+        y = y0 + _ROBIN_FYC * R * y_ev(ad) * np.sign(latd)
+        return x, y
+
+    def inv(x, y):
+        x = np.asarray(x, np.float64) - x0
+        y = np.asarray(y, np.float64) - y0
+        yy = np.clip(np.abs(y) / (_ROBIN_FYC * R), 0.0, 1.0)
+        # monotone Y: linear-interp seed, then Newton on the spline
+        phi = np.interp(yy, _ROBIN_Y, _ROBIN_LAT)
+        for _ in range(6):
+            d = y_dv(phi)
+            step = (y_ev(phi) - yy) / np.where(d == 0, 1.0, d)
+            phi = np.clip(phi - step, 0.0, 90.0)
+        lam = x / (_ROBIN_FXC * R * x_ev(phi))
+        return _norm_lon_deg(np.degrees(lon0 + lam)), phi * np.sign(y)
+
+    return fwd, inv
+
+
+def _make_tpeqd(p: dict):
+    """+proj=tpeqd — two-point equidistant, spherical (PROJ semantics;
+    sphere radius = +R if given else the ellipsoid's a).  The two base
+    points (+lat_1,+lon_1), (+lat_2,+lon_2) land at (-c, 0) and (+c, 0)
+    where 2c = their great-circle distance; every point's distances to
+    BOTH base points are preserved exactly (the defining property,
+    asserted in tests): with z1 = dist(P1,P), z2 = dist(P2,P),
+    x = (z1^2 - z2^2) / (2 z0), y = +-sqrt(z1^2 - (x + c)^2), the sign
+    by which side of the P1->P2 great circle P falls ((P1 x P2) . P).
+    Inverse solves P = alpha P1 + beta P2 + gamma (P1 x P2)/sin(z0)
+    from the two dot-product constraints; out-of-map coordinates
+    (triangle inequality violated beyond rounding) return NaN instead
+    of aliasing onto the sphere.  Identical base points or antipodal
+    base points raise (the frame is degenerate there)."""
+    a, _, _ = _resolve_ellipsoid(p)
+    R = float(p["R"]) if "R" in p else a
+    for k in ("lat_1", "lon_1", "lat_2", "lon_2"):
+        if k not in p:
+            raise ValueError(f"+proj=tpeqd requires +{k}")
+    x0, y0 = float(p.get("x_0", 0)), float(p.get("y_0", 0))
+
+    def _unit(lon_d: float, lat_d: float) -> np.ndarray:
+        lo, la = math.radians(lon_d), math.radians(lat_d)
+        return np.array(
+            [math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo), math.sin(la)]
+        )
+
+    A = _unit(float(p["lon_1"]), float(p["lat_1"]))
+    B = _unit(float(p["lon_2"]), float(p["lat_2"]))
+    cosd = float(np.dot(A, B))
+    nvec = np.cross(A, B)
+    sind = float(np.linalg.norm(nvec))
+    if sind < 1e-12:
+        raise ValueError(
+            "+proj=tpeqd: base points coincide or are antipodal — the two-point frame is degenerate"
+        )
+    nvec = nvec / sind
+    z0 = math.atan2(sind, cosd)
+    c = z0 / 2.0
+
+    def _xyz(lon, lat):
+        lo = np.radians(np.asarray(lon, np.float64))
+        la = np.radians(np.asarray(lat, np.float64))
+        cl = np.cos(la)
+        return cl * np.cos(lo), cl * np.sin(lo), np.sin(la)
+
+    def fwd(lon, lat):
+        px, py, pz = _xyz(lon, lat)
+        d1 = np.clip(A[0] * px + A[1] * py + A[2] * pz, -1.0, 1.0)
+        d2 = np.clip(B[0] * px + B[1] * py + B[2] * pz, -1.0, 1.0)
+        z1, z2 = np.arccos(d1), np.arccos(d2)
+        X = (z1 * z1 - z2 * z2) / (2.0 * z0)
+        ysq = z1 * z1 - (X + c) ** 2
+        side = np.sign(nvec[0] * px + nvec[1] * py + nvec[2] * pz)
+        Y = side * np.sqrt(np.maximum(ysq, 0.0))
+        return x0 + R * X, y0 + R * Y
+
+    def inv(x, y):
+        X = (np.asarray(x, np.float64) - x0) / R
+        Y = (np.asarray(y, np.float64) - y0) / R
+        z1 = np.hypot(X + c, Y)
+        z2 = np.hypot(X - c, Y)
+        with np.errstate(invalid="ignore"):
+            bad = (z1 > np.pi) | (z2 > np.pi)
+        cz1, cz2 = np.cos(z1), np.cos(z2)
+        s2 = sind * sind
+        alpha = (cz1 - cz2 * cosd) / s2
+        beta = (cz2 - cz1 * cosd) / s2
+        g2 = 1.0 - (alpha * alpha + beta * beta + 2.0 * alpha * beta * cosd)
+        # beyond-rounding triangle violation => not a sphere point
+        bad = bad | (g2 < -1e-9)
+        gamma = np.sign(Y) * np.sqrt(np.maximum(g2, 0.0))
+        px = alpha * A[0] + beta * B[0] + gamma * nvec[0]
+        py = alpha * A[1] + beta * B[1] + gamma * nvec[1]
+        pz = alpha * A[2] + beta * B[2] + gamma * nvec[2]
+        lon = np.degrees(np.arctan2(py, px))
+        lat = np.degrees(np.arcsin(np.clip(pz, -1.0, 1.0)))
+        nan = np.where(bad, np.nan, 0.0)
+        return _norm_lon_deg(lon + nan), lat + nan
+
+    return fwd, inv
+
+
 class CassiniSoldnerProj:
     """+proj=cass — ellipsoidal Cassini-Soldner (EPSG method 9806,
     Snyder 13-7..13-13 truncated series).  The series is the EPSG
@@ -1376,6 +1566,10 @@ def _projector(crs):
             return _make_ortho(p)
         if p.get("proj") == "gnom":
             return _make_gnom(p)
+        if p.get("proj") == "robin":
+            return _make_robin(p)
+        if p.get("proj") == "tpeqd":
+            return _make_tpeqd(p)
         if p.get("proj") == "aeqd":
             return _make_aeqd(p)
         if p.get("proj") == "omerc":

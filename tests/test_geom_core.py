@@ -1228,3 +1228,106 @@ def test_gnom_projection():
         cross = vx * vy[-1] - vy * vx[-1]
         scale = math.hypot(vx[-1], vy[-1]) ** 2
         assert np.abs(cross).max() / scale < 1e-9
+
+
+def test_robin_projection():
+    """+proj=robin (Robinson 1974): the 19 published table knots are
+    EXACT (x = 0.8487 R X lam, y = 1.3523 R Y), the equator/central
+    meridian behave, north/south antisymmetry holds, and random points
+    round-trip through the spline inverse."""
+    import numpy as np
+
+    from gdal_boots_spark.geom.crs import _ROBIN_LAT, _ROBIN_X, _ROBIN_Y, _projector
+
+    R = 6371000.0
+    fwd, inv = _projector(f"+proj=robin +lon_0=10 +R={R}")
+    # every table knot is exact at an arbitrary meridian offset
+    lam = np.radians(37.0 - 10.0)
+    x, y = fwd(np.full_like(_ROBIN_LAT, 37.0), _ROBIN_LAT)
+    assert np.abs(x - 0.8487 * R * _ROBIN_X * lam).max() < 1e-6
+    assert np.abs(y - 1.3523 * R * _ROBIN_Y).max() < 1e-6
+    # antisymmetry + equator linearity in lon
+    xs, ys = fwd(np.array([50.0, 50.0, 10.0, 70.0]), np.array([40.0, -40.0, 0.0, 0.0]))
+    assert abs(ys[0] + ys[1]) < 1e-9 and abs(xs[0] - xs[1]) < 1e-9
+    assert abs(ys[2]) < 1e-9 and abs(xs[2]) < 1e-9
+    assert abs(xs[3] - 0.8487 * R * np.radians(60.0)) < 1e-6
+    # round-trip (interpolated latitudes, both hemispheres)
+    rng = np.random.default_rng(11)
+    lons = rng.uniform(-179, 179, 800)
+    lats = rng.uniform(-89.9, 89.9, 800)
+    lo2, la2 = inv(*fwd(lons, lats))
+    assert np.abs(((lo2 - lons + 180) % 360) - 180).max() < 1e-8
+    assert np.abs(la2 - lats).max() < 1e-8
+    # the spline is monotone between knots (no overshoot ringing)
+    grid = np.linspace(0.0, 90.0, 2001)
+    _, yg = fwd(np.zeros_like(grid) + 10.0, grid)
+    assert (np.diff(yg) > 0).all()
+
+
+def test_tpeqd_projection():
+    """+proj=tpeqd (two-point equidistant, spherical): the base points
+    land at (-c, 0) / (+c, 0), EVERY point preserves its great-circle
+    distances to both base points (the defining property), random
+    points round-trip, degenerate base pairs raise, and off-sphere
+    plane coordinates invert to NaN."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from gdal_boots_spark.geom.crs import _projector
+
+    R = 6371000.0
+    p4 = f"+proj=tpeqd +R={R} +lon_1=-20 +lat_1=35 +lon_2=25 +lat_2=45"
+    fwd, inv = _projector(p4)
+
+    def gc_dist(lo1, la1, lo2, la2):
+        lo1, la1, lo2, la2 = map(np.radians, (lo1, la1, lo2, la2))
+        return R * np.arccos(
+            np.clip(
+                np.sin(la1) * np.sin(la2) + np.cos(la1) * np.cos(la2) * np.cos(lo1 - lo2),
+                -1.0, 1.0,
+            )
+        )
+
+    half = float(gc_dist(-20.0, 35.0, 25.0, 45.0)) / 2.0
+    x1, y1 = fwd(np.array([-20.0]), np.array([35.0]))
+    x2, y2 = fwd(np.array([25.0]), np.array([45.0]))
+    # y on the baseline is sqrt(eps)-class: ysq = z1^2 - (X+c)^2
+    # cancels to ~eps*z0^2, so |y| <= R*sqrt(eps) ~ 0.1 m there (same
+    # formulation and noise class as PROJ's tpeqd); x is exact-ish.
+    assert abs(float(x1[0]) + half) < 1e-6 and abs(float(y1[0])) < 0.5
+    assert abs(float(x2[0]) - half) < 1e-6 and abs(float(y2[0])) < 0.5
+    # defining property: plane distance to each base point == great-
+    # circle distance, for points all over the sphere
+    rng = np.random.default_rng(7)
+    lons = rng.uniform(-179, 179, 1000)
+    lats = rng.uniform(-85, 85, 1000)
+    x, y = fwd(lons, lats)
+    d1 = np.hypot(x + half, y)  # base points sit at exactly (-c, 0)/(+c, 0)
+    d2 = np.hypot(x - half, y)
+    assert np.abs(d1 - gc_dist(lons, lats, -20.0, 35.0)).max() < 1e-5
+    assert np.abs(d2 - gc_dist(lons, lats, 25.0, 45.0)).max() < 1e-5
+    # round-trip
+    lo2, la2 = inv(x, y)
+    assert np.abs(((lo2 - lons + 180) % 360) - 180).max() < 1e-6
+    assert np.abs(la2 - lats).max() < 1e-6
+    # x_0/y_0 offsets
+    fwd_o, inv_o = _projector(p4 + " +x_0=4000 +y_0=-2500")
+    xo, yo = fwd_o(np.array([3.0]), np.array([50.0]))
+    xb, yb = fwd(np.array([3.0]), np.array([50.0]))
+    assert abs(float(xo[0] - xb[0]) - 4000.0) < 1e-9
+    assert abs(float(yo[0] - yb[0]) + 2500.0) < 1e-9
+    lo3, la3 = inv_o(xo, yo)
+    assert abs(float(lo3[0]) - 3.0) < 1e-6 and abs(float(la3[0]) - 50.0) < 1e-6
+    # degenerate frames raise
+    with pytest.raises(ValueError):
+        _projector(f"+proj=tpeqd +R={R} +lon_1=10 +lat_1=20 +lon_2=10 +lat_2=20")
+    with pytest.raises(ValueError):
+        _projector(f"+proj=tpeqd +R={R} +lon_1=10 +lat_1=20 +lon_2=-170 +lat_2=-20")
+    with pytest.raises(ValueError):
+        _projector(f"+proj=tpeqd +R={R} +lon_1=10 +lat_1=20 +lon_2=30")
+    # plane coordinates no sphere point can reach invert to NaN
+    bad_x = np.array([R * (math.pi + half / R + 1.0)])
+    lo4, la4 = inv(bad_x, np.array([0.0]))
+    assert not np.isfinite(lo4[0]) and not np.isfinite(la4[0])

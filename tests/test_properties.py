@@ -284,6 +284,7 @@ _proj_family = st.sampled_from(
     [
         "stere_polar", "stere_obl", "sterea", "laea", "cea", "eqc", "sinu", "moll",
         "ortho", "gnom", "cass", "aeqd", "aeqd_ell", "omerc", "omerc_2pt", "somerc",
+        "robin", "tpeqd",
     ]
 )
 
@@ -356,6 +357,16 @@ def test_projection_inverse_property(fam, lon, la, lon0, p0, south):
         )
     elif fam == "somerc":
         p4 = f"+proj=somerc +lat_0={p0 * sgn} +lon_0={lon0} +k_0=1 +ellps=bessel"
+    elif fam == "robin":
+        p4 = f"+proj=robin +lon_0={lon0} +R=6371000"
+    elif fam == "tpeqd":
+        # two distinct, never-antipodal base points (same recipe as
+        # omerc_2pt: 0.6*p0 vs 0.9*p0 + 3, p0 >= 15)
+        p4 = (
+            f"+proj=tpeqd +R=6371000 "
+            f"+lon_1={lon0 - 10} +lat_1={p0 * 0.6 * sgn} "
+            f"+lon_2={lon0 + 10} +lat_2={(p0 * 0.9 + 3) * sgn}"
+        )
     else:
         p4 = f"+proj=moll +lon_0={lon0} +ellps=WGS84"
     fwd, inv = _projector(p4)
