@@ -509,7 +509,11 @@ def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rid", "rminx", "rminy",
         (F.col("rminx") + 0.05).alias("rmaxx"), (F.col("rminy") + 0.05).alias("rmaxy"),
     )
-    return bbox_overlap_join(left, right, res=10).select("lid", "rid")
+    # res=None: data-driven resolution (auto_res -> 12 for these rect
+    # shapes; r6-verdict item 6 — res=10 dilated every rect by a
+    # 0.35 x 0.18 deg cell: 62.4M join rows over 120 skewed cells for
+    # 4.38M true pairs at bench density, measured -40% wall at res 12)
+    return bbox_overlap_join(left, right, res=None).select("lid", "rid")
 
 
 def q_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,7 +541,7 @@ def q_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rminx = F.lit(26.0004) + ((pk * 383) % 2800).cast("double") / 1000.0
     rminy = F.lit(53.0004) + ((pk * 769) % 1800).cast("double") / 1000.0
     right = part.select(pk.alias("poly_id"), rect_gj(rminx, rminy, F.lit(0.05), F.lit(0.05)).alias("geojson"))
-    return intersects_join(left, right, res=10)
+    return intersects_join(left, right, res=None)
 
 
 def q_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:

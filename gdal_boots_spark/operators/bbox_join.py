@@ -44,14 +44,19 @@ def _explode_cover(df: DataFrame, res: int, prefix: str) -> DataFrame:
 
 
 def auto_res(left: DataFrame, right: DataFrame, sample: int = 1024) -> int:
-    """Pick the bucketing resolution from the DATA: cell edge ~2x the
-    median rect edge.  The join result is res-INDEPENDENT (exact
-    refinement + reporting-cell dedup), but the candidate volume is
-    not: cells much larger than the rects degenerate into per-cell
-    cross joins (at bench density, res=10 put 170k rects into ~88
-    cells = 34M candidate pairs), while cells much smaller multiply
-    the cover explode.  Two bounded `limit(sample)` scans; their cost
-    (~0.2s) is paid once per join against a candidate-volume cliff."""
+    """Pick the bucketing resolution from the DATA: x-cell edge closest
+    (in log2) to the median rect edge max(w, 2h) — i.e. cell ~ rect.
+    The join result is res-INDEPENDENT (exact refinement +
+    reporting-cell dedup), but the candidate volume is not: cells much
+    larger than the rects dilate every rect by a cell (at bench
+    density, res=10 = 62.4M join rows over 120 cells — a skewed
+    per-cell cross join — for 4.38M true pairs), while cells much
+    smaller multiply the cover explode (res=14: 2.3M cover rows, 30.7M
+    join rows).  cell ~ rect bottoms the trade: res=12 = 19.0M join
+    rows / 1575 cells, measured -40% wall vs res=10 (clean-window
+    interleaved probe, scripts/bbox_res_probe.py, BENCH/BASELINE.md).
+    Two bounded `limit(sample)` scans; their cost (~2 tiny jobs) is
+    paid once per join against the candidate-volume cliff."""
     import statistics
 
     med = []
@@ -64,8 +69,8 @@ def auto_res(left: DataFrame, right: DataFrame, sample: int = 1024) -> int:
             med.append(max(r["w"], r["h"] * 2.0))  # y cells are 180/n vs x 360/n
     if not med:
         return 10
-    target = max(statistics.median(med), 1e-9) * 2.0
-    res = int(math.floor(math.log2(360.0 / target)))
+    target = max(statistics.median(med), 1e-9)
+    res = int(round(math.log2(360.0 / target)))
     return max(4, min(res, 18))
 
 
@@ -94,11 +99,14 @@ def bbox_overlap_join(left: DataFrame, right: DataFrame, res: int | None = 10) -
     return j.where(overlap & (F.col("cell_id") == rep)).drop("cell_id")
 
 
-def intersects_join(left: DataFrame, right: DataFrame, res: int = 10) -> DataFrame:
+def intersects_join(left: DataFrame, right: DataFrame, res: int | None = None) -> DataFrame:
     """Exact polygon-intersects join: left(lid, geojson) x
     right(rid, geojson) -> (lid, rid) for every intersecting pair.
 
-    bbox-overlap candidates (cell-bucketed, dedup-free) refined by the
+    bbox-overlap candidates (cell-bucketed, dedup-free; res=None picks
+    the resolution from sampled bbox sizes — the candidate volume
+    matters MORE here than in bbox_overlap_join because every
+    candidate row crosses into the Python refine) refined by the
     exact GEOS-Intersects predicate (geom.pip.polygons_intersect —
     boundary crossing, containment, AND degenerate touching).
     Geometries ride the candidate rows as GeoJSON strings; within each

@@ -195,6 +195,10 @@ def test_bbox_join_auto_res_identical(spark):
     r_small = auto_res(mk(100, 0.01, "l", "lid"), mk(100, 0.01, "r", "rid"))
     r_big = auto_res(mk(100, 1.0, "l", "lid"), mk(100, 1.0, "r", "rid"))
     assert 4 <= r_big < r_small <= 18
+    # the bench rect shape (0.04/0.05-deg rects) pins to res 12 — the
+    # measured -40% trade bottom (62.4M join rows at res 10 -> 19.0M,
+    # BENCH/BASELINE.md bbox decomposition)
+    assert auto_res(left, right) == 12
 
 
 def test_zonal_stats_vs_oracle(spark):
