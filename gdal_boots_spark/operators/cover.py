@@ -94,10 +94,29 @@ def _tile_range(minv, maxv, tile_size: int, n_tiles: int):
     return t0, t1
 
 
+# (applicationId, polys semanticHash, grid geometry) -> collected dim.
+# Same pattern and caveat as spatial_join._POLY_DIM_CACHE: a rewritten
+# input path within one session needs _CONTRIB_CACHE.clear() for
+# correct results, not just fresh timings.
+_CONTRIB_CACHE: dict = {}
+
+
 def contribs_broadcast(spark, polys: DataFrame, grid: RasterGrid):
     """-> (packed dict {poly_id: (coords, ring_offsets)},
            contribs list [(tile_x, tile_y, poly_id)]).
-    Driver collect; the polygon table must be dimension-sized."""
+    Driver collect (memoized per session on the dimension's semantic
+    hash + the grid — rebuilding the same burn costs zero jobs); the
+    polygon table must be dimension-sized."""
+    try:
+        key = (
+            polys.sparkSession.sparkContext.applicationId,
+            polys._jdf.queryExecution().analyzed().semanticHash(),
+            grid.transform, grid.width, grid.height, grid.tile_w, grid.tile_h,
+        )
+    except Exception:  # internal API moved: fall back to no memo
+        key = None
+    if key is not None and key in _CONTRIB_CACHE:
+        return _CONTRIB_CACHE[key]
     rows = polys.select("poly_id", "geojson").collect()
     packed, contribs = {}, []
     for r in rows:
@@ -114,6 +133,10 @@ def contribs_broadcast(spark, polys: DataFrame, grid: RasterGrid):
         for ty in range(ty0, ty1 + 1):
             for tx in range(tx0, tx1 + 1):
                 contribs.append((tx, ty, pid))
+    if key is not None:
+        if len(_CONTRIB_CACHE) > 64:
+            _CONTRIB_CACHE.pop(next(iter(_CONTRIB_CACHE)))
+        _CONTRIB_CACHE[key] = (packed, contribs)
     return packed, contribs
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..geom.raster_kernels import rasterize_mask
-from ..sources.tiles import TILE_SCHEMA, RasterGrid, generate_tiles
+from ..sources.tiles import TILE_SCHEMA, RasterGrid
 from .cover import contribs_broadcast, contribs_distributed, geom_arrays, polys_fit_broadcast
 
 
@@ -84,10 +84,34 @@ def rasterize(
             "meta": g.meta_encoded,
         }
 
+    # dense mode is ONE render pass: a zero-contribution sentinel row
+    # per tile rides the (tiny) contribution shuffle and the render
+    # emits every group.  The old shape (burn touched tiles, then
+    # zeros.join(broadcast(burned.select(tile_key)), "left_anti") +
+    # union) consumed `burned` TWICE — Spark does not reuse an
+    # uncached subtree across consumers, so the whole render ran twice
+    # plus a zeros generate stage and an anti-join (measured ~2x the
+    # single-pass execution on the board burn).
+    n_tiles_total = g.n_tiles_x * g.n_tiles_y
+    dn = dense
+
     if distributed:
-        contribs = contribs_distributed(polys, grid).withColumn(
-            "tile_index", F.col("tile_y").cast("long") * ntx + F.col("tile_x")
+        contribs = contribs_distributed(polys, grid).select(
+            (F.col("tile_y").cast("long") * ntx + F.col("tile_x")).alias("tile_index"),
+            "poly_id",
+            "geom",
         )
+        if dense:
+            geom_t = contribs.schema["geom"].dataType
+            contribs = contribs.unionByName(
+                # 2 input tasks, not defaultParallelism: these are a few
+                # bytes per tile and only feed the tile_index exchange
+                spark.range(0, n_tiles_total, 1, 2).select(
+                    F.col("id").alias("tile_index"),
+                    F.lit(None).cast("long").alias("poly_id"),
+                    F.lit(None).cast(geom_t).alias("geom"),
+                )
+            )
         n_parts = max(spark.sparkContext.defaultParallelism * 2, 2)
 
         def render_partition(batches):
@@ -107,12 +131,14 @@ def rasterize(
                 out = np.zeros((h, w), dtype=np.uint8)
                 grp = grp.sort_values("poly_id")
                 for pid, gg in zip(grp["poly_id"].to_numpy(), grp["geom"]):
+                    if pd.isna(pid):
+                        continue  # dense sentinel row
                     arrays = cache.get(int(pid))
                     if arrays is None:
                         arrays = cache[int(pid)] = geom_arrays(gg)
                     coords, ro = arrays
                     rasterize_mask(coords, ro, t, h, w, all_touched=at, out=out, burn=bv)
-                if out.any():
+                if dn or out.any():
                     rows.append(tile_row(ti, out))
             if rows:
                 yield pd.DataFrame(rows)
@@ -126,10 +152,21 @@ def rasterize(
         if not contrib_rows:
             touched = spark.createDataFrame([], "tile_index long, poly_id long")
         else:
-            touched = spark.createDataFrame(contrib_rows, "tile_index long, poly_id long")
+            # contribution rows are a few bytes each; don't spread them
+            # over defaultParallelism input tasks just to re-exchange
+            touched = spark.createDataFrame(
+                contrib_rows, "tile_index long, poly_id long"
+            ).coalesce(2)
+        if dense:
+            touched = touched.unionByName(
+                spark.range(0, n_tiles_total, 1, 2).select(
+                    F.col("id").alias("tile_index"),
+                    F.lit(None).cast("long").alias("poly_id"),
+                )
+            )
         bpolys = spark.sparkContext.broadcast(packed)
-        n_touched = len({t for t, _ in contrib_rows}) or 1
-        n_parts = max(min(spark.sparkContext.defaultParallelism * 2, n_touched), 2)
+        n_units = n_tiles_total if dense else (len({t for t, _ in contrib_rows}) or 1)
+        n_parts = max(min(spark.sparkContext.defaultParallelism * 2, n_units), 2)
 
         def render_partition(batches):
             import pandas as pd
@@ -145,10 +182,10 @@ def rasterize(
                 h, w = g.tile_shape(tx, ty)
                 t = g.tile_transform(tx, ty)
                 out = np.zeros((h, w), dtype=np.uint8)
-                for pid in sorted(grp["poly_id"].tolist()):
+                for pid in sorted(grp["poly_id"].dropna().tolist()):
                     coords, ro = bpolys.value[int(pid)]
                     rasterize_mask(coords, ro, t, h, w, all_touched=at, out=out, burn=bv)
-                if out.any():
+                if dn or out.any():
                     rows.append(tile_row(ti, out))
             if rows:
                 yield pd.DataFrame(rows)
@@ -157,12 +194,4 @@ def rasterize(
             render_partition, schema=TILE_SCHEMA
         )
 
-    if not dense:
-        return burned
-
-    zeros = generate_tiles(spark, g, lambda b, ty, tx, h, w, gg: np.zeros((h, w), np.uint8))
-    # broadcast the key side: the anti-join must not shuffle the zero
-    # tiles' pixel payloads just to subtract a handful of keys
-    touched_keys = burned.select("tile_key")
-    empty = zeros.join(F.broadcast(touched_keys), "tile_key", "left_anti")
-    return burned.unionByName(empty)
+    return burned
