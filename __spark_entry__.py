@@ -516,6 +516,42 @@ def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bbox_overlap_join(left, right, res=None).select("lid", "rid")
 
 
+def q_bbox_join_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bbox overlap on HETEROGENEOUS rect sizes (85% 0.02-deg, 10%
+    0.4-deg, 5% 4-deg — three orders of magnitude) through the
+    adaptive multi-level cover (bbox_overlap_join_adaptive): each rect
+    buckets at its own level, pairs count once at min(level) — the
+    corpus mix a single global resolution cannot bucket without either
+    exploding the big rects or dilating the small ones.  Oracle is the
+    definitional interval-overlap cross join; sizes are integer-
+    derived doubles so both engines compute identical IEEE sums."""
+    from gdal_boots_spark.operators.bbox_join import bbox_overlap_join_adaptive
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+
+    def side(df, key, p, mx, my):
+        k = F.col(key)
+        w = F.when(k % 20 < 17, 20).when(k % 20 < 19, 400).otherwise(4000).cast("double") / 1000.0
+        h = F.when(k % 20 < 17, 14).when(k % 20 < 19, 280).otherwise(2800).cast("double") / 1000.0
+        return df.select(
+            k.alias(f"{p}id"),
+            (F.lit(26.0) + ((k * mx) % 2900).cast("double") / 1000.0).alias(f"{p}minx"),
+            (F.lit(53.0) + ((k * my) % 1900).cast("double") / 1000.0).alias(f"{p}miny"),
+            w.alias("_w"), h.alias("_h"),
+        ).select(
+            f"{p}id", f"{p}minx", f"{p}miny",
+            (F.col(f"{p}minx") + F.col("_w")).alias(f"{p}maxx"),
+            (F.col(f"{p}miny") + F.col("_h")).alias(f"{p}maxy"),
+        )
+
+    left = side(supp, "s_suppkey", "l", 271, 577)
+    right = side(part, "p_partkey", "r", 383, 769)
+    return bbox_overlap_join_adaptive(left, right).select(
+        F.col("lid"), F.col("rid")
+    )
+
+
 def q_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact polygon-intersects join (GEOS Intersects semantics incl.
     touching): orders-derived rect polygons x part-derived rect
@@ -1158,10 +1194,12 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                        harder kernel stays on the board)
 #   event_windows      — twin event_rollup + asof_join (same event table,
 #                        windowed-agg family)
+# r7 add: bbox_join_hetero — twin bbox_join (same operator family;
+# exercises the adaptive multi-level cover on mixed-magnitude rects)
 _EXTRA_QUERIES = (
     "pip_join_shuffle", "crs_3857", "rasterize_hist_dist", "zonal_stats_dist",
     "simhash", "minhash_pairs", "ann_cosine", "reproject",
-    "crop_hist", "resample_avg", "event_windows",
+    "crop_hist", "resample_avg", "event_windows", "bbox_join_hetero",
 )
 
 
@@ -1207,6 +1245,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_pipeline": q_warp_pipeline,
         "salted_join": q_salted_join,
         "bbox_join": q_bbox_join,
+        "bbox_join_hetero": q_bbox_join_hetero,
         "intersects_join": q_intersects_join,
         "zonal_stats": q_zonal,
         "zonal_stats_dist": q_zonal_dist,
@@ -2070,6 +2109,35 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM l, r
             WHERE l.lminx <= r.rminx + 0.05 AND r.rminx <= l.lminx + 0.04
               AND l.lminy <= r.rminy + 0.05 AND r.rminy <= l.lminy + 0.04
+        """,
+        "bbox_join_hetero": """
+            WITH l AS (
+              SELECT s_suppkey AS lid,
+                     26.0 + CAST((s_suppkey * 271) % 2900 AS DOUBLE) / 1000.0 AS lminx,
+                     53.0 + CAST((s_suppkey * 577) % 1900 AS DOUBLE) / 1000.0 AS lminy,
+                     CAST(CASE WHEN s_suppkey % 20 < 17 THEN 20
+                               WHEN s_suppkey % 20 < 19 THEN 400
+                               ELSE 4000 END AS DOUBLE) / 1000.0 AS w,
+                     CAST(CASE WHEN s_suppkey % 20 < 17 THEN 14
+                               WHEN s_suppkey % 20 < 19 THEN 280
+                               ELSE 2800 END AS DOUBLE) / 1000.0 AS h
+              FROM supplier
+            ), r AS (
+              SELECT p_partkey AS rid,
+                     26.0 + CAST((p_partkey * 383) % 2900 AS DOUBLE) / 1000.0 AS rminx,
+                     53.0 + CAST((p_partkey * 769) % 1900 AS DOUBLE) / 1000.0 AS rminy,
+                     CAST(CASE WHEN p_partkey % 20 < 17 THEN 20
+                               WHEN p_partkey % 20 < 19 THEN 400
+                               ELSE 4000 END AS DOUBLE) / 1000.0 AS w,
+                     CAST(CASE WHEN p_partkey % 20 < 17 THEN 14
+                               WHEN p_partkey % 20 < 19 THEN 280
+                               ELSE 2800 END AS DOUBLE) / 1000.0 AS h
+              FROM part
+            )
+            SELECT l.lid AS lid, r.rid AS rid
+            FROM l, r
+            WHERE l.lminx <= r.rminx + r.w AND r.rminx <= l.lminx + l.w
+              AND l.lminy <= r.rminy + r.h AND r.rminy <= l.lminy + l.h
         """,
         "intersects_join": """
             WITH l AS (

@@ -99,6 +99,123 @@ def bbox_overlap_join(left: DataFrame, right: DataFrame, res: int | None = 10) -
     return j.where(overlap & (F.col("cell_id") == rep)).drop("cell_id")
 
 
+def _rect_level(prefix: str, lo: int, hi: int):
+    """Per-row finest level in [lo, hi] whose cell covers the rect in
+    <= 2 cells per axis (cell edge >= rect edge; y cells are half the
+    x edge, hence the 180/h term) — the bbox twin of the poly path's
+    adaptive span level (spatial_join.py)."""
+    w = F.greatest(F.col(f"{prefix}maxx") - F.col(f"{prefix}minx"), F.lit(1e-12))
+    h = F.greatest(F.col(f"{prefix}maxy") - F.col(f"{prefix}miny"), F.lit(1e-12))
+    lx = F.floor(F.log2(F.lit(360.0) / w))
+    ly = F.floor(F.log2(F.lit(180.0) / h))
+    return F.least(F.greatest(F.least(lx, ly), F.lit(lo)), F.lit(hi)).cast("int")
+
+
+def _explode_cover_multi(df: DataFrame, lo: int, hi: int, prefix: str) -> DataFrame:
+    """bbox columns -> covering cells at EVERY level in [lo, own_level]
+    (level embedded in cell_id; `{prefix}lvl` carries the rect's own
+    level).  At the rect's own level and every coarser one the cover is
+    <= 2x2 cells, so a rect costs <= 4*(hi-lo+1) rows regardless of its
+    size — no explode blow-up for rects far from the corpus median."""
+    own = _rect_level(prefix, lo, hi).alias(f"{prefix}lvl")
+    out = df.select("*", own).select(
+        "*", F.explode(F.sequence(F.lit(lo), F.col(f"{prefix}lvl"))).alias("_lvl")
+    )
+    n = F.pow(F.lit(2.0), F.col("_lvl")).cast("long")
+
+    def part(v, offs, span):
+        return F.least(
+            F.greatest(F.floor((v + F.lit(offs)) / span * n), F.lit(0)), n - F.lit(1)
+        ).cast("long")
+
+    out = out.select(
+        "*",
+        F.explode(
+            F.sequence(
+                part(F.col(f"{prefix}minx"), 180.0, 360.0),
+                part(F.col(f"{prefix}maxx"), 180.0, 360.0),
+            )
+        ).alias("_ix"),
+        part(F.col(f"{prefix}miny"), 90.0, 180.0).alias("_iy0"),
+        part(F.col(f"{prefix}maxy"), 90.0, 180.0).alias("_iy1"),
+    ).select("*", F.explode(F.sequence(F.col("_iy0"), F.col("_iy1"))).alias("_iy"))
+    cell = (
+        F.col("_lvl").cast("long") * F.lit(2**58)
+        + F.col("_ix") * F.lit(2**29)
+        + F.col("_iy")
+    )
+    return out.withColumn("cell_id", cell).drop("_ix", "_iy", "_iy0", "_iy1", "_lvl")
+
+
+def auto_levels(left: DataFrame, right: DataFrame, sample: int = 1024) -> tuple[int, int]:
+    """(lo, hi) level window from the DATA: hi sized for the small
+    rects (10th-percentile edge), lo for the large ones (90th), capped
+    at 8 apart.  Mixed-magnitude corpora get per-rect levels inside
+    this window instead of one global compromise resolution."""
+    edges = []
+    for df, p in ((left, "l"), (right, "r")):
+        rows = df.select(
+            (F.col(f"{p}maxx") - F.col(f"{p}minx")).alias("w"),
+            (F.col(f"{p}maxy") - F.col(f"{p}miny")).alias("h"),
+        ).limit(sample).collect()
+        edges.extend(max(r["w"], r["h"] * 2.0) for r in rows)
+    if not edges:
+        return 10, 10
+    edges.sort()
+    p10 = max(edges[int(len(edges) * 0.1)], 1e-9)
+    p90 = max(edges[min(int(len(edges) * 0.9), len(edges) - 1)], 1e-9)
+    hi = max(4, min(int(round(math.log2(360.0 / p10))), 18))
+    lo = max(4, min(int(round(math.log2(360.0 / p90))), hi))
+    return max(lo, hi - 8), hi
+
+
+def bbox_overlap_join_adaptive(
+    left: DataFrame, right: DataFrame, levels: tuple[int, int] | None = None
+) -> DataFrame:
+    """bbox_overlap_join for HETEROGENEOUS rect sizes: each rect covers
+    at its own level (<= 2x2 cells) plus every coarser level in a
+    bounded window, both sides symmetric.  A pair (A, B) meets at every
+    common level; it is COUNTED exactly once — at min(lvl_A, lvl_B)
+    (the coarser rect's level, where the finer rect is a <= 2x2 cover)
+    in the reporting cell holding the intersection's lower-left corner.
+
+    Same exact semantics as bbox_overlap_join (closed-interval overlap,
+    each pair exactly once, no distinct shuffle); use it when rect
+    sizes span magnitudes — a single global resolution either explodes
+    the big rects or dilates the small ones by giant cells.  Cost per
+    rect is <= 4*(hi-lo+1) cover rows REGARDLESS of its size (the
+    poly-span adaptive-cover argument, spatial_join.py, applied to both
+    join sides)."""
+    if levels is None:
+        levels = auto_levels(left, right)
+    lo, hi = levels
+    lc = _explode_cover_multi(left, lo, hi, "l")
+    rc = _explode_cover_multi(right, lo, hi, "r")
+    j = lc.join(rc, "cell_id")
+    overlap = (
+        (F.col("lminx") <= F.col("rmaxx"))
+        & (F.col("rminx") <= F.col("lmaxx"))
+        & (F.col("lminy") <= F.col("rmaxy"))
+        & (F.col("rminy") <= F.col("lmaxy"))
+    )
+    m = F.least(F.col("llvl"), F.col("rlvl")).cast("long")
+    cell_lvl = F.floor(F.col("cell_id") / F.lit(2**58)).cast("long")
+    n = F.pow(F.lit(2.0), m).cast("long")
+    cx = F.greatest(F.col("lminx"), F.col("rminx"))
+    cy = F.greatest(F.col("lminy"), F.col("rminy"))
+    rep_x = F.least(
+        F.greatest(F.floor((cx + F.lit(180.0)) / 360.0 * n), F.lit(0)), n - F.lit(1)
+    ).cast("long")
+    rep_y = F.least(
+        F.greatest(F.floor((cy + F.lit(90.0)) / 180.0 * n), F.lit(0)), n - F.lit(1)
+    ).cast("long")
+    rep = m * F.lit(2**58) + rep_x * F.lit(2**29) + rep_y
+    return (
+        j.where(overlap & (cell_lvl == m) & (F.col("cell_id") == rep))
+        .drop("cell_id", "llvl", "rlvl")
+    )
+
+
 def intersects_join(left: DataFrame, right: DataFrame, res: int | None = None) -> DataFrame:
     """Exact polygon-intersects join: left(lid, geojson) x
     right(rid, geojson) -> (lid, rid) for every intersecting pair.

@@ -201,6 +201,66 @@ def test_bbox_join_auto_res_identical(spark):
     assert auto_res(left, right) == 12
 
 
+def test_bbox_join_adaptive_heterogeneous(spark):
+    """bbox_overlap_join_adaptive == brute-force cross join == the
+    single-res join, on rects spanning 3 orders of magnitude — AND its
+    cover volume is bounded per rect (<= 4*(hi-lo+1)) where the
+    single-res cover of the big rects explodes."""
+    import numpy as np
+
+    from gdal_boots_spark.operators.bbox_join import (
+        _explode_cover,
+        _explode_cover_multi,
+        auto_levels,
+        bbox_overlap_join,
+        bbox_overlap_join_adaptive,
+    )
+
+    rng = np.random.default_rng(23)
+
+    def mk(n, prefix, ident, seed_sizes):
+        xs = rng.uniform(20, 30, n)
+        ys = rng.uniform(50, 58, n)
+        sizes = seed_sizes[rng.integers(0, len(seed_sizes), n)]
+        return spark.createDataFrame(
+            [
+                (int(i), float(x), float(y), float(x + s), float(y + s * 0.7))
+                for i, (x, y, s) in enumerate(zip(xs, ys, sizes))
+            ],
+            f"{ident} long, {prefix}minx double, {prefix}miny double, "
+            f"{prefix}maxx double, {prefix}maxy double",
+        )
+
+    # 85% small / 10% medium / 5% huge — the heterogeneous web corpus
+    sizes = np.array([0.02] * 17 + [0.4] * 2 + [4.0])
+    left = mk(250, "l", "lid", sizes)
+    right = mk(150, "r", "rid", sizes)
+
+    rows = left.crossJoin(right).where(
+        "lminx <= rmaxx and rminx <= lmaxx and lminy <= rmaxy and rminy <= lmaxy"
+    )
+    brute = {(r["lid"], r["rid"]) for r in rows.select("lid", "rid").collect()}
+    adaptive = {
+        (r["lid"], r["rid"])
+        for r in bbox_overlap_join_adaptive(left, right).select("lid", "rid").collect()
+    }
+    single = {
+        (r["lid"], r["rid"])
+        for r in bbox_overlap_join(left, right, res=None).select("lid", "rid").collect()
+    }
+    assert adaptive == brute == single and len(brute) > 0
+    # exactly-once: collect() above would hide dupes in a set — count them
+    n_adaptive = bbox_overlap_join_adaptive(left, right).count()
+    assert n_adaptive == len(brute)
+    # per-rect cover bound vs the single-res explode of the huge rects
+    lo, hi = auto_levels(left, right)
+    assert hi > lo  # heterogeneous sizes must open a window
+    multi_cover = _explode_cover_multi(left, lo, hi, "l").count()
+    assert multi_cover <= left.count() * 4 * (hi - lo + 1)
+    single_cover = _explode_cover(left, hi, "l").count()
+    assert single_cover > multi_cover  # the 4-deg rects explode at `hi`
+
+
 def test_zonal_stats_vs_oracle(spark):
     df = entrymod.all_queries()["zonal_stats"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.all_oracle_sql()["zonal_stats"], SF_ORACLE, float_cols=("mean",), atol=1e-9)
@@ -280,6 +340,13 @@ def test_pip_join_poly_spans_vs_oracle(spark):
 def test_intersects_join_vs_oracle(spark):
     df = entrymod.all_queries()["intersects_join"](spark, SF_ORACLE)
     compare_to_oracle(df, entrymod.all_oracle_sql()["intersects_join"], SF_ORACLE)
+
+
+def test_bbox_join_hetero_vs_oracle(spark):
+    """The adaptive multi-level bbox join entry (extras; twin of board
+    bbox_join) is oracle-exact on the mixed-magnitude rect corpus."""
+    df = entrymod.all_queries()["bbox_join_hetero"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["bbox_join_hetero"], SF_ORACLE)
 
 
 @pytest.mark.parametrize("name", ["fast_warp", "write_window", "make_valid", "to_epsg", "tile_checksum"])
