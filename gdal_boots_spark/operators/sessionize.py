@@ -95,6 +95,39 @@ def _gap_micros(gap: str) -> int:
     return int(n) * mult * 1_000_000
 
 
+def session_stats_oracle_sql(gap_us: int = 1_800_000_000) -> str:
+    """DuckDB oracle for the per-session aggregate in its session-
+    WINDOW form — (user_id, start_us, end_us = last event + gap,
+    n_events) — the drained shape of the streaming session window
+    (streaming/doc_stream.stream_session_stats).  Same strict-gap rule
+    and tie-break as sessionize_oracle_sql."""
+    return f"""
+        SELECT user_id,
+               CAST(MIN(us) AS BIGINT) AS start_us,
+               CAST(MAX(us) + {gap_us} AS BIGINT) AS end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (
+          SELECT user_id, us,
+                 SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS sess
+          FROM (
+            SELECT event_id, user_id, epoch_us(ts) AS us,
+                   CASE WHEN lag(epoch_us(ts)) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id
+                        ) IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id
+                        ) > {gap_us}
+                   THEN 1 ELSE 0 END AS new_sess
+            FROM events
+          )
+        )
+        GROUP BY user_id, sess
+    """
+
+
 def sessionize_oracle_sql(gap_us: int = 1_800_000_000) -> str:
     """Exact DuckDB equivalent of the board query (same strict-gap
     rule, same (ts, event_id) tie-break, BIGINT outputs)."""

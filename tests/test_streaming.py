@@ -263,6 +263,22 @@ def test_stream_session_stats_matches_batch(spark, tmp_path):
     n_batch = session_stats(ev, "30 minutes").count()
     assert len(exp) == n_batch
 
+    # oracle-equality of the DRAINED SINK itself (VERDICT r6 item 8,
+    # second streaming surface): the streamed session windows equal the
+    # DuckDB strict-gap oracle in session-window form (end = last
+    # event + gap), compared in microseconds so NTZ/zone casts cannot
+    # hide an off-by-offset
+    from conftest import SF_SMOKE, compare_to_oracle
+    from gdal_boots_spark.operators.sessionize import session_stats_oracle_sql
+
+    drained = spark.table("sess").select(
+        "user_id",
+        F.unix_micros("w_start").alias("start_us"),
+        F.unix_micros("w_end").alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    compare_to_oracle(drained, session_stats_oracle_sql(gap_us=1_800_000_000), SF_SMOKE)
+
     # boundary agreement: an event at EXACTLY the gap merges into the
     # native session window AND stays in-session for the strict-gap
     # sessionize counter — identical session sets, boundary included
