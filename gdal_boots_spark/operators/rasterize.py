@@ -102,14 +102,25 @@ def rasterize(
             "geom",
         )
         if dense:
-            geom_t = contribs.schema["geom"].dataType
+            # r8 (ADVICE): the sentinel geom is a NON-NULL empty struct
+            # — Spark's Arrow writer serializes NULL struct rows
+            # pathologically slowly (~14us/row, the CLAUDE.md gotcha);
+            # the render keeps keying the skip on poly_id IS NULL.
+            empty_geom = F.struct(
+                F.lit(0).cast("tinyint").alias("gtype"),
+                F.array().cast("array<double>").alias("coords"),
+                F.array().cast("array<int>").alias("ring_offsets"),
+                F.array().cast("array<int>").alias("part_offsets"),
+                F.array().cast("array<tinyint>").alias("part_types"),
+                F.array().cast("array<int>").alias("child_offsets"),
+            )
             contribs = contribs.unionByName(
                 # 2 input tasks, not defaultParallelism: these are a few
                 # bytes per tile and only feed the tile_index exchange
                 spark.range(0, n_tiles_total, 1, 2).select(
                     F.col("id").alias("tile_index"),
                     F.lit(None).cast("long").alias("poly_id"),
-                    F.lit(None).cast(geom_t).alias("geom"),
+                    empty_geom.alias("geom"),
                 )
             )
         n_parts = max(spark.sparkContext.defaultParallelism * 2, 2)
@@ -147,50 +158,47 @@ def rasterize(
             render_partition, schema=TILE_SCHEMA
         )
     else:
+        # r8 (guide §2.4): the contribution rows are DRIVER-resident
+        # (contribs_broadcast already collected them), so they ride the
+        # polygon broadcast as a {tile_index: [poly_id]} dict instead of
+        # a createDataFrame -> union(zeros) -> repartition chain.  The
+        # render source collapses to ONE Range with explicit partitions:
+        # zero exchanges, no ExistingRDD parallelize, two fewer stage
+        # boundaries per build (plan: Range -> MapInPandas; before:
+        # Scan ExistingRDD + Range -> Union -> Exchange -> MapInPandas).
         packed, pairs = contribs_broadcast(spark, polys, grid)
-        contrib_rows = [(ty * ntx + tx, pid) for tx, ty, pid in pairs]
-        if not contrib_rows:
-            touched = spark.createDataFrame([], "tile_index long, poly_id long")
-        else:
-            # contribution rows are a few bytes each; don't spread them
-            # over defaultParallelism input tasks just to re-exchange
-            touched = spark.createDataFrame(
-                contrib_rows, "tile_index long, poly_id long"
-            ).coalesce(2)
-        if dense:
-            touched = touched.unionByName(
-                spark.range(0, n_tiles_total, 1, 2).select(
-                    F.col("id").alias("tile_index"),
-                    F.lit(None).cast("long").alias("poly_id"),
-                )
-            )
-        bpolys = spark.sparkContext.broadcast(packed)
-        n_units = n_tiles_total if dense else (len({t for t, _ in contrib_rows}) or 1)
+        contribs_by_tile: dict[int, list[int]] = {}
+        for tx, ty, pid in pairs:
+            contribs_by_tile.setdefault(ty * ntx + tx, []).append(pid)
+        # dense: render every tile (ids ARE tile indices); sparse: only
+        # touched tiles, via a broadcast id -> tile_index table
+        units = None if dense else sorted(contribs_by_tile)
+        n_units = n_tiles_total if dense else len(units)
         n_parts = max(min(spark.sparkContext.defaultParallelism * 2, n_units), 2)
+        bstate = spark.sparkContext.broadcast((packed, contribs_by_tile, units))
 
         def render_partition(batches):
             import pandas as pd
 
-            pdfs = list(batches)  # contributions are tiny; buffer the partition
-            if not pdfs:
-                return
-            allc = pd.concat(pdfs, ignore_index=True)
+            packed_l, by_tile, units_l = bstate.value
             rows = []
-            for ti, grp in allc.groupby("tile_index"):
-                ti = int(ti)
-                ty, tx = ti // ntx, ti % ntx
-                h, w = g.tile_shape(tx, ty)
-                t = g.tile_transform(tx, ty)
-                out = np.zeros((h, w), dtype=np.uint8)
-                for pid in sorted(grp["poly_id"].dropna().tolist()):
-                    coords, ro = bpolys.value[int(pid)]
-                    rasterize_mask(coords, ro, t, h, w, all_touched=at, out=out, burn=bv)
-                if dn or out.any():
-                    rows.append(tile_row(ti, out))
+            for pdf in batches:
+                for u in pdf["id"]:
+                    ti = int(u) if units_l is None else units_l[int(u)]
+                    ty, tx = ti // ntx, ti % ntx
+                    h, w = g.tile_shape(tx, ty)
+                    t = g.tile_transform(tx, ty)
+                    out = np.zeros((h, w), dtype=np.uint8)
+                    # deterministic within-tile burn order (poly_id asc)
+                    for pid in sorted(by_tile.get(ti, ())):
+                        coords, ro = packed_l[int(pid)]
+                        rasterize_mask(coords, ro, t, h, w, all_touched=at, out=out, burn=bv)
+                    if dn or out.any():
+                        rows.append(tile_row(ti, out))
             if rows:
                 yield pd.DataFrame(rows)
 
-        burned = touched.repartition(n_parts, "tile_index").mapInPandas(
+        burned = spark.range(0, n_units, 1, n_parts).mapInPandas(
             render_partition, schema=TILE_SCHEMA
         )
 

@@ -183,6 +183,38 @@ def pip_join_points(
     if res is None:
         res = _auto_res(bboxes)
 
+    # r8 RECTANGLE BYPASS (guide §4.1 "prefer built-ins"; the Point-path
+    # twin of the poly-span side's RectangleIntersects bypass): for a
+    # PROPER axis-aligned rectangle ring, the even-odd ray-cast
+    # (pip.points_in_polygon, asymmetric (y1>py)!=(y2>py) rule) reduces
+    # EXACTLY — boundary points included — to the half-open test
+    #     pminx <= x < pmaxx AND pminy <= y < pmaxy
+    # (the two vertical edges straddle iff pminy <= y < pmaxy and cross
+    # iff x < pmaxx / x < pminx; horizontal edges never straddle; the
+    # XOR of the two crossings is the half-open box).  When EVERY dim
+    # polygon is such a rectangle the refinement is a pure codegen
+    # filter: no broadcast of packed coords, no ArrowEvalPython stage,
+    # zero bytes across the Python boundary.  Mixed/non-rect dims keep
+    # the pandas-UDF ray-cast path unchanged.
+    all_rect = bool(packed) and all(_is_rect_poly(c, ro) for c, ro in packed.values())
+    if refine and all_rect:
+        cover_rows = []
+        for pid, (minx, miny, maxx, maxy) in bboxes.items():
+            for cid in cover_bbox(minx, miny, maxx, maxy, res).tolist():
+                cover_rows.append((cid, pid, float(minx), float(miny), float(maxx), float(maxy)))
+        cover_df = spark.createDataFrame(
+            cover_rows,
+            "cell_id long, poly_id long, _pminx double, _pminy double, _pmaxx double, _pmaxy double",
+        )
+        pts = points.withColumn("cell_id", _cell_id_for(x_col, y_col, res))
+        cand = pts.join(F.broadcast(cover_df), "cell_id").drop("cell_id")
+        x, y = F.col(x_col), F.col(y_col)
+        keep = (
+            (x >= F.col("_pminx")) & (x < F.col("_pmaxx"))
+            & (y >= F.col("_pminy")) & (y < F.col("_pmaxy"))
+        )
+        return cand.where(keep).drop("_pminx", "_pminy", "_pmaxx", "_pmaxy")
+
     cover_rows = []
     for pid, (minx, miny, maxx, maxy) in bboxes.items():
         for cid in cover_bbox(minx, miny, maxx, maxy, res).tolist():
@@ -258,9 +290,16 @@ def pip_join_docs(
 
 def _is_rect_poly(coords: np.ndarray, ro: np.ndarray) -> bool:
     """True iff the packed polygon is EXACTLY the closed 5-point ring of
-    its own bbox corners (axis-aligned, non-degenerate rectangle)."""
+    its own bbox corners (axis-aligned, non-degenerate rectangle).
+    r8: additionally requires axis-parallel ALTERNATING edges, so a
+    bowtie-ordered tour of the same 4 corners (whose even-odd interior
+    is NOT the bbox) can never classify as a rectangle."""
     c = coords.reshape(-1, 2)
     if len(c) != 5 or len(ro) != 2 or not (c[0] == c[4]).all():
+        return False
+    ex = c[1:, 0] != c[:-1, 0]
+    ey = c[1:, 1] != c[:-1, 1]
+    if not bool(np.all(ex ^ ey)):
         return False
     mnx, mny = c[:, 0].min(), c[:, 1].min()
     mxx, mxy = c[:, 0].max(), c[:, 1].max()

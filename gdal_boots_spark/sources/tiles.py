@@ -90,7 +90,13 @@ def generate_tiles(spark: SparkSession, grid: RasterGrid, fill) -> DataFrame:
     arguments, so regeneration is reproducible at any parallelism.
     """
     n = grid.n_tiles_x * grid.n_tiles_y * grid.bands
-    ids = spark.range(n).repartition(min(n, spark.sparkContext.defaultParallelism * 2))
+    # Range with an explicit numPartitions: the split is even by
+    # construction (contiguous id blocks, uniform per-tile fill cost),
+    # so the old repartition() EXCHANGE — a full shuffle of the ids and
+    # an extra stage boundary on every generated raster — buys nothing.
+    # Not AQE-coalescible either: only shuffle reads coalesce, and this
+    # plan has none (r8, guide §2.4 "remove shuffles outright").
+    ids = spark.range(0, n, 1, min(n, spark.sparkContext.defaultParallelism * 2))
     g = grid
 
     def make(batches):

@@ -431,6 +431,68 @@ def test_rect_bypass_classification(spark):
     assert not _is_rect_poly(from_geojson(_json.dumps(spans["3"])).coords, np.asarray([0, 6]))
 
 
+def test_point_rect_bypass_equals_raycast(spark, monkeypatch):
+    """r8 Point-path rectangle bypass: for an all-rect dim the refine is
+    a pure codegen half-open filter (no ArrowEvalPython).  It must equal
+    the pandas ray-cast path EXACTLY, including points ON edges/corners
+    (half-open: bottom/left edges inside, top/right outside)."""
+    import gdal_boots_spark.operators.spatial_join as sj
+    from gdal_boots_spark.sources.synth import RECTS
+
+    pid0, minx, miny, maxx, maxy = RECTS[0]
+    # interior, exterior, all 4 corners, all 4 edge midpoints
+    pts_xy = [
+        ((minx + maxx) / 2, (miny + maxy) / 2), (minx - 1.0, miny - 1.0),
+        (minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy),
+        ((minx + maxx) / 2, miny), ((minx + maxx) / 2, maxy),
+        (minx, (miny + maxy) / 2), (maxx, (miny + maxy) / 2),
+    ]
+    pts = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts_xy)],
+        "point_id long, x double, y double",
+    )
+    polys = rect_polygons_df(spark)
+    fast = {
+        (r["point_id"], r["poly_id"])
+        for r in pip_join_points(pts, polys).select("point_id", "poly_id").collect()
+    }
+    # plan shape: all-rect dim => no Python eval node anywhere
+    plan = pip_join_points(pts, polys)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "EvalPython" not in plan
+    # force the ray-cast path and compare pair sets
+    monkeypatch.setattr(sj, "_is_rect_poly", lambda c, ro: False)
+    sj._POLY_DIM_CACHE.clear()
+    slow = {
+        (r["point_id"], r["poly_id"])
+        for r in pip_join_points(pts, polys).select("point_id", "poly_id").collect()
+    }
+    monkeypatch.undo()
+    sj._POLY_DIM_CACHE.clear()
+    assert fast == slow
+    # boundary membership follows the half-open rule on the probe rect
+    probe = {(i, p) for i, p in fast if p == pid0}
+    exp = {
+        (i, pid0)
+        for i, (x, y) in enumerate(pts_xy)
+        if minx <= x < maxx and miny <= y < maxy
+    }
+    assert probe == exp
+
+
+def test_is_rect_poly_rejects_bowtie():
+    """A bowtie-ordered tour of 4 bbox corners is NOT a rectangle (its
+    even-odd interior differs from the bbox) — the r8 adjacency check."""
+    import numpy as np
+
+    from gdal_boots_spark.operators.spatial_join import _is_rect_poly
+
+    rect = np.asarray([0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0, 0.0, 0.0])
+    bow = np.asarray([0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0])
+    ro = np.asarray([0, 5])
+    assert _is_rect_poly(rect, ro)
+    assert not _is_rect_poly(bow, ro)
+
+
 def test_hole_polygon_with_whitespace_separators(spark):
     """ADVICE r3: a hole polygon serialized with json.dumps DEFAULT
     separators ("]], [[") slipped past the old single-ring fast-path
