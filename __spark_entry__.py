@@ -791,13 +791,13 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             outs = []
-            for _, r in pdf.iterrows():
-                arr = _np.frombuffer(r["data"], dtype=_np.float64).reshape(4, 4)
-                jj, ii = _np.meshgrid(_np.arange(4), _np.arange(4))
+            jj, ii = _np.meshgrid(_np.arange(4), _np.arange(4))
+            for did, data in zip(pdf["doc_id"], pdf["data"]):
+                arr = _np.frombuffer(data, dtype=_np.float64).reshape(4, 4)
                 outs.append(
                     _pd.DataFrame(
                         {
-                            "doc_id": int(r["doc_id"]),
+                            "doc_id": int(did),
                             "i": ii.ravel().astype("int64"),
                             "j": jj.ravel().astype("int64"),
                             "value": arr.ravel(),

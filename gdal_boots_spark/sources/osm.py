@@ -518,13 +518,18 @@ def read_osm_distributed(
                 out["gtype"].append(gtype); out["geojson"].append(gj)
                 out["props_json"].append(props); out["wid"].append(wid)
 
-            for _, row in pdf.iterrows():
-                rid, tags, seq = int(row["id"]), _asdict(row["tags"]), int(row["seq"])
+            # column-wise zip, not iterrows: no per-row Series
+            # materialization (the repo's r4 itertuples convention;
+            # zip of the object columns is the mapInPandas equivalent)
+            for rid, rtags, seq, rmembers, rwgeo in zip(
+                pdf["id"], pdf["tags"], pdf["seq"], pdf["members"], pdf["wgeo"]
+            ):
+                rid, tags, seq = int(rid), _asdict(rtags), int(seq)
                 way_nds, node_xy = {}, {}
                 members = []
-                for m in _aslist(row["members"]):
+                for m in _aslist(rmembers):
                     members.append((m["t"], int(m["r"]), m["role"]))
-                for w in _aslist(row["wgeo"]):
+                for w in _aslist(rwgeo):
                     # wid comes from the MEMBER side: a member pointing
                     # at a way that does not exist has wnds = null and
                     # must be skipped (the driver parse's `r in ways`)
@@ -570,14 +575,16 @@ def read_osm_distributed(
 
         for pdf in batches:
             out = {k: [] for k in ("layer", "kind", "seq", "gtype", "geojson", "props_json", "wid")}
-            for _, row in pdf.iterrows():
-                wid, tags, seq = int(row["id"]), _asdict(row["tags"]), int(row["seq"])
-                nds = [int(n) for n in _aslist(row["nds"])]
-                coords = [[float(p["lon"]), float(p["lat"])] for p in _aslist(row["pts"])]
+            for wid, wtags, seq, wnds, wpts, wcons in zip(
+                pdf["id"], pdf["tags"], pdf["seq"], pdf["nds"], pdf["pts"], pdf["_consumed"]
+            ):
+                wid, tags, seq = int(wid), _asdict(wtags), int(seq)
+                nds = [int(n) for n in _aslist(wnds)]
+                coords = [[float(p["lon"]), float(p["lat"])] for p in _aslist(wpts)]
                 # None-guarded truth test: Arrow->pandas may deliver
                 # numpy.bool_ (not Python True) in all-non-null batches,
                 # and the left-join miss is None — `is True` is fragile.
-                consumed = {wid} if bool(row["_consumed"] or False) else frozenset()
+                consumed = {wid} if bool(wcons or False) else frozenset()
                 layer, geom = _way_feature(wid, nds, tags, coords, consumed)
                 if layer == "multipolygons":
                     _f, gt, gj, props = _feature_row(0, layer, geom, tags, {"osm_id": None, "osm_way_id": str(wid)})
@@ -597,13 +604,15 @@ def read_osm_distributed(
 
         for pdf in batches:
             out = {k: [] for k in ("layer", "kind", "seq", "gtype", "geojson", "props_json", "wid")}
-            for _, row in pdf.iterrows():
-                tags = _asdict(row["tags"])
+            for nid, ntags, nlon, nlat, seq in zip(
+                pdf["id"], pdf["tags"], pdf["lon"], pdf["lat"], pdf["seq"]
+            ):
+                tags = _asdict(ntags)
                 if not _significant(tags):
                     continue
-                geom = {"type": "Point", "coordinates": [float(row["lon"]), float(row["lat"])]}
-                _f, gt, gj, props = _feature_row(0, "points", geom, tags, {"osm_id": str(int(row["id"]))})
-                out["layer"].append("points"); out["kind"].append(0); out["seq"].append(int(row["seq"]))
+                geom = {"type": "Point", "coordinates": [float(nlon), float(nlat)]}
+                _f, gt, gj, props = _feature_row(0, "points", geom, tags, {"osm_id": str(int(nid))})
+                out["layer"].append("points"); out["kind"].append(0); out["seq"].append(int(seq))
                 out["gtype"].append(gt); out["geojson"].append(gj)
                 out["props_json"].append(props); out["wid"].append(None)
             yield pd.DataFrame(out)
