@@ -181,46 +181,136 @@ def embedding_neardup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    distributed: bool | None = None,
+    bits: int = 8,
+    n_tables: int = 24,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cos) for every
     a < b with cosine >= threshold — the semantic face of the dedup
     family (brief: 'embedding-cosine near-dup').
 
-    Dimension-side exact baseline: the base matrix broadcasts (like
-    ann.cosine_topk) and each Arrow batch does one matmul, emitting
-    only pairs over the threshold with a < b (each unordered pair is
-    produced exactly once: by the batch holding its smaller id).  At
-    10^12 rows swap the candidate generator for ann.ann_lsh_topk /
-    ann.ivf_topk buckets and keep this exact filter as the verifier.
+    TWO physical shapes, auto-picked from the table's plan statistics
+    (zero probe jobs — cover.polys_fit_broadcast, the same switch the
+    spatial dims use):
+
+    * exact broadcast path (table fits a broadcast): the base matrix
+      collects once (like ann.cosine_topk) and each Arrow batch does
+      one matmul, emitting only pairs over the threshold with a < b
+      (each unordered pair produced exactly once: by the batch holding
+      its smaller id).  Exact — the board-oracle contract.
+
+    * bucketed LSH path (``distributed=True`` or the table exceeds the
+      broadcast cap — the r8 closure of the 100 TB gap: the old code
+      ALWAYS collected the full embedding table to the driver): the
+      ann.py sign-LSH candidate generator (deterministic seeded integer
+      hyperplanes, ids-only (id, table, bucket) rows) feeds a bucket
+      self-join; candidate pairs dedup on the narrow (a, b) key;
+      vectors re-attach ONCE per side via equi-joins; the SAME exact
+      cosine >= threshold filter verifies every candidate.  No
+      embedding payload ever rides a shuffle multiplied by n_tables,
+      and nothing collects to the driver.  Precision is exact
+      (verified); recall is the sign-LSH collision bound
+      1 - (1 - (1 - theta/pi)^bits)^n_tables per true pair — >= 0.998
+      at the 0.95-cosine near-dup regime with the defaults, tunable
+      via bits/n_tables (lower bits or more tables => higher recall,
+      bigger buckets).
     """
     import numpy as np
 
-    from .ann import _collect_base
+    from .cover import polys_fit_broadcast
 
     spark = emb.sparkSession
-    ids, mat, norms = _collect_base(emb, id_col, vec_col)
-    b = spark.sparkContext.broadcast((ids, mat, norms))
     t = float(threshold)
+    if distributed is None:
+        distributed = not polys_fit_broadcast(emb)
 
-    def pairs(batches):
+    if not distributed:
+        from .ann import _collect_base
+
+        ids, mat, norms = _collect_base(emb, id_col, vec_col)
+        b = spark.sparkContext.broadcast((ids, mat, norms))
+
+        def pairs(batches):
+            import pandas as pd
+
+            bids, bmat, bnorms = b.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q = np.array(list(pdf["_vec"]), dtype=np.float64)
+                qn = np.linalg.norm(q, axis=1)
+                qn[qn == 0] = 1.0
+                qid = pdf["_qid"].to_numpy(np.int64)
+                cos = (q @ bmat.T) / (qn[:, None] * bnorms[None, :])
+                keep = (cos >= t) & (qid[:, None] < bids[None, :])
+                ii, jj = np.nonzero(keep)
+                if len(ii):
+                    yield pd.DataFrame({"a": qid[ii], "b": bids[jj], "cos": cos[ii, jj]})
+
+        qd = emb.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_vec"))
+        return qd.mapInPandas(pairs, schema="a long, b long, cos double")
+
+    # ---- bucketed path: LSH candidates -> exact cosine verify --------
+    from .ann import _plane_matrix
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = [_plane_matrix(dim, bits, tbl) for tbl in range(n_tables)]
+
+    def bucketize(batches):
         import pandas as pd
 
-        bids, bmat, bnorms = b.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            q = np.array(list(pdf["_vec"]), dtype=np.float64)
-            qn = np.linalg.norm(q, axis=1)
-            qn[qn == 0] = 1.0
-            qid = pdf["_qid"].to_numpy(np.int64)
-            cos = (q @ bmat.T) / (qn[:, None] * bnorms[None, :])
-            keep = (cos >= t) & (qid[:, None] < bids[None, :])
-            ii, jj = np.nonzero(keep)
-            if len(ii):
-                yield pd.DataFrame({"a": qid[ii], "b": bids[jj], "cos": cos[ii, jj]})
+            v = np.array(list(pdf["_vec"]), dtype=np.float64)
+            vid = pdf["_id"].to_numpy(np.int64)
+            outs = []
+            for tbl, P in enumerate(planes):
+                sign = (v @ P) > 0
+                bucket = (sign * (1 << np.arange(bits))[None, :]).sum(axis=1).astype(np.int64)
+                outs.append(pd.DataFrame({"_id": vid, "table": np.full(len(vid), tbl, np.int32), "bucket": bucket}))
+            yield pd.concat(outs, ignore_index=True)
 
-    qd = emb.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_vec"))
-    return qd.mapInPandas(pairs, schema="a long, b long, cos double")
+    vd = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    bk = vd.mapInPandas(bucketize, schema="_id long, table int, bucket long")
+    a_side = bk.select(F.col("_id").alias("a"), "table", "bucket")
+    b_side = bk.select(F.col("_id").alias("b"), "table", "bucket")
+    cand = (
+        a_side.join(b_side, ["table", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    # re-attach each side's vector ONCE (narrow (a, b) pairs shuffled,
+    # each embedding crosses the wire once per side, never x n_tables)
+    withv = cand.join(vd.select(F.col("_id").alias("a"), F.col("_vec").alias("_va")), "a").join(
+        vd.select(F.col("_id").alias("b"), F.col("_vec").alias("_vb")), "b"
+    )
+
+    def verify(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.array(list(pdf["_va"]), dtype=np.float64)
+            vb = np.array(list(pdf["_vb"]), dtype=np.float64)
+            na = np.linalg.norm(va, axis=1)
+            nb = np.linalg.norm(vb, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            cos = (va * vb).sum(axis=1) / (na * nb)
+            keep = cos >= t
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "a": pdf["a"].to_numpy(np.int64)[keep],
+                        "b": pdf["b"].to_numpy(np.int64)[keep],
+                        "cos": cos[keep],
+                    }
+                )
+
+    return withv.mapInPandas(verify, schema="a long, b long, cos double")
 
 
 def simhash_neardup(

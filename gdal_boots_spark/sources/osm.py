@@ -467,10 +467,11 @@ def read_osm_distributed(
       polygon emission (same _way_feature rule).
 
     ``dense_fids=True`` reproduces the driver parse exactly (fids are
-    1..N in file order per layer) at the price of one global
-    row_number window per layer — fine up to 10^7-row layers; pass
-    False at planet scale to keep fid = stable file-order sequence
-    (unique, monotone, NOT dense) with zero single-partition stages.
+    1..N in file order per layer) via a distributed prefix-sum rank
+    (range partition + per-partition counts + broadcast offsets — no
+    single-partition stage, planet-scale safe; r8).  ``False`` keeps
+    fid = stable file-order sequence (unique, monotone, NOT dense)
+    with zero extra jobs.
 
     Feature rows are persisted (MEMORY_AND_DISK) before the 5-way layer
     split — a where()-split of one DataFrame into consumed branches
@@ -624,12 +625,47 @@ def read_osm_distributed(
 
     names = ["points", "lines", "multilinestrings", "multipolygons", "other_relations"]
     layers = {}
+    cached = [rel_out, feats]
     for name in names:
         df = feats.where(F.col("layer") == name)
         if dense_fids:
             from pyspark.sql.window import Window
 
-            df = df.withColumn("fid", F.row_number().over(Window.orderBy("kind", "seq")).cast("long"))
+            # scale-safe dense fids (r8, VERDICT r7 item 5): the old
+            # bare Window.orderBy collapsed the whole layer into ONE
+            # partition — fine to ~10^7 rows, a wall at planet scale.
+            # Same fids via the packing.py prefix-sum pattern:
+            # range-partition by the order key, sort within partitions,
+            # ONE tiny per-partition count to the driver, broadcast the
+            # prefix offsets back, partition-local row_number + offset.
+            # (kind, seq) is unique per layer (seq is the element id
+            # sequence), so the assignment is deterministic under any
+            # partitioning.
+            n = max(spark.sparkContext.defaultParallelism, 2)
+            ranged = (
+                df.repartitionByRange(n, F.col("kind"), F.col("seq"))
+                .sortWithinPartitions("kind", "seq")
+                .withColumn("_pid", F.spark_partition_id())
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            totals = {
+                r["_pid"]: r["c"]
+                for r in ranged.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+            }
+            offsets, acc = {}, 0
+            for pid in sorted(totals):
+                offsets[pid] = acc
+                acc += int(totals[pid])
+            if offsets:
+                off_map = F.create_map(*[F.lit(v) for kv in sorted(offsets.items()) for v in kv])
+                off_col = F.coalesce(off_map[F.col("_pid")], F.lit(0))
+            else:  # empty layer: untyped map() would fail analysis
+                off_col = F.lit(0)
+            w = Window.partitionBy("_pid").orderBy("kind", "seq")
+            df = ranged.withColumn(
+                "fid", (F.row_number().over(w) + off_col).cast("long")
+            ).drop("_pid")
+            cached.append(ranged)
         else:
             df = df.withColumn("fid", (F.col("kind").cast("long") * F.lit(1 << 62) + F.col("seq")))
         layers[name] = df.select("fid", "gtype", "geojson", "props_json")
@@ -637,5 +673,5 @@ def read_osm_distributed(
     # expose the persisted handles for release() (ADVICE r6: repeated
     # invocations otherwise leak cached copies, same leak pack_release
     # fixed for pack_shards)
-    vd._cached = (rel_out, feats)
+    vd._cached = tuple(cached)
     return vd

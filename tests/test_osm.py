@@ -210,6 +210,46 @@ def test_osm_distributed_parity_minsk(spark, tmp_path):
         assert len(ra) > 0 or layer in ("multilinestrings", "other_relations")
 
 
+def test_osm_dense_fids_multi_partition(spark, tmp_path):
+    """r8 (VERDICT r7 item 5): dense fids come from a distributed
+    prefix-sum rank (range partition + broadcast offsets), not a
+    single-partition global window.  On a several-hundred-node file
+    the points layer must still carry fids exactly 1..N, ordered by
+    the significant nodes' file order, and the fid plan must contain
+    no bare (empty-partition-spec) global Window exchange."""
+    import json as _json
+
+    from gdal_boots_spark.sources.osm import read_osm_distributed
+
+    n = 400
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>', '<osm version="0.6">']
+    for i in range(1, n + 1):
+        parts.append(
+            f'<node id="{i}" lat="{i % 90}.0" lon="{i % 180}.0">'
+            f'<tag k="name" v="n{i}"/></node>'
+        )
+    parts.append("</osm>")
+    path = str(tmp_path / "many_nodes.osm")
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+    vds = read_osm_distributed(spark, path, work_dir=str(tmp_path / "nd"))
+    rows = vds["points"].collect()
+    assert len(rows) == n
+    fids = sorted(r["fid"] for r in rows)
+    assert fids == list(range(1, n + 1))  # dense 1..N
+    # order: fid ascending == node file order (osm_id ascending here)
+    by_fid = sorted(rows, key=lambda r: r["fid"])
+    ids = [int(_json.loads(r["props_json"])["osm_id"]) for r in by_fid]
+    assert ids == sorted(ids)
+    # no single-partition global window: every Window in the plan is
+    # partitioned (no 'windowspecdefinition(kind' without a partition
+    # key would be too brittle; instead assert the plan repartitions by
+    # range before ranking)
+    plan = vds["points"]._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    vds.release()
+
+
 def test_osm_to_ndjson_bounded_memory_and_shards(spark, tmp_path):
     """The streaming converter must hold O(1) elements, not the DOM:
     peak tracemalloc on a ~6 MB synthetic file stays under 8 MB (a
@@ -378,7 +418,8 @@ def test_osm_distributed_release_unpersists(spark, tmp_path):
     vds = read_osm_distributed(spark, path, work_dir=str(tmp_path / "nd"))
     assert vds["lines"].count() == 1
     cached = getattr(vds, "_cached", ())
-    assert len(cached) == 2
+    # rel_out + feats + one prefix-sum ranged frame per layer (r8)
+    assert len(cached) == 7
     assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in cached)
     vds.release()
     assert all(not (df.storageLevel.useMemory or df.storageLevel.useDisk) for df in cached)
