@@ -64,8 +64,12 @@ def main():
         geo = extract_geo_spans(pdocs)
         return geo.select("doc_id", "span_pos", "text").mapInArrow(_decode_bounds, schema=decode_schema)
 
+    def poly_scan():
+        return extract_geo_spans(pdocs).select("doc_id", "span_pos", "text")
+
     variants = {
         "pt_full": lambda: pip_join_docs(docs, polys),
+        "poly_scan": poly_scan,
         "poly_decode": poly_decode,
         "poly_cand": lambda: poly_span_candidates(pdocs, polys),
         "poly_full": lambda: pip_join_docs_any(pdocs, polys),

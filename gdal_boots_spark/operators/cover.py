@@ -106,7 +106,15 @@ def contribs_broadcast(spark, polys: DataFrame, grid: RasterGrid):
            contribs list [(tile_x, tile_y, poly_id)]).
     Driver collect (memoized per session on the dimension's semantic
     hash + the grid — rebuilding the same burn costs zero jobs); the
-    polygon table must be dimension-sized."""
+    polygon table must be dimension-sized.
+
+    IMMUTABILITY CONTRACT (ADVICE r7): the returned (packed, contribs)
+    objects are the cache entries THEMSELVES — callers must treat them
+    as read-only (mutating them would corrupt later cache hits), and a
+    caller that rewrites the same input path in-session must call
+    ``_CONTRIB_CACHE.clear()`` (alongside
+    ``spatial_join._POLY_DIM_CACHE.clear()``) before the next build for
+    correct results, not just fresh timings."""
     try:
         key = (
             polys.sparkSession.sparkContext.applicationId,
