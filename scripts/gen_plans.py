@@ -31,8 +31,10 @@ def main():
     sections.append((
         "Flagship: cell-bucketed PIP join over interleaved docs",
         "Zero shuffles on the fact side: parquet scan -> codegen explode/"
-        "filter/string-decode/cell math -> BroadcastHashJoin on cell_id -> "
-        "ArrowEvalPython (ray-cast refinement). AQE handles the rest.",
+        "filter/string-decode/cell math -> BroadcastHashJoin on cell_id. "
+        "With an all-rectangle dim (r8) the refinement is the half-open "
+        "box test FUSED into the join condition — no Python eval node at "
+        "all; non-rect dims add one boolean-pandas-UDF ArrowEvalPython.",
         cap(df),
     ))
 
@@ -44,9 +46,11 @@ def main():
     pts = spark.range(100).select(F.col("id").alias("point_id"), (F.col("id") % 50 / 4.0).alias("x"), (F.col("id") % 30 / 4.0).alias("y"))
     sections.append((
         "Point sampling (values_by_points)",
-        "Codegen inverse-affine pixel math on the point side; cogroup "
-        "FlatMapCoGroupsInPandas keyed by tile_key so each tile blob crosses "
-        "the shuffle once; left-outer restores NULL for out-of-bounds.",
+        "Codegen inverse-affine pixel math on the point side; plan-time-"
+        "small rasters (r8) broadcast as a dense array + present-tile mask "
+        "and sample through ONE ArrowEvalPython — zero shuffles; large "
+        "rasters keep the cogroup join (each tile blob crosses once, "
+        "NULL via the left-outer cogroup).",
         cap(values_by_points(pts, tiles, grid)),
     ))
 
