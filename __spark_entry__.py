@@ -48,7 +48,7 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = interleaved_docs(spark, sf_dir)
     polys = rect_polygons_df(spark)
     out = pip_join_docs(docs, polys)
-    return out.select(F.col("doc_id").cast("long").alias("doc_id"), F.col("poly_id").alias("poly_id"))
+    return out.selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "poly_id")
 
 
 def q_pip_join_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,10 +63,10 @@ def q_pip_join_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = interleaved_docs(spark, sf_dir, poly_spans=True)
     polys = rect_polygons_df(spark)
     out = pip_join_docs_any(docs, polys)
-    return out.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("span_pos").cast("long").alias("span_pos"),
-        F.col("poly_id").alias("poly_id"),
+    return out.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        "CAST(span_pos AS BIGINT) AS span_pos",
+        "poly_id",
     )
 
 
@@ -94,15 +94,15 @@ def q_pip_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile/cell assignment of every geo span at resolution 8."""
-    from gdal_boots_spark.functions.geometry_fns import cell_id_col, point_xy_native
+    from gdal_boots_spark.functions.geometry_fns import cell_id_sql, point_xy_sql
     from gdal_boots_spark.operators.spatial_join import extract_geo_spans
 
     docs = interleaved_docs(spark, sf_dir)
     geo = extract_geo_spans(docs)
-    x, y, is_point = point_xy_native(F.col("text"))
-    return geo.where(is_point).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        cell_id_col(x, y, 8).alias("cell_id"),
+    xs, ys, ps = point_xy_sql("text")
+    return geo.where(ps).selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        f"{cell_id_sql(xs, ys, 8)} AS cell_id",
     )
 
 
@@ -110,15 +110,15 @@ def q_geo_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo-span extraction: doc_id + decoded lon/lat (rounded to 6)."""
     from gdal_boots_spark.operators.spatial_join import extract_geo_spans
 
-    from gdal_boots_spark.functions.geometry_fns import point_xy_native
+    from gdal_boots_spark.functions.geometry_fns import point_xy_sql
 
     docs = interleaved_docs(spark, sf_dir)
     geo = extract_geo_spans(docs)
-    x, y, is_point = point_xy_native(F.col("text"))
-    return geo.where(is_point).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.round(x, 6).alias("x"),
-        F.round(y, 6).alias("y"),
+    xs, ys, ps = point_xy_sql("text")
+    return geo.where(ps).selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        f"ROUND({xs}, 6) AS x",
+        f"ROUND({ys}, 6) AS y",
     )
 
 
@@ -127,10 +127,10 @@ def q_span_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and kind histogram fields (exercises posexplode + groupBy)."""
     docs = interleaved_docs(spark, sf_dir)
     ex = explode_spans(docs)
-    return ex.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
-        F.count("*").alias("n_spans"),
-        F.sum(F.when(F.col("kind") == "geo", 1).otherwise(0)).alias("n_geo"),
-        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).alias("n_media"),
+    return ex.groupBy(F.expr("CAST(doc_id AS BIGINT)").alias("doc_id")).agg(
+        F.expr("count(*) AS n_spans"),
+        F.expr("SUM(CASE WHEN kind = 'geo' THEN 1 ELSE 0 END) AS n_geo"),
+        F.expr("SUM(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS n_media"),
     )
 
 
@@ -153,11 +153,10 @@ def q_point_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles = generate_tiles(spark, grid, ramp_fill)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    k = F.col("c_custkey")
-    pts = cust.select(
-        k.alias("point_id"),
-        (F.lit(-2.0) + ((k * 13) % 70).cast("double") / 4.0).alias("x"),
-        (F.lit(-2.0) + ((k * 29) % 60).cast("double") / 4.0).alias("y"),
+    pts = cust.selectExpr(
+        "c_custkey AS point_id",
+        "-2.0D + CAST((c_custkey * 13) % 70 AS DOUBLE) / 4.0D AS x",
+        "-2.0D + CAST((c_custkey * 29) % 60 AS DOUBLE) / 4.0D AS y",
     )
     return values_by_points(pts, tiles, grid)
 
@@ -260,19 +259,18 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    ck, sk = F.col("c_custkey"), F.col("s_suppkey")
-    base = cust.select(
-        ck.alias("bid"),
-        (F.lit(26.0) + ((ck * 7919) % 3000).cast("double") / 1000.0).alias("x"),
-        (F.lit(53.0) + ((ck * 104729) % 2000).cast("double") / 1000.0).alias("y"),
+    base = cust.selectExpr(
+        "c_custkey AS bid",
+        "26.0D + CAST((c_custkey * 7919) % 3000 AS DOUBLE) / 1000.0D AS x",
+        "53.0D + CAST((c_custkey * 104729) % 2000 AS DOUBLE) / 1000.0D AS y",
     )
-    query = supp.select(
-        sk.alias("qid"),
-        (F.lit(26.0) + ((sk * 4409) % 3000).cast("double") / 1000.0).alias("x"),
-        (F.lit(53.0) + ((sk * 9973) % 2000).cast("double") / 1000.0).alias("y"),
+    query = supp.selectExpr(
+        "s_suppkey AS qid",
+        "26.0D + CAST((s_suppkey * 4409) % 3000 AS DOUBLE) / 1000.0D AS x",
+        "53.0D + CAST((s_suppkey * 9973) % 2000 AS DOUBLE) / 1000.0D AS y",
     )
     out = knn_join(query, base, k=3)
-    return out.select("qid", "bid", F.col("rank").cast("long").alias("rnk"))
+    return out.selectExpr("qid", "bid", "CAST(rank AS BIGINT) AS rnk")
 
 
 def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,22 +490,21 @@ def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    ok, pk = F.col("o_orderkey"), F.col("p_partkey")
-    left = orders.select(
-        ok.alias("lid"),
-        (F.lit(26.0) + ((ok * 271) % 2900).cast("double") / 1000.0).alias("lminx"),
-        (F.lit(53.0) + ((ok * 577) % 1900).cast("double") / 1000.0).alias("lminy"),
-    ).select(
+    left = orders.selectExpr(
+        "o_orderkey AS lid",
+        "26.0D + CAST((o_orderkey * 271) % 2900 AS DOUBLE) / 1000.0D AS lminx",
+        "53.0D + CAST((o_orderkey * 577) % 1900 AS DOUBLE) / 1000.0D AS lminy",
+    ).selectExpr(
         "lid", "lminx", "lminy",
-        (F.col("lminx") + 0.04).alias("lmaxx"), (F.col("lminy") + 0.04).alias("lmaxy"),
+        "lminx + 0.04D AS lmaxx", "lminy + 0.04D AS lmaxy",
     )
-    right = part.select(
-        pk.alias("rid"),
-        (F.lit(26.0) + ((pk * 383) % 2900).cast("double") / 1000.0).alias("rminx"),
-        (F.lit(53.0) + ((pk * 769) % 1900).cast("double") / 1000.0).alias("rminy"),
-    ).select(
+    right = part.selectExpr(
+        "p_partkey AS rid",
+        "26.0D + CAST((p_partkey * 383) % 2900 AS DOUBLE) / 1000.0D AS rminx",
+        "53.0D + CAST((p_partkey * 769) % 1900 AS DOUBLE) / 1000.0D AS rminy",
+    ).selectExpr(
         "rid", "rminx", "rminy",
-        (F.col("rminx") + 0.05).alias("rmaxx"), (F.col("rminy") + 0.05).alias("rmaxy"),
+        "rminx + 0.05D AS rmaxx", "rminy + 0.05D AS rmaxy",
     )
     # res=None: data-driven resolution (auto_res -> 12 for these rect
     # shapes; r6-verdict item 6 — res=10 dilated every rect by a

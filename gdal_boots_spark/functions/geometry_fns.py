@@ -59,6 +59,14 @@ BOUNDS_TYPE = StructType(
 
 # --- native (JVM-side, codegen) ----------------------------------------
 
+def double_lit_sql(v: float) -> str:
+    """A Python float as a Spark SQL DOUBLE literal: bare decimals parse
+    as DECIMAL (need the D suffix), exponent forms are already DOUBLE
+    (and reject a D suffix)."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r) else r + "D"
+
+
 def cell_id_sql(lon: str, lat: str, res: int) -> str:
     """The cell-id arithmetic as ONE SQL string (server-side parsed).
 

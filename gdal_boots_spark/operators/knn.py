@@ -73,6 +73,14 @@ def _annulus_cells_expr(res: int, r_in: int, r_out):
     is produced at most once across block + annulus.  Completeness
     holds: the window spans all n x-cells once r_out >= n//2, and y is
     clamped (not wrapped)."""
+    return F.expr(_annulus_cells_sql(res, r_in, r_out))
+
+
+from ..functions.geometry_fns import double_lit_sql as _dlit  # noqa: E402
+
+
+def _annulus_cells_sql(res: int, r_in: int, r_out) -> str:
+    """The annulus array as a raw SQL fragment (see _annulus_cells_expr)."""
     n = 1 << res
     ro = r_out if isinstance(r_out, str) else str(int(r_out))
     ri = str(int(r_in))
@@ -80,7 +88,7 @@ def _annulus_cells_expr(res: int, r_in: int, r_out):
     ix = f"least(greatest(floor(((x + 180.0) / 360.0) * {n}), 0), {n - 1})"
     iy = f"least(greatest(floor(((y + 90.0) / 180.0) * {n}), 0), {n - 1})"
     lo, hi = -(n // 2), (n - 1) // 2
-    return F.expr(
+    return (
         f"filter("
         f"  flatten(transform(sequence(-({ro}), {ro}), dx ->"
         f"    transform(sequence(-({ro}), {ro}), dy ->"
@@ -189,11 +197,22 @@ def knn_join(
     cell_w, cell_h = 360.0 / n, 180.0 / n
     g = min(cell_w, cell_h)  # exactness guarantee per cell of radius
 
-    basec = base.select(
-        F.col(b_id).alias("bid"), F.col("x").alias("bx"), F.col("y").alias("by"),
-        cell_id_col("x", "y", res),
-    )
-    q0 = query.select(F.col(q_id).alias("qid"), "x", "y")
+    # build mechanics as server-parsed SQL strings (r8: the Column-tree
+    # form cost ~700 py4j round trips per cold build; identical plan)
+    from ..functions.geometry_fns import cell_id_sql
+
+    if b_id.isidentifier() and q_id.isidentifier():
+        basec = base.selectExpr(
+            f"{b_id} AS bid", "x AS bx", "y AS by",
+            f"{cell_id_sql('x', 'y', res)} AS cell_id",
+        )
+        q0 = query.selectExpr(f"{q_id} AS qid", "x", "y")
+    else:
+        basec = base.select(
+            F.col(b_id).alias("bid"), F.col("x").alias("bx"), F.col("y").alias("by"),
+            cell_id_col("x", "y", res),
+        )
+        q0 = query.select(F.col(q_id).alias("qid"), "x", "y")
 
     # a query can never hold more than |base| neighbours; a radius of
     # r_domain cells covers the whole union bbox from any query cell
@@ -207,11 +226,8 @@ def knn_join(
     r_cap = r_domain if max_rounds <= 0 else min(r_domain, 1 << max(max_rounds - 1, 0))
     r0 = min(1, r_domain)
 
-    dist = F.sqrt(
-        (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
-        + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
-    ).alias("dist")
-    w_order = Window.partitionBy("qid").orderBy("dist", "bid")
+    dist_sql = "SQRT((x - bx) * (x - bx) + (y - by) * (y - by)) AS dist"
+    rank_sql = "row_number() OVER (PARTITION BY qid ORDER BY dist, bid) AS rank"
 
     # ---- phase 1: radius-r0 block, one join, one qid window ----------
     # Only the row_number window is computed (no cnt/kth windows): the
@@ -221,40 +237,41 @@ def knn_join(
     # identical up to the qid exchange lets ReuseExchange dedup it —
     # the block join runs ONCE — and lets WindowGroupLimit push a
     # partial per-partition top-k below the shuffle.
-    shells0 = q0.select("qid", "x", "y", F.explode(_annulus_cells_expr(res, -1, r0)).alias("cell_id"))
-    cand0 = shells0.join(basec, "cell_id").select("qid", "bid", dist)
-    ranked1 = cand0.withColumn("rank", F.row_number().over(w_order)).where(F.col("rank") <= k_eff)
-    contribution1 = ranked1.select("qid", "bid", "dist")
-    qstats = ranked1.groupBy("qid").agg(F.count("*").alias("cnt"), F.max("dist").alias("kth"))
+    shells0 = q0.selectExpr(
+        "qid", "x", "y", f"explode({_annulus_cells_sql(res, -1, r0)}) AS cell_id"
+    )
+    cand0 = shells0.join(basec, "cell_id").selectExpr("qid", "bid", dist_sql)
+    ranked1 = cand0.selectExpr("*", rank_sql).where(f"rank <= {k_eff}")
+    contribution1 = ranked1.selectExpr("qid", "bid", "dist")
+    qstats = ranked1.groupBy("qid").agg(F.expr("count(*) AS cnt"), F.expr("max(dist) AS kth"))
 
     # ---- phase 2: per-row exact annulus for unfinished queries -------
     # STRICT kth < r0*g: an unexplored point can sit at exactly r0*g,
     # tie the k-th candidate, and win the (dist, bid) tie-break.
-    done = (F.col("cnt") == k_eff) & (F.col("kth") < F.lit(r0 * g))
-    r_need = F.least(
-        F.when(
-            F.col("cnt") == k_eff,
-            (F.floor(F.col("kth") / F.lit(g)) + 1).cast("int"),
-        ).otherwise(F.lit(r_domain)),
-        F.lit(r_cap),
+    # (float literals carry the D suffix: bare decimals are DECIMAL in
+    # Spark SQL)
+    done = f"(cnt = {k_eff} AND kth < {_dlit(r0 * g)})"
+    r_need = (
+        f"LEAST(CASE WHEN cnt = {k_eff} THEN CAST(FLOOR(kth / {_dlit(g)}) + 1 AS INT) "
+        f"ELSE {r_domain} END, {r_cap})"
     )
     tail = (
         q0.join(qstats, "qid", "left")
-        .where(~F.coalesce(done, F.lit(False)))
-        .select("qid", "x", "y", r_need.alias("_rn"))
+        .where(f"NOT COALESCE({done}, false)")
+        .selectExpr("qid", "x", "y", f"{r_need} AS _rn")
     )
-    ring2 = tail.select(
+    ring2 = tail.selectExpr(
         "qid", "x", "y",
-        F.explode(_annulus_cells_expr(res, r0, "_rn")).alias("cell_id"),
+        f"explode({_annulus_cells_sql(res, r0, '_rn')}) AS cell_id",
     )
-    cand2 = ring2.join(basec, "cell_id").select("qid", "bid", dist)
+    cand2 = ring2.join(basec, "cell_id").selectExpr("qid", "bid", dist_sql)
 
     out = (
         contribution1.unionByName(cand2)
-        .withColumn("rank", F.row_number().over(w_order))
-        .where(F.col("rank") <= k_eff)
+        .selectExpr("*", rank_sql)
+        .where(f"rank <= {k_eff}")
     )
-    return out.select("qid", "bid", "dist", "rank")
+    return out.selectExpr("qid", "bid", "dist", "rank")
 
 
 def radius_join(
@@ -283,24 +300,33 @@ def radius_join(
     cell_w, cell_h = 360.0 / n, 180.0 / n
     r_cells = int(np.ceil(radius / min(cell_w, cell_h)))
 
-    basec = base.select(
-        F.col(b_id).alias("bid"), F.col("x").alias("bx"), F.col("y").alias("by"),
-        cell_id_col("x", "y", res),
-    )
-    blocks = query.select(
-        F.col(q_id).alias("qid"), "x", "y",
-        F.explode(_annulus_cells_expr(res, -1, r_cells)).alias("cell_id"),
-    )
+    from ..functions.geometry_fns import cell_id_sql
+
+    if b_id.isidentifier() and q_id.isidentifier():
+        basec = base.selectExpr(
+            f"{b_id} AS bid", "x AS bx", "y AS by",
+            f"{cell_id_sql('x', 'y', res)} AS cell_id",
+        )
+        blocks = query.selectExpr(
+            f"{q_id} AS qid", "x", "y",
+            f"explode({_annulus_cells_sql(res, -1, r_cells)}) AS cell_id",
+        )
+    else:
+        basec = base.select(
+            F.col(b_id).alias("bid"), F.col("x").alias("bx"), F.col("y").alias("by"),
+            cell_id_col("x", "y", res),
+        )
+        blocks = query.select(
+            F.col(q_id).alias("qid"), "x", "y",
+            F.explode(_annulus_cells_expr(res, -1, r_cells)).alias("cell_id"),
+        )
     # dist spelled as dx*dx + dy*dy (not **2 -> POWER): bit-identical to
     # the oracle's SQL expression, so the <= radius boundary can never
     # disagree by a ULP
-    dx = F.col("x") - F.col("bx")
-    dy = F.col("y") - F.col("by")
-    dist = F.sqrt(dx * dx + dy * dy)
     return (
         blocks.join(basec, "cell_id")
-        .select("qid", "bid", dist.alias("dist"))
-        .where(F.col("dist") <= radius)
+        .selectExpr("qid", "bid", "SQRT((x - bx) * (x - bx) + (y - by) * (y - by)) AS dist")
+        .where(f"dist <= {_dlit(radius)}")
     )
 
 

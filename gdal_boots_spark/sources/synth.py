@@ -118,23 +118,33 @@ def interleaved_docs(
         # inherits the left side's partitioning — without this the whole
         # replicated table is generated by ONE task
         n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
-        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
-        docs = docs.repartition(n_parts).crossJoin(reps).select(
-            (F.col("doc_id") * replicate + F.col("_rep")).alias("doc_id"), "text"
+        reps = spark.range(replicate).selectExpr("id AS _rep")
+        docs = docs.repartition(n_parts).crossJoin(reps).selectExpr(
+            f"doc_id * {replicate}L + _rep AS doc_id", "text"
         )
-    d = F.col("doc_id")
-    lon, lat = _lon_col(d), _lat_col(d)
-    geo_text = F.format_string('{"type":"Point","coordinates":[%.6f,%.6f]}', lon, lat)
-    media_ref = F.format_string("r0/0/%d/%d", (d / 8).cast("long") % 8, d % 8)
-    has_geo = (d % 10).isin(*GEO_MOD)
-    has_media = (d % 10).isin(*MEDIA_MOD)
+    # The whole derivation is ONE server-side-parsed selectExpr (r8: the
+    # Column-tree form cost ~350 py4j round trips per cold plan build;
+    # the expressions below are the EXACT SQL counterparts — every
+    # float literal carries the D suffix because bare decimals parse as
+    # DECIMAL in Spark SQL, and every integer derivation matches the
+    # oracle's SQL_* fragments above).
+    lon = "26.0D + CAST((doc_id * 7919L) % 3000L AS DOUBLE) / 1000.0D"
+    lat = "53.0D + CAST((doc_id * 104729L) % 2000L AS DOUBLE) / 1000.0D"
+    geo_text = (
+        "format_string('{\"type\":\"Point\",\"coordinates\":[%.6f,%.6f]}', "
+        f"{lon}, {lat})"
+    )
+    media_ref = "format_string('r0/0/%d/%d', CAST(doc_id / 8 AS BIGINT) % 8L, doc_id % 8L)"
+    has_geo = f"doc_id % 10 IN {GEO_MOD}"
+    has_media = f"doc_id % 10 IN {MEDIA_MOD}"
     if poly_spans:
-        pminx = F.lit(26.00003) + ((d * F.lit(3571)) % F.lit(2700)).cast("double") / F.lit(1000.0)
-        pminy = F.lit(53.00003) + ((d * F.lit(6763)) % F.lit(1700)).cast("double") / F.lit(1000.0)
-        pmaxx, pmaxy = pminx + F.lit(POLY_SPAN_W), pminy + F.lit(POLY_SPAN_H)
-        poly_text = F.format_string(
-            '{"type":"Polygon","coordinates":[[[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f]]]}',
-            pminx, pminy, pmaxx, pminy, pmaxx, pmaxy, pminx, pmaxy, pminx, pminy,
+        pminx = "26.00003D + CAST((doc_id * 3571L) % 2700L AS DOUBLE) / 1000.0D"
+        pminy = "53.00003D + CAST((doc_id * 6763L) % 1700L AS DOUBLE) / 1000.0D"
+        pmaxx, pmaxy = f"({pminx}) + {POLY_SPAN_W}D", f"({pminy}) + {POLY_SPAN_H}D"
+        ring = f"{pminx}, {pminy}, {pmaxx}, {pminy}, {pmaxx}, {pmaxy}, {pminx}, {pmaxy}, {pminx}, {pminy}"
+        poly_text = (
+            "format_string('{\"type\":\"Polygon\",\"coordinates\":"
+            f"[[[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f]]]}}', {ring})"
         )
         # 1 in 20 poly-span docs (d % 200 == 43; present from sf0.001
         # up) wraps the SAME rect in a heterogeneous GeometryCollection
@@ -144,32 +154,33 @@ def interleaved_docs(
         # exercises the packed gtype-7 decode + per-child refinement
         # dispatch end-to-end.  Kept rare: GC rows take the per-row
         # from_geojson decode, not the batched fromstring fast path.
-        gc_text = F.format_string(
-            '{"type":"GeometryCollection","geometries":['
+        gc_text = (
+            "format_string('{\"type\":\"GeometryCollection\",\"geometries\":["
             '{"type":"Polygon","coordinates":[[[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f],[%.5f,%.5f]]]},'
-            '{"type":"LineString","coordinates":[[%.5f,%.5f],[%.5f,%.5f]]}]}',
-            pminx, pminy, pmaxx, pminy, pmaxx, pmaxy, pminx, pmaxy, pminx, pminy,
-            pminx, pminy, pmaxx, pmaxy,
+            '{"type":"LineString","coordinates":[[%.5f,%.5f],[%.5f,%.5f]]}]}\', '
+            f"{ring}, {pminx}, {pminy}, {pmaxx}, {pmaxy})"
         )
-        poly_text = F.when(d % 200 == F.lit(43), gc_text).otherwise(poly_text)
-        has_poly = d % 10 == F.lit(3)
-        geo_text = F.when(has_geo, geo_text).when(has_poly, poly_text)
-        has_geo = has_geo | has_poly
+        poly_text = f"CASE WHEN doc_id % 200 = 43 THEN {gc_text} ELSE {poly_text} END"
+        has_poly = "doc_id % 10 = 3"
+        geo_text = f"CASE WHEN {has_geo} THEN {geo_text} WHEN {has_poly} THEN {poly_text} END"
+        has_geo = f"(({has_geo}) OR ({has_poly}))"
 
     def span(kind, text, mref, off):
-        return F.struct(
-            kind.alias("kind"), text.alias("text"), mref.alias("media_ref"), off.cast("int").alias("offset")
-        )
+        return f"named_struct('kind', {kind}, 'text', {text}, 'media_ref', {mref}, 'offset', {off})"
 
-    nul = F.lit(None).cast("string")
-    spans = F.array(
-        span(F.lit("text"), F.substring("text", 1, 40), nul, F.lit(0)),
-        span(F.when(has_geo, F.lit("geo")), F.when(has_geo, geo_text), nul, F.lit(1)),
-        span(F.when(has_media, F.lit("media")), nul, F.when(has_media, media_ref), F.lit(2)),
-        span(F.lit("text"), F.substring("text", 41, 40), nul, F.lit(3)),
+    nul = "CAST(NULL AS STRING)"
+    spans = ", ".join(
+        (
+            span("'text'", "substring(text, 1, 40)", nul, 0),
+            span(f"CASE WHEN {has_geo} THEN 'geo' END", f"CASE WHEN {has_geo} THEN {geo_text} END", nul, 1),
+            span(f"CASE WHEN {has_media} THEN 'media' END", nul, f"CASE WHEN {has_media} THEN {media_ref} END", 2),
+            span("'text'", "substring(text, 41, 40)", nul, 3),
+        )
     )
-    spans = F.filter(spans, lambda s: s["kind"].isNotNull())
-    return docs.select(d.cast("string").alias("doc_id"), spans.alias("spans"))
+    return docs.selectExpr(
+        "CAST(doc_id AS STRING) AS doc_id",
+        f"filter(array({spans}), s -> s.kind IS NOT NULL) AS spans",
+    )
 
 
 # --- features table (FIXTURES.md §3) ---------------------------------------
