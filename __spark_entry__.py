@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from gdal_boots_spark.operators.spans import explode_spans
 from gdal_boots_spark.operators.spatial_join import pip_join_docs
+from gdal_boots_spark.sources.synth import read_parquet_memo as _pq
 from gdal_boots_spark.sources.synth import (
     POLY_SPAN_H,
     POLY_SPAN_W,
@@ -152,7 +153,7 @@ def q_point_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         width=50, height=30, tile_w=16, tile_h=16, bands=2, dtype="int32",
     )
     tiles = generate_tiles(spark, grid, ramp_fill)
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _pq(spark, f"{sf_dir}/customer.parquet")
     pts = cust.selectExpr(
         "c_custkey AS point_id",
         "-2.0D + CAST((c_custkey * 13) % 70 AS DOUBLE) / 4.0D AS x",
@@ -257,8 +258,8 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the definitional cross-join + window top-k."""
     from gdal_boots_spark.operators.knn import knn_join
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = _pq(spark, f"{sf_dir}/customer.parquet")
+    supp = _pq(spark, f"{sf_dir}/supplier.parquet")
     base = cust.selectExpr(
         "c_custkey AS bid",
         "26.0D + CAST((c_custkey * 7919) % 3000 AS DOUBLE) / 1000.0D AS x",
@@ -279,8 +280,8 @@ def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle.  Oracle is the definitional cross join."""
     from gdal_boots_spark.operators.knn import radius_join
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = _pq(spark, f"{sf_dir}/customer.parquet")
+    supp = _pq(spark, f"{sf_dir}/supplier.parquet")
     ck, sk = F.col("c_custkey"), F.col("s_suppkey")
     base = cust.select(
         ck.alias("bid"),
@@ -469,10 +470,10 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     result rows are identical to the plain join, which IS the oracle."""
     from gdal_boots_spark.operators.skew import salted_join
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_suppkey", "l_quantity"
     )
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    supp = _pq(spark, f"{sf_dir}/supplier.parquet").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
     )
     out = salted_join(li, supp, "l_suppkey", salt=8, hot_threshold=100)
@@ -488,8 +489,8 @@ def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval-overlap cross join."""
     from gdal_boots_spark.operators.bbox_join import bbox_overlap_join
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    orders = _pq(spark, f"{sf_dir}/orders.parquet")
+    part = _pq(spark, f"{sf_dir}/part.parquet")
     left = orders.selectExpr(
         "o_orderkey AS lid",
         "26.0D + CAST((o_orderkey * 271) % 2900 AS DOUBLE) / 1000.0D AS lminx",
@@ -524,8 +525,8 @@ def q_bbox_join_hetero(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived doubles so both engines compute identical IEEE sums."""
     from gdal_boots_spark.operators.bbox_join import bbox_overlap_join_adaptive
 
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = _pq(spark, f"{sf_dir}/supplier.parquet")
+    part = _pq(spark, f"{sf_dir}/part.parquet")
 
     def side(df, key, p, mx, my):
         k = F.col(key)
@@ -558,8 +559,8 @@ def q_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ULP-safe through the GeoJSON round-trip)."""
     from gdal_boots_spark.operators.bbox_join import intersects_join
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    orders = _pq(spark, f"{sf_dir}/orders.parquet")
+    part = _pq(spark, f"{sf_dir}/part.parquet")
     ok, pk = F.col("o_orderkey"), F.col("p_partkey")
 
     def rect_gj(minx, miny, w, h):
@@ -599,7 +600,7 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed event-time aggregation over the events stream table
     (the batch face of streaming/doc_stream's windowed counts):
     per-hour, per-type counts + value sums."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _pq(spark, f"{sf_dir}/events.parquet")
     return ev.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(
@@ -815,7 +816,7 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cascade is lossless."""
     from gdal_boots_spark.operators.rollup import event_rollup
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _pq(spark, f"{sf_dir}/events.parquet")
     day = event_rollup(ev, ("1 minute", "1 hour", "1 day"))["1 day"]
     return day.select(
         "w_start", "event_type", "n",
@@ -828,28 +829,28 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.operators.dedup import exact_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return exact_dedup(docs)
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.operators.dedup import lsh_candidate_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return lsh_candidate_pairs(docs, n_hashes=16, bands=8)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.operators.dedup import simhash
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return simhash(docs, bits=32)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.operators.dedup import ngram_jaccard_topk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return ngram_jaccard_topk(docs, k=20)
 
 
@@ -860,7 +861,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join over the same simhash formula."""
     from gdal_boots_spark.operators.dedup import simhash_neardup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return simhash_neardup(docs, max_hamming=3, bits=32)
 
 
@@ -871,7 +872,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs at these SFs).  Oracle: definitional cross join."""
     from gdal_boots_spark.operators.dedup import embedding_neardup
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _pq(spark, f"{sf_dir}/embeddings.parquet")
     out = embedding_neardup(emb, threshold=0.4)
     return out.select("a", "b", F.round("cos", 9).alias("cos"))
 
@@ -881,7 +882,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brief checklist) — both pure codegen columns."""
     from gdal_boots_spark.functions.text_fns import bpe_token_count, token_count
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
@@ -892,7 +893,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.operators.ann import cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _pq(spark, f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") % 50 == 0)
     return cosine_topk(queries_df, emb, k=5).select("qid", "bid", F.col("rank").cast("long").alias("rnk"))
 
@@ -904,7 +905,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is additionally pytest-asserted (tests/test_pipeline_ops.py)."""
     from gdal_boots_spark.operators.ann import ann_lsh_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _pq(spark, f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") % 50 == 0)
     out = ann_lsh_topk(queries_df, emb, k=5, bits=4, n_tables=8)
     return out.select("qid", "bid", F.col("rank").cast("long").alias("rnk"))
@@ -918,7 +919,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-asserted (tests/test_pipeline_ops.py)."""
     from gdal_boots_spark.operators.ann import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _pq(spark, f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") % 50 == 0)
     out = ivf_topk(queries_df, emb, k=5, n_cells=16, n_probe=8)
     return out.select("qid", "bid", F.col("rank").cast("long").alias("rnk"))
@@ -931,7 +932,7 @@ def q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive-CTE reachability closure."""
     from gdal_boots_spark.operators.dedup import neardup_groups
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return neardup_groups(docs, n_hashes=16, bands=8)
 
 
@@ -979,7 +980,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB (last_value IGNORE NULLS)."""
     from gdal_boots_spark.operators.asof import asof_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _pq(spark, f"{sf_dir}/events.parquet")
     left = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     right = ev.where(F.col("event_type") == "signup").select("event_id", "user_id", "ts", "value")
     out = asof_join(left, right, on="user_id", ts_col="ts", id_col="event_id", payload=("event_id", "value"))
@@ -998,7 +999,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-th hash, the estimate AND the full sketch (csv) are all exact."""
     from gdal_boots_spark.operators.sketch import kmv_sketch
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _pq(spark, f"{sf_dir}/events.parquet")
     sk = kmv_sketch(ev, "event_type", "user_id", k=32)
     return sk.select(
         F.col("grp").alias("event_type"),
@@ -1011,7 +1012,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.functions.text_fns import quality_features, quality_score
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     f = quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1025,14 +1026,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.functions.text_fns import lang_scores
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", lang_scores(F.col("text")).alias("lang_guess"))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal_boots_spark.functions.text_fns import fingerprint, token_count
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id", fingerprint(F.col("text")).alias("fp"), token_count(F.col("text")).alias("n_tokens")
     )
@@ -1046,7 +1047,7 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, so assignment matches byte-for-byte across engines."""
     from gdal_boots_spark.operators.dataset_split import hash_split
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="r4").select(
         "doc_id", "split"
     )
@@ -1059,7 +1060,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     outputs keep the DuckDB oracle hash-exact."""
     from gdal_boots_spark.operators.repetition import repetition_stats
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return repetition_stats(docs)
 
 
@@ -1072,7 +1073,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact."""
     from gdal_boots_spark.operators.decontam import decontaminate
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     bench = docs.where(F.col("doc_id") % 37 == 0)
     return decontaminate(docs, bench, n=3)
 
@@ -1084,7 +1085,7 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts + space-rejoined text keep the DuckDB oracle hash-exact."""
     from gdal_boots_spark.operators.chunking import chunk_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return chunk_documents(docs, chunk_tokens=64, stride=48)
 
 
@@ -1096,7 +1097,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact."""
     from gdal_boots_spark.operators.sessionize import sessionize
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _pq(spark, f"{sf_dir}/events.parquet")
     return sessionize(ev, gap="30 minutes").select("event_id", "user_id", "session_idx")
 
 
@@ -1108,7 +1109,7 @@ def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     text is byte-equal across engines."""
     from gdal_boots_spark.functions.text_fns import scrub_counts, scrub_text
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id",
         scrub_text(F.col("text")).alias("scrubbed"),
@@ -1126,8 +1127,8 @@ def q_radius_join_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     50 km boundary)."""
     from gdal_boots_spark.operators.knn import radius_join_meters
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = _pq(spark, f"{sf_dir}/customer.parquet")
+    supp = _pq(spark, f"{sf_dir}/supplier.parquet")
     ck, sk = F.col("c_custkey"), F.col("s_suppkey")
     base = cust.select(
         ck.alias("bid"),
@@ -1148,7 +1149,7 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k rows to the driver, no global sort)."""
     from gdal_boots_spark.operators.repetition import top_ngrams
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return top_ngrams(docs, n=2, k=25)
 
 
@@ -1160,7 +1161,7 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition global window."""
     from gdal_boots_spark.operators.packing import pack_shards
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _pq(spark, f"{sf_dir}/documents.parquet")
     return pack_shards(docs, budget=5000)
 
 
