@@ -266,6 +266,21 @@ def test_zonal_stats_vs_oracle(spark):
     compare_to_oracle(df, entrymod.all_oracle_sql()["zonal_stats"], SF_ORACLE, float_cols=("mean",), atol=1e-9)
 
 
+def test_zonal_stats_dist_vs_oracle(spark):
+    """Name-level oracle coverage for the distributed-cover extra
+    (VERDICT r7 item 7: previously verified only transitively via
+    two-path equality against the green broadcast twin)."""
+    df = entrymod.all_queries()["zonal_stats_dist"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["zonal_stats_dist"], SF_ORACLE, float_cols=("mean",), atol=1e-9)
+
+
+def test_rasterize_hist_dist_vs_oracle(spark):
+    """Name-level oracle coverage for the distributed-cover extra
+    (VERDICT r7 item 7)."""
+    df = entrymod.all_queries()["rasterize_hist_dist"](spark, SF_ORACLE)
+    compare_to_oracle(df, entrymod.all_oracle_sql()["rasterize_hist_dist"], SF_ORACLE)
+
+
 def test_intersects_join_vs_bruteforce(spark):
     """Exact polygon-intersects join == pairwise kernel brute force."""
     import json
