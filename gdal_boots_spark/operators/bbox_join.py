@@ -118,8 +118,13 @@ def bbox_overlap_join(left: DataFrame, right: DataFrame, res: int | None = 10) -
     (auto_res); any res yields the identical result set."""
     if res is None:
         res = auto_res(left, right)
-    lc = _explode_cover(left, res, "l")
-    rc = _explode_cover(right, res, "r")
+    # single-file seeds plan as ONE task and the cover join amplifies
+    # them 100x+ — spread BEFORE the explode (zero-job gated; no-op for
+    # well-partitioned inputs and for tiny correctness-SF seeds)
+    from ..partitioning import spread_small_scan
+
+    lc = _explode_cover(spread_small_scan(left), res, "l")
+    rc = _explode_cover(spread_small_scan(right), res, "r")
     j = lc.join(rc, "cell_id")
     # exact overlap + reporting cell (the one containing the
     # intersection's lower-left) in ONE server-parsed filter string
@@ -239,8 +244,10 @@ def bbox_overlap_join_adaptive(
     if levels is None:
         levels = auto_levels(left, right)
     lo, hi = levels
-    lc = _explode_cover_multi(left, lo, hi, "l")
-    rc = _explode_cover_multi(right, lo, hi, "r")
+    from ..partitioning import spread_small_scan
+
+    lc = _explode_cover_multi(spread_small_scan(left), lo, hi, "l")
+    rc = _explode_cover_multi(spread_small_scan(right), lo, hi, "r")
     j = lc.join(rc, "cell_id")
     overlap = (
         (F.col("lminx") <= F.col("rmaxx"))

@@ -156,6 +156,14 @@ def interleaved_docs(
         docs = docs.repartition(n_parts).crossJoin(reps).selectExpr(
             f"doc_id * {replicate}L + _rep AS doc_id", "text"
         )
+    else:
+        # same seed gotcha WITHOUT replication (r8): the un-replicated
+        # board queries derived spans + parsed geometry for the whole
+        # sf table on ONE task.  Zero-job gated spread: no-op at
+        # correctness SFs (tiny seeds) and for well-partitioned inputs.
+        from ..partitioning import spread_small_scan
+
+        docs = spread_small_scan(docs)
     # The whole derivation is ONE server-side-parsed selectExpr (r8: the
     # Column-tree form cost ~350 py4j round trips per cold plan build;
     # the expressions below are the EXACT SQL counterparts — every
